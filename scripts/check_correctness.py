@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tooling only — the
+engine itself is pure Scala/Spark).
+
+Usage: python3 scripts/check_correctness.py [sfDir] [outDir]
+
+Runs nothing itself — expects `sbt "runMain graft.Verify <sfDir> <outDir>"`
+to have populated outDir with <name>.parquet dirs + oracle_sql.json.
+Then runs each oracle SQL in DuckDB over the same parquet tables and
+compares: column names (sorted), row count, and values (rows sorted).
+"""
+import json, math, os, sys
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps/dates to strings, floats rounded
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            # DuckDB HUGEINT arrives as object — try numeric first
+            try:
+                df[c] = pd.to_numeric(df[c]).astype("int64")
+            except (ValueError, TypeError):
+                df[c] = df[c].apply(lambda v: str(v))
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = [d for d in os.listdir(out_dir)
+             if os.path.isdir(os.path.join(out_dir, d))]
+    passed, failed, no_oracle = [], [], []
+    for name in sorted(names):
+        spark_df = duckdb.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracles:
+            no_oracle.append((name, len(spark_df)))
+            continue
+        try:
+            ora_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            failed.append((name, f"oracle SQL error: {e}"))
+            continue
+        a, b = canon(spark_df), canon(ora_df)
+        if list(a.columns) != list(b.columns):
+            failed.append((name, f"cols spark={list(a.columns)} oracle={list(b.columns)}"))
+            continue
+        if len(a) != len(b):
+            failed.append((name, f"rows spark={len(a)} oracle={len(b)}"))
+            continue
+        if not a.equals(b):
+            diff = (a != b) & ~(a.isna() & b.isna())
+            bad = diff.any(axis=1)
+            idx = bad[bad].index[:3]
+            detail = "; ".join(
+                f"row{int(i)}: spark={a.loc[i].to_dict()} oracle={b.loc[i].to_dict()}"
+                for i in idx)
+            failed.append((name, f"value mismatch ({int(bad.sum())} rows): {detail[:500]}"))
+            continue
+        passed.append((name, len(a)))
+    print(f"== PASS ({len(passed)})")
+    for n, r in passed: print(f"   {n}  ({r} rows)")
+    if no_oracle:
+        print(f"== NO-ORACLE rows-only ({len(no_oracle)})")
+        for n, r in no_oracle: print(f"   {n}  ({r} rows)" + ("  !! 0 ROWS" if r == 0 else ""))
+    if failed:
+        print(f"== FAIL ({len(failed)})")
+        for n, m in failed: print(f"   {n}: {m}")
+        sys.exit(1)
+
+if __name__ == "__main__":
+    main()

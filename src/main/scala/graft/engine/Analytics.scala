@@ -1,0 +1,122 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical query surface (Grafana dashboard SQL + the SQL
+  * probes it issues to Postgres), re-expressed as declarative Spark plans.
+  *
+  * Operator IDs refer to SURVEY.md §2. Reference evidence is cited per
+  * function (file:line inside /root/reference).
+  *
+  * Scale notes: every function here is a pure `groupBy`/`join`/`window` plan —
+  * Catalyst handles partial aggregation (map-side combine), and the joins
+  * against small dimensions are explicitly `broadcast()` so no shuffle of the
+  * fact side is needed. Nothing collects to the driver.
+  */
+object Analytics {
+
+  /** A9 Top-K by aggregate — piechart panel
+    * `SELECT plant_name, SUM(generation) ... GROUP BY 1 ORDER BY 2 DESC LIMIT 10`
+    * (reference: pv_test/grafana/dashboards/pv_dashboard.json).
+    * Deterministic tiebreak on the group key so the oracle compare is stable.
+    * At scale: partial agg then a single-reducer top-K via `limit` — Spark
+    * turns sort+limit into TakeOrderedAndProject (no full sort).
+    */
+  def topKByGroup(df: DataFrame, key: Column, value: Column, k: Int): DataFrame =
+    df.groupBy(key.as("grp"))
+      .agg(round(sum(value), 2).as("total"))
+      .orderBy(desc("total"), asc("grp"))
+      .limit(k)
+
+  /** A6 Sum by group + time bucket — timeseries panel
+    * `SELECT date_trunc('hour', datetime) t, plant_name, SUM(generation) ...`
+    * (reference: docker/grafana/dashboards/pv_dashboard.json).
+    */
+  def sumByTimeBucket(df: DataFrame, ts: Column, key: Column, value: Column,
+                      bucket: String = "hour"): DataFrame =
+    df.groupBy(date_trunc(bucket, ts).as("bucket"), key.as("grp"))
+      .agg(round(sum(value), 2).as("total"))
+
+  /** A4 per-key high-watermark — incremental resume point
+    * `SELECT gencd, hogi, MAX(datetime), MAX(plant_name) ... GROUP BY gencd, hogi`
+    * (reference: fetch_data/pv/daily_pv_automation.py:79-87).
+    */
+  def highWatermark(df: DataFrame, keys: Seq[Column], ts: Column,
+                    carry: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max(ts).as("last_ts"), max(carry).as("carry"))
+
+  /** A5 day-completeness probe: days having all 24 distinct hours
+    * `SELECT COUNT(DISTINCT EXTRACT(HOUR FROM datetime)) ... GROUP BY DATE(datetime)`
+    * (reference: fetch_data/pv/daily_pv_automation.py:52-71,
+    * fetch_data/pv/nambu_backfill.py:161-182).
+    */
+  def dayCompleteness(df: DataFrame, ts: Column, requiredHours: Int = 24): DataFrame =
+    df.groupBy(to_date(ts).as("day"))
+      .agg(countDistinct(hour(ts)).as("n_hours"))
+      .filter(col("n_hours") >= requiredHours)
+
+  /** A1 group-by mean on composite (month, day, hour) time key — the
+    * historical-average lookup the imputer joins against
+    * (reference: fetch_data/common/impute_missing.py:101-129).
+    */
+  def historicalMeanByMDH(df: DataFrame, key: Column, ts: Column,
+                          value: Column): DataFrame =
+    df.groupBy(key.as("grp"), month(ts).cast("long").as("m"),
+        dayofmonth(ts).cast("long").as("d"), hour(ts).cast("long").as("h"))
+      .agg(round(avg(value), 6).as("hist_avg"))
+
+  /** J5 left join with a range condition in the ON clause, null-sum coalesced
+    * to 0 — the geomap panel
+    * (reference: docker/grafana/dashboards/pv_dashboard.json).
+    * The dimension side stays whole (left outer keeps zero-activity rows).
+    */
+  def dimWithRangeActivity(dim: DataFrame, dimKey: Column, fact: DataFrame,
+                           factKey: Column, factTs: Column, factVal: Column,
+                           from: Column, to: Column): DataFrame =
+    dim.join(fact, dimKey === factKey && factTs >= from && factTs <= to, "left")
+      .groupBy(dimKey.as("grp"))
+      .agg(round(coalesce(sum(factVal), lit(0.0)), 2).as("total"))
+
+  /** J7 anti-join on a generated calendar: expected date range minus dates
+    * present — "missing days" discovery
+    * (reference: fetch_data/pv/nambu_bulk_sync.py:24-40,
+    * nambu_merge_pv_data.py:57-63). `sequence` + `explode` generates the
+    * calendar distributedly; `left_anti` avoids materializing the existing set.
+    */
+  def missingDates(df: DataFrame, ts: Column, from: String, to: String): DataFrame = {
+    val spark = df.sparkSession
+    val calendar = spark.range(1).select(
+      explode(sequence(to_date(lit(from)), to_date(lit(to)))).as("day"))
+    calendar.join(df.select(to_date(ts).as("day")).distinct(), Seq("day"), "left_anti")
+  }
+
+  /** A10 per-day summary stats as analytic window aggregates: the API's
+    * daily_total/avg/max/min repeated on every hourly row
+    * (reference: fetch_data/pv/daily_pv_automation.py:176-179). */
+  def dailyStatsWindow(df: DataFrame, key: Column, ts: Column,
+                       value: Column): DataFrame = {
+    val w = Window.partitionBy(key, to_date(ts))
+    df.select(
+      key.as("grp"), ts.as("ts"), value.as("v"),
+      round(sum(value).over(w), 2).as("daily_total"),
+      round(avg(value).over(w), 6).as("daily_avg"),
+      round(max(value).over(w), 6).as("daily_max"),
+      round(min(value).over(w), 6).as("daily_min"))
+  }
+
+  /** W7 conditional suffixing by a group property: plants with >1 distinct
+    * unit get a `name_unit` suffix (reference:
+    * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).
+    * Uses a window countDistinct-equivalent (size of collect_set) to avoid a
+    * second join against the A3 aggregate. */
+  def suffixWhenMultiUnit(df: DataFrame, name: Column, unit: Column): DataFrame = {
+    val w = Window.partitionBy(name)
+    df.withColumn("n_units", size(collect_set(unit).over(w)))
+      .withColumn("display_name",
+        when(col("n_units") > 1, concat_ws("_", name, unit)).otherwise(name))
+      .drop("n_units")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access for the driver harness.
+  *
+  * All `SparkEntry.queries` entries take an `sfDir` pointing at one of
+  * `/root/testdata/sf{0.001,0.01,0.1}` (see TESTDATA.md). Each table is one
+  * parquet file; Catalyst prunes columns/pushes filters into the scan, so the
+  * accessors stay plain `spark.read.parquet` with no caching tricks — at
+  * 100 TB these would be partitioned table paths and the same code holds.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized parquet
+    * reader rejects; read nanos as long and truncate to microseconds with
+    * integer division (a double division would lose precision above 2^53 ns).
+    * DuckDB truncates nanos→micros identically, so oracles agree. */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -80,6 +80,129 @@ object SparkEntry {
       Analytics.missingDates(orders(s, d), col("o_orderdate"),
         "2001-06-01", "2001-12-31")),
 
+    // ---- Reshape W1/W2 (SURVEY §2.5) ----
+    // W1 melt + W2(a) 0-based hour parse: wide 24-hour-column rows (built by
+    // pivot, the upstream API's shape) melted back to hourly rows. The
+    // roundtrip equals a direct hourly aggregation — that's the oracle.
+    "q_melt_roundtrip" -> ((s, d) => {
+      val wide = Unpivot.pivotByHour(events(s, d), col("ts"), col("event_type"),
+        col("value"))
+      Unpivot.meltHours(wide, Seq("ymd", "grp"), Unpivot.hourNames)
+        .filter(col("generation").isNotNull) // P5 dropna, as the reference does
+        .select(col("grp"),
+          Unpivot.tsZeroBased(col("ymd"), col("hour_col")).as("ts"),
+          round(col("generation"), 2).as("total"))
+    }),
+    // W2(b) 1-based hour parse with the 24→next-day-00:00 rollover
+    "q_melt_rollover" -> ((s, d) => {
+      val wide = Unpivot.pivotByHour(events(s, d), col("ts"), col("event_type"),
+        col("value"))
+      Unpivot.meltHours(wide, Seq("ymd", "grp"), Unpivot.hourNames)
+        .filter(col("generation").isNotNull)
+        .select(col("grp"),
+          Unpivot.tsOneBased(col("ymd"), col("hour_col")).as("ts"),
+          round(col("generation"), 2).as("total"))
+    }),
+
+    // ---- Dedup / upsert (SURVEY §2.6, S14) ----
+    // U2 keep-last on key with explicit deterministic order
+    "q_dedup_keep_last" -> ((s, d) =>
+      Dedup.keepLast(events(s, d).withColumn("day", to_date(col("ts"))),
+          Seq(col("user_id"), col("event_type"), col("day")),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("day"), col("ts"),
+          col("value"))),
+    // S14 keyed upsert as union + keep-last (new side wins on overlap)
+    "q_upsert" -> ((s, d) => {
+      val ev = events(s, d)
+      val existing = ev.filter(col("ts") < lit("2024-01-20"))
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+      val incoming = ev.filter(col("ts") >= lit("2024-01-15"))
+        .select(col("event_id"), round(col("value") * 2, 2).as("value"))
+      Dedup.upsert(existing, incoming, Seq("event_id"), Seq(col("event_id")))
+    }),
+
+    // ---- Imputation W3/W5/W4 (SURVEY §2.5) ----
+    // W3 consecutive-missing run detection (gap-and-islands)
+    "q_missing_runs" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("v", Impute.withMissing(col("value"), col("event_id")))
+      Impute.missingRuns(ev, col("event_type"),
+        Seq(col("ts"), col("event_id")), col("v"))
+    }),
+    // W5 historical-average fill with key-mean/global-mean fallback chain
+    "q_hist_fill" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("v", Impute.withMissing(col("value"), col("event_id")))
+      Impute.historicalFill(ev, col("event_type"), col("ts"), col("v"))
+    }),
+    // W4 cubic-spline fill (non-SQL kernel → rows-only check + ScalaTest)
+    "q_spline_impute" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("v", Impute.withMissing(col("value"), col("event_id")))
+      Impute.splineImpute(ev, col("event_type"), col("ts"), col("event_id"),
+        col("v"))
+    }),
+
+    // ---- Incremental watermarks (SURVEY §2.8) ----
+    // A4+A5+P6 composite: per-key resume point
+    "q_resume_points" -> ((s, d) =>
+      Watermark.resumePoints(events(s, d), col("event_type"), col("ts"))),
+    // A5 backfill probe: incomplete days in a range
+    "q_incomplete_days" -> ((s, d) =>
+      Watermark.incompleteDays(
+        events(s, d).filter(col("event_type") === "error"),
+        col("ts"), "2024-01-05", "2024-01-12")),
+
+    // ---- Scalar functions (SURVEY §2.7) ----
+    "q_normalize_scalars" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+        Normalize.normalizeName(col("p_type"),
+          Seq("STANDARD\\s*", "POLISHED\\s*")).as("norm_type"),
+        Normalize.cleanSpec(concat(col("p_brand"), lit(" x"), col("p_size")))
+          .as("spec_num"),
+        Normalize.zeroPad2(col("p_size") % 24).as("padded"),
+        Normalize.extractDigits(col("p_brand")).as("brand_digits"))),
+    "q_prev_month_range" -> ((s, d) =>
+      orders(s, d).select(
+        Normalize.prevMonthStart(col("o_orderdate")).as("m_start"),
+        Normalize.prevMonthEnd(col("o_orderdate")).as("m_end")).distinct()),
+
+    // ---- More joins (SURVEY §2.3) ----
+    // J1 equi-join on regex-normalized key
+    "q_join_normalized_key" -> ((s, d) => {
+      val p = part(s, d)
+      val noisy = p.select(col("p_partkey"),
+        concat(lit("  "), upper(col("p_brand")), lit(" ")).as("noisy_brand"))
+      val dim = p.groupBy(col("p_brand"))
+        .agg(round(avg(col("p_retailprice")), 2).as("brand_avg"))
+      Joins.normalizedKeyJoin(noisy, col("noisy_brand"), dim, col("p_brand"),
+          Seq.empty)
+        .select(col("p_partkey"), col("brand_avg"))
+    }),
+    // J2/J3 broadcast lookup with default
+    "q_lookup_default" -> ((s, d) =>
+      Joins.lookupWithDefault(supplier(s, d), col("s_nationkey"), nation(s, d),
+          col("n_nationkey"), col("n_name"), lit("UNKNOWN"))
+        .select(col("s_suppkey"), col("looked_up"))),
+    // J4 fuzzy lookup: exact else containment else default
+    "q_fuzzy_lookup" -> ((s, d) => {
+      val brands = part(s, d).select(col("p_brand")).distinct()
+      val dim = s.createDataFrame(Seq(
+        ("Brand#1", "A"), ("Brand#2", "B"), ("Brand#3", "C"),
+        ("Brand#45", "D"), ("ZZZ", "E"))).toDF("k", "v")
+      Joins.fuzzyLookup(brands, col("p_brand"), col("p_brand"), dim, col("k"),
+          col("v"), "DEFAULT")
+        .select(col("p_brand"), col("matched"))
+    }),
+    // J6 anti-join: dimension rows absent from a fact subset (customers with
+    // no urgent orders — nonempty, unlike the unrestricted variant)
+    "q_customers_no_orders" -> ((s, d) =>
+      customer(s, d).join(
+          orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))),
+
     // ---- Windows (SURVEY §2.5) ----
     // A10 per-day summary stats as window aggregates (daily_pv_automation.py:176-179)
     "q_daily_stats_window" -> ((s, d) =>
@@ -153,6 +276,118 @@ object SparkEntry {
          round(MIN(value)  OVER w, 6) AS daily_min
          FROM events
          WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))""",
+    "q_melt_roundtrip" ->
+      """SELECT event_type AS grp, date_trunc('hour', ts) AS ts,
+         round(SUM(value), 2) AS total FROM events GROUP BY 1, 2""",
+    "q_melt_rollover" ->
+      """SELECT event_type AS grp,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+         round(SUM(value), 2) AS total FROM events GROUP BY 1, 2""",
+    "q_dedup_keep_last" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS day, ts, value
+         FROM events
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, CAST(ts AS DATE)
+           ORDER BY ts DESC, event_id DESC) = 1""",
+    "q_upsert" ->
+      """WITH existing AS (
+           SELECT event_id, round(value, 2) AS value, 0 AS src FROM events
+           WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         incoming AS (
+           SELECT event_id, round(value * 2, 2) AS value, 1 AS src FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         u AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming)
+         SELECT event_id, value FROM u
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) = 1""",
+    "q_missing_runs" ->
+      """WITH e AS (
+           SELECT event_type, ts, event_id,
+             CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS v
+           FROM events),
+         g AS (
+           SELECT *, SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM e)
+         SELECT event_type AS grp, MIN(ts) AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+         FROM g WHERE v IS NULL GROUP BY event_type, isl""",
+    "q_hist_fill" ->
+      """WITH base AS (
+           SELECT event_type AS grp, ts,
+             CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS v,
+             EXTRACT(month FROM ts) AS m, EXTRACT(day FROM ts) AS d,
+             EXTRACT(hour FROM ts) AS h
+           FROM events),
+         valid AS (SELECT * FROM base WHERE v IS NOT NULL),
+         hist AS (SELECT grp, m, d, h, AVG(v) AS ha FROM valid GROUP BY 1,2,3,4),
+         km AS (SELECT grp, AVG(v) AS kmean FROM valid GROUP BY 1),
+         gm AS (SELECT AVG(v) AS gmean FROM valid)
+         SELECT b.grp, b.ts, b.v,
+           round(COALESCE(b.v, h.ha, k.kmean, g.gmean), 6) AS v_filled
+         FROM base b
+         LEFT JOIN hist h USING (grp, m, d, h)
+         LEFT JOIN km k USING (grp)
+         CROSS JOIN gm g""",
+    "q_resume_points" ->
+      """WITH pd AS (
+           SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT EXTRACT(hour FROM ts)) AS nh, MAX(ts) AS dm
+           FROM events GROUP BY 1, 2)
+         SELECT grp, dm AS last_ts,
+           CASE WHEN nh >= 24 THEN day + 1 ELSE day END AS resume_day
+         FROM pd
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day DESC) = 1""",
+    "q_incomplete_days" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT EXTRACT(hour FROM ts)) AS n_hours
+         FROM events
+         WHERE event_type = 'error'
+           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+         GROUP BY 1 HAVING COUNT(DISTINCT EXTRACT(hour FROM ts)) < 24""",
+    "q_normalize_scalars" ->
+      """SELECT p_partkey,
+         lower(regexp_replace(regexp_replace(regexp_replace(p_type,
+           'STANDARD\s*', '', 'g'), 'POLISHED\s*', '', 'g'), '\s+', '', 'g'))
+           AS norm_type,
+         CAST(regexp_extract(p_brand || ' x' || CAST(p_size AS VARCHAR),
+           '(\d+\.?\d*)', 1) AS DOUBLE) AS spec_num,
+         lpad(CAST(p_size % 24 AS VARCHAR), 2, '0') AS padded,
+         regexp_extract(p_brand, '(\d+)', 1) AS brand_digits
+         FROM part""",
+    "q_prev_month_range" ->
+      """SELECT DISTINCT
+         CAST(date_trunc('month', o_orderdate - INTERVAL 1 MONTH) AS DATE)
+           AS m_start,
+         last_day(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH) AS m_end
+         FROM orders""",
+    "q_join_normalized_key" ->
+      """SELECT p.p_partkey, b.brand_avg
+         FROM part p
+         JOIN (SELECT p_brand, round(AVG(p_retailprice), 2) AS brand_avg
+               FROM part GROUP BY 1) b USING (p_brand)""",
+    "q_lookup_default" ->
+      """SELECT s_suppkey, COALESCE(n_name, 'UNKNOWN') AS looked_up
+         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""",
+    "q_fuzzy_lookup" ->
+      """WITH dim(k, v) AS (VALUES
+           ('Brand#1','A'), ('Brand#2','B'), ('Brand#3','C'),
+           ('Brand#45','D'), ('ZZZ','E')),
+         brands AS (SELECT DISTINCT p_brand FROM part),
+         j AS (
+           SELECT b.p_brand, d.k, d.v,
+             CASE WHEN b.p_brand = d.k THEN 0 ELSE 1 END AS pri
+           FROM brands b LEFT JOIN dim d
+             ON b.p_brand = d.k OR contains(b.p_brand, d.k)
+                OR contains(d.k, b.p_brand))
+         SELECT p_brand, COALESCE(v, 'DEFAULT') AS matched FROM j
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY pri, length(k) DESC, k) = 1""",
+    "q_customers_no_orders" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
     "q_suffix_multi_unit" ->
       """SELECT p.p_partkey,
          CASE WHEN b.n_units > 1

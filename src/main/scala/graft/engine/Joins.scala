@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 join surface beyond plain equi-joins (those need no wrapper).
+  *
+  * Every dimension here is a small master table (plant metadata ≈ dozens of
+  * rows in the reference; ≤ thousands in testdata) — all joins are explicit
+  * `broadcast()` so the fact side never shuffles.
+  */
+object Joins {
+
+  /** J2/J3: broadcast-dict lookup with a default — the `plant.json`
+    * `gencd → name` map applied where the name is missing
+    * (daily_pv_automation.py:22-27, :182-184; initial_db_ingestion.py:38-54).
+    * Output carries all fact columns + `looked_up`. */
+  def lookupWithDefault(fact: DataFrame, factKey: Column, dim: DataFrame,
+                        dimKey: Column, dimVal: Column,
+                        default: Column): DataFrame =
+    fact.join(broadcast(dim), factKey === dimKey, "left")
+      .withColumn("looked_up", coalesce(dimVal, default))
+      .drop(dim.columns: _*)
+
+  /** J1: equi-join on a regex-normalized key — both sides normalized with the
+    * same expression before joining (nambu_merge_pv_data.py:42, :66-67). */
+  def normalizedKeyJoin(left: DataFrame, leftKey: Column, right: DataFrame,
+                        rightKey: Column, patterns: Seq[String],
+                        how: String = "left"): DataFrame = {
+    val l = left.withColumn("_nk", Normalize.normalizeName(leftKey, patterns))
+    val r = right.withColumn("_nk", Normalize.normalizeName(rightKey, patterns))
+    l.join(broadcast(r), Seq("_nk"), how).drop("_nk")
+  }
+
+  /** J4: fuzzy lookup — exact key match, else substring containment in either
+    * direction, else a default (fetch_data/pv/database.py:211-223,
+    * pv_test/init_db.py:145-177, default-Seoul fallback).
+    *
+    * Deterministic best-match ranking: exact < containment, then longest dim
+    * key, then lexicographic. `id` must uniquely identify fact rows (the
+    * window dedups multi-matches per row). Dim is broadcast; the theta-join
+    * (contains) is a broadcast nested loop — fine because dims are tiny,
+    * by construction of this operator. */
+  def fuzzyLookup(fact: DataFrame, id: Column, factKey: Column, dim: DataFrame,
+                  dimKey: Column, dimVal: Column, default: String): DataFrame = {
+    val joined = fact.join(broadcast(dim),
+        factKey === dimKey || factKey.contains(dimKey) || dimKey.contains(factKey),
+        "left")
+      .withColumn("_pri", when(factKey === dimKey, 0).otherwise(1))
+    val w = Window.partitionBy(id)
+      .orderBy(col("_pri").asc, length(dimKey).desc, dimKey.asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("matched", coalesce(dimVal, lit(default)))
+      .drop("_pri", "_rn")
+      .drop(dim.columns: _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.engine.{Joins, Normalize, Watermark}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuzzyLookup: exact beats containment beats default; longest key wins") {
+    val fact = Seq("Brand#45", "Brand#451", "NoMatch").toDF("k")
+    val dim = Seq(("Brand#45", "exact45"), ("Brand#4", "four"))
+      .toDF("dk", "dv")
+    val out = Joins.fuzzyLookup(fact, col("k"), col("k"), dim, col("dk"),
+        col("dv"), "DEFAULT")
+      .orderBy("k").collect()
+    out.map(r => (r.getString(0), r.getString(1))) shouldBe Array(
+      ("Brand#45", "exact45"),   // exact match beats 'Brand#4' containment
+      ("Brand#451", "exact45"),  // containment: longest dim key 'Brand#45'
+      ("NoMatch", "DEFAULT"))
+  }
+
+  test("normalizedKeyJoin matches through case/space noise") {
+    val left = Seq((1, "  PLANT A ")).toDF("id", "name")
+    val right = Seq(("plant a", 99)).toDF("name2", "meta")
+    val out = Joins.normalizedKeyJoin(left, col("name"), right, col("name2"),
+      Seq.empty)
+    out.select("meta").head().getInt(0) shouldBe 99
+  }
+
+  test("normalizeName strips patterns then whitespace then lowers") {
+    val df = Seq("Solar PV #3 Plant").toDF("s")
+    df.select(Normalize.normalizeName(col("s"), Seq("#\\d+", "Plant")).as("n"))
+      .head().getString(0) shouldBe "solarpv"
+  }
+
+  test("resumePoints: incomplete last day resumes same day, complete next day") {
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // k1's last day (Jan 2) has only 2 distinct hours → resume same day;
+    // k2's last day has all required (requiredHours=2 here) → next day
+    val df = (Seq(("k1", t(1, 0)), ("k1", t(1, 1)), ("k1", t(2, 5))) ++
+      Seq(("k2", t(3, 1)), ("k2", t(3, 2)))).toDF("k", "ts")
+    val out = Watermark.resumePoints(df, col("k"), col("ts"), requiredHours = 2)
+      .orderBy("grp").collect()
+    out(0).getDate(2).toString shouldBe "2024-01-02" // k1: incomplete → same day
+    out(1).getDate(2).toString shouldBe "2024-01-04" // k2: complete → next day
+  }
+}

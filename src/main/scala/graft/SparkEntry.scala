@@ -203,6 +203,62 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))),
 
+    // ---- Training-data pipeline: text analysis (builder prompt) ----
+    // token counting (whitespace + regex + BPE estimate), quality scoring
+    "q_doc_stats" -> ((s, d) => {
+      val en = TextOps.langMarkers.toMap.apply("en")
+      documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.wordTokenCount(col("text")).as("n_word_tokens"),
+        TextOps.bpeTokenEstimate(col("text")).as("n_bpe_est"),
+        TextOps.meanTokenLength(col("text")).as("mean_tok_len"),
+        TextOps.stopwordRatio(col("text"), en).as("stop_ratio"),
+        TextOps.qualityScore(col("text"), en).as("quality"))
+    }),
+    // language-ID (marker-token heuristic)
+    "q_lang_id" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+    // document fingerprinting
+    "q_doc_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- Training-data pipeline: dedup ----
+    // exact dedup via content-hash groupBy (corpus ∪ re-crawled subset)
+    "q_doc_exact_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+      NearDup.exactDuplicates(docs.unionByName(recrawl), col("doc_id"),
+        col("text"))
+    }),
+    // exact n-gram (3-shingle) Jaccard near-dup pairs
+    "q_jaccard_pairs" -> ((s, d) =>
+      NearDup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only + ScalaTest)
+    "q_minhash_pairs" -> ((s, d) =>
+      NearDup.minhashLshPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // SimHash signatures + banded Hamming pairs (rows-only + ScalaTest)
+    "q_simhash_pairs" -> ((s, d) =>
+      NearDup.simhashPairs(documents(s, d), col("doc_id"), col("text"), 20)),
+
+    // ---- Training-data pipeline: similarity search ----
+    // brute-force cosine top-k (exact baseline)
+    "q_ann_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(embeddings(s, d), col("vec_id"), col("embedding"),
+        Seq(0L, 1L, 2L), 5)),
+    // LSH-bucketed ANN (scale path; recall measured in ScalaTest)
+    "q_ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshCosineTopK(embeddings(s, d), col("vec_id"),
+        col("embedding"), Seq(0L, 1L, 2L), 5)),
+
+    // ---- Training-data pipeline: multimodal plumbing ----
+    // binary payload + stubbed decode via mapPartitions (schema/batching real)
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(documents(s, d), col("doc_id"), col("text")))
+        .select(col("media_id"), col("kind"), col("n_bytes"))),
+
     // ---- Windows (SURVEY §2.5) ----
     // A10 per-day summary stats as window aggregates (daily_pv_automation.py:176-179)
     "q_daily_stats_window" -> ((s, d) =>
@@ -276,6 +332,101 @@ object SparkEntry {
          round(MIN(value)  OVER w, 6) AS daily_min
          FROM events
          WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))""",
+    "q_doc_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, text, toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 6)
+             AS mean_tok_len,
+           round((len(list_filter(toks, x -> x = 'the'))
+                + len(list_filter(toks, x -> x = 'a'))
+                + len(list_filter(toks, x -> x = 'of'))
+                + len(list_filter(toks, x -> x = 'and'))
+                + len(list_filter(toks, x -> x = 'is')))::DOUBLE / len(toks), 6)
+             AS stop_ratio
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+             AS n_word_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+           mean_tok_len, stop_ratio,
+           round(least(1.0, greatest(0.0,
+             0.2 + least(length(text)::DOUBLE, 500.0) * 0.001
+                 + stop_ratio * 1.5 - abs(mean_tok_len - 5.0) * 0.05)), 6)
+             AS quality
+         FROM c""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, x -> x = 'der')) + len(list_filter(toks, x -> x = 'die'))
+             + len(list_filter(toks, x -> x = 'das')) + len(list_filter(toks, x -> x = 'und'))
+             + len(list_filter(toks, x -> x = 'ist')) AS s_de,
+           len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+             + len(list_filter(toks, x -> x = 'of')) + len(list_filter(toks, x -> x = 'and'))
+             + len(list_filter(toks, x -> x = 'is')) AS s_en,
+           len(list_filter(toks, x -> x = 'el')) + len(list_filter(toks, x -> x = 'los'))
+             + len(list_filter(toks, x -> x = 'las')) + len(list_filter(toks, x -> x = 'y'))
+             + len(list_filter(toks, x -> x = 'es')) AS s_es,
+           len(list_filter(toks, x -> x = 'le')) + len(list_filter(toks, x -> x = 'les'))
+             + len(list_filter(toks, x -> x = 'et')) + len(list_filter(toks, x -> x = 'est'))
+             + len(list_filter(toks, x -> x = 'du')) AS s_fr
+           FROM t)
+         SELECT doc_id, CASE
+           WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und' END AS lang_pred
+         FROM s""",
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_doc_exact_dedup" ->
+      """WITH u AS (SELECT * FROM documents
+                    UNION ALL
+                    SELECT * FROM documents WHERE doc_id % 5 = 0)
+         SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM u GROUP BY 1""",
+    "q_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id1, id2,
+                 round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2)
+         SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    "q_ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         s AS (SELECT q.qid, e.vec_id AS cid,
+                 round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id != q.qid)
+         SELECT qid, cid, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                AS BIGINT) AS rn
+         FROM s
+         QUALIFY rn <= 5""",
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents""",
     "q_melt_roundtrip" ->
       """SELECT event_type AS grp, date_trunc('hour', ts) AS ts,
          round(SUM(value), 2) AS total FROM events GROUP BY 1, 2""",

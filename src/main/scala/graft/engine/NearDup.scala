@@ -1,0 +1,153 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, on the `documents`
+  * table: exact (hash group-by), exact n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the whole point of these):
+  *  - exact dedup: one shuffle on the content hash, never on the text.
+  *  - n-gram Jaccard is EXACT and quadratic in docs sharing a shingle — it is
+  *    the verifier / small-scale oracle, not the scale path.
+  *  - MinHash+LSH is the scale path: cost is (docs × k hashes) + a shuffle on
+  *    (band, bandHash) buckets; only bucket-colliding pairs are verified.
+  *    No pairwise cross-join ever materializes.
+  *  - SimHash: one 64-bit signature per doc (single agg over exploded tokens),
+  *    candidate pairs via banded signature chunks, verified by Hamming
+  *    distance (`bit_count(xor)`).
+  */
+object NearDup {
+
+  /** Exact dedup: group by content hash; keeper = min doc id (deterministic),
+    * n = group size. The canonical keep-first (U3) at corpus scale. */
+  def exactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram (shingle) Jaccard pairs with similarity >= tau.
+    * Pairs only form between docs sharing >= 1 shingle (the shingle join is
+    * the blocker), so this is corpus-feasible only when shingles are
+    * selective — which is exactly when near-dup detection is meaningful. */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
+                   n: Int = 3): DataFrame = {
+    val sh = TextOps.shingles(docs, id, text, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent min-hashes per doc over its shingle
+    * set. Hash i of a shingle is xxhash64(seed=i, shingle) — deterministic,
+    * codegen'd, no UDF. One aggregation pass builds all k columns. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        k: Int = 32, n: Int = 3): DataFrame = {
+    val sh = TextOps.shingles(docs, id, text, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs, verified by exact shingle Jaccard.
+    * bands × rowsPerBand must equal the signature length. Docs landing in the
+    * same (band, hash-of-band-slice) bucket become candidates; candidates are
+    * then verified exactly, so the output has no false positives — only
+    * (tunable) false negatives, the standard LSH trade.
+    * Output: (id1, id2, jaccard) with jaccard >= tau. */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      n: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, id, text, k, n)
+    // band j = hash of sig[j*r .. j*r+r)
+    val banded = sigs.select(col("doc_id"), posexplode(array(
+      (0 until bands).map { j =>
+        xxhash64((j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+    // exact verification of candidates only
+    val sh = TextOps.shingles(docs, id, text, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("shingle", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("shingle", "s2"), "id2")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit signature per doc: for each bit, sum +1/-1 over token
+    * hashes (weighted by occurrence) and take the sign. Expressed as one
+    * aggregation over exploded tokens — no UDF, no driver loop.
+    * Output: (doc_id, simhash: long). */
+  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // bit b contributes +1 if set else -1; per-doc sum per bit, then sign
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates via 16-bit signature bands (docs equal
+    * in >= 1 of 4 chunks), verified by Hamming distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 8): DataFrame = {
+    val sigs = simhashSignatures(docs, id, text)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.chunk") === col("r.chunk") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        col("l.simhash").as("s1"), col("r.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

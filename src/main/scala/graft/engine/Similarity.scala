@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings.embedding: array<float>`).
+  *
+  *  - [[cosineTopK]] — brute-force exact baseline: broadcast the (small)
+  *    query set against the corpus; cosine via `zip_with` + `aggregate`
+  *    (codegen'd higher-order functions, no UDF). Linear in corpus size —
+  *    correct at any scale when the query set is small.
+  *  - [[lshCosineTopK]] — the scale path: random-hyperplane LSH. Each vector
+  *    gets a `bits`-bit sign signature against deterministic pseudo-random
+  *    hyperplanes; candidates share a signature band; exact cosine reranks
+  *    within buckets. Corpus is touched once to sign, then only bucket
+  *    collisions are scored — no corpus×query cross join.
+  */
+object Similarity {
+
+  /** array<float> → array<double> once, up front. */
+  def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector (query ids from the same
+    * table). Queries are broadcast; one pass over the corpus. */
+  def cosineTopK(emb: DataFrame, id: Column, vec: Column,
+                 queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    val queries = corpus.filter(col("cid").isin(queryIds: _*))
+      .select(col("cid").as("qid"), col("cv").as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
+    * same on every JVM, so signatures are reproducible cluster-wide. */
+  private[graft] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, k) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((j, k))
+      if ((h & 1) == 0) 1.0 else -1.0
+    }
+
+  /** bits-bit sign signature of `vec` against [[hyperplanes]], as a long.
+    * Pure expression: one dot product per bit over the literal plane. */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing at least one
+    * signature band with the query; exact cosine rerank within candidates.
+    * Returns (qid, cid, cos, rn) like [[cosineTopK]] — recall < 1 by design;
+    * see SimilaritySpec for the measured recall floor. */
+  def lshCosineTopK(emb: DataFrame, id: Column, vec: Column,
+                    queryIds: Seq[Long], k: Int, bits: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val rbits = bits / bands
+    val planes = hyperplanes(bits, 64)
+    val mask = (1L << rbits) - 1
+    val signed = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("sig", signature(col("cv"), planes))
+    val banded = signed.select(col("cid"), col("cv"), posexplode(array(
+      (0 until bands).map(j =>
+        shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
+      .as(Seq("band", "chunk")))
+    val queries = banded.filter(col("cid").isin(queryIds: _*))
+      .select(col("cid").as("qid"), col("cv").as("qv"),
+        col("band"), col("chunk"))
+    val candidates = banded.join(broadcast(queries), Seq("band", "chunk"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    candidates
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

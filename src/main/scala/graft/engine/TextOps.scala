@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (builder prompt: language-ID, quality scoring, token
+  * counting, fingerprinting). Everything here is pure codegen'd Column
+  * expressions — no UDFs — so the whole stage fuses into one codegen span and
+  * the DuckDB oracle can replicate each formula exactly.
+  *
+  * These generalize the reference's string surface (SURVEY.md §2.7 — regex
+  * normalize/extract at nambu_merge_pv_data.py:16-31, pv_test/init_db.py:75-96)
+  * from plant names to document corpora.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space corpus → plain split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Wordish-token count via regex (the BPE-ish second tokenizer). */
+  def wordTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z0-9]+")).cast("long")
+
+  /** Crude byte-per-token BPE estimate (≈4 chars/token heuristic). */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
+
+  /** Occurrences of an exact token (not substring) in the text. */
+  def tokenOccurrences(text: Column, token: String): Column =
+    size(filter(tokens(text), t => t === lit(token))).cast("long")
+
+  /** Mean token length for single-space-joined text:
+    * (chars - separators) / tokens. */
+  def meanTokenLength(text: Column): Column = {
+    val n = size(tokens(text))
+    round((length(text) - (n - lit(1))).cast("double") / n, 6)
+  }
+
+  /** Stopword ratio: occurrences of any marker token / token count. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val hits = stopwords.map(tokenOccurrences(text, _))
+      .reduce(_ + _)
+    round(hits.cast("double") / tokenCount(text), 6)
+  }
+
+  /** Language marker lists — deterministic scoring vocab, shared with the
+    * oracle. (The testdata's `lang` column is a synthetic label over one
+    * common vocabulary, so language-ID here is a formula, not a model.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "du"))
+
+  /** N-gram-heuristic language ID: marker-token occurrence score per
+    * language; argmax with deterministic lexicographic tie-break; "und" when
+    * no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(tokenOccurrences(text, _)).reduce(_ + _)
+    }
+    // CASE cascade: lang i wins when its score is positive and >= every later
+    // score — equivalent to argmax with earliest (lexicographic) tie-break,
+    // and mirrors the oracle's CASE chain 1:1.
+    scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), elseCol) =>
+        val wins = scores.drop(i + 1)
+          .map { case (_, s2) => s >= s2 }
+          .foldLeft(s > 0)(_ && _)
+        when(wins, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Quality score: clamped linear blend of length, stopword ratio and token
+    * shape — deterministic arithmetic, mirrored 1:1 in the oracle. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val raw = lit(0.2) +
+      least(length(text).cast("double"), lit(500.0)) * 0.001 +
+      stopwordRatio(text, stopwords) * lit(1.5) -
+      abs(meanTokenLength(text) - lit(5.0)) * 0.05
+    round(least(lit(1.0), greatest(lit(0.0), raw)), 6)
+  }
+
+  /** Exact content fingerprint (md5 — identical in DuckDB). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 3-word shingles of the text, distinct per doc — the unit for near-dup
+    * detection. `sequence`+`transform` stays inside codegen; `explode` is the
+    * only row-multiplier. */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val toks = tokens(text)
+    val count = size(toks)
+    // NB: Spark's sequence(1, stop) REVERSES when stop < 1 (unlike SQL
+    // generate_series, which yields empty) — filter a 1..count ramp instead
+    // so short texts produce zero shingles on both sides of the oracle.
+    val idxs = filter(sequence(lit(1), count), i => i <= count - lit(n - 1))
+    val sh = transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+}

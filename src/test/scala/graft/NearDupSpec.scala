@@ -1,0 +1,72 @@
+package graft
+
+import graft.engine.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (4L, "completely different words about spark catalyst optimizer plans here today")
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-2 windows, distinct, short text yields none") {
+    val sh = TextOps.shingles(Seq((1L, "a b c d")).toDF("id", "t"),
+      col("id"), col("t"))
+    sh.collect().map(_.getString(1)).sorted shouldBe Array("a b c", "b c d")
+    TextOps.shingles(Seq((1L, "a b")).toDF("id", "t"), col("id"), col("t"))
+      .count() shouldBe 0
+  }
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val out = NearDup.exactDuplicates(docs, col("doc_id"), col("text"))
+      .orderBy("keeper").collect()
+    out.length shouldBe 3
+    out(0).getLong(1) shouldBe 1L
+    out(0).getLong(2) shouldBe 2L // docs 1 and 3
+  }
+
+  test("jaccardPairs finds exact and near dups with correct similarity") {
+    val pairs = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
+      .orderBy("id1", "id2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs((1L, 3L)) shouldBe 1.0 // exact dup
+    // 1 vs 2: one word differs mid-text → 3 of 11 shingles differ per side
+    pairs((1L, 2L)) should be > 0.4
+    pairs.keySet should not contain ((1L, 4L))
+  }
+
+  test("minhash LSH pairs: no false positives; finds planted dups (recall)") {
+    val exact = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(docs, col("doc_id"), col("text"), 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(exact) shouldBe true // verification step kills false positives
+    lsh should contain((1L, 3L))      // identical sigs always collide
+    lsh should contain((1L, 2L))      // 0.57-jaccard pair: 32 hashes / 8 bands
+  }
+
+  test("minhash recall == 1.0 on testdata sf0.001 at tau 0.1") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = NearDup.jaccardPairs(d, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(d, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+  }
+
+  test("simhash: identical texts → identical signature; near-dups → small hamming") {
+    val sigs = NearDup.simhashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(3L)
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) should be <= 16
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 16
+    val pairs = NearDup.simhashPairs(docs, col("doc_id"), col("text"), 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 3L))
+    pairs should contain((1L, 2L))
+  }
+}

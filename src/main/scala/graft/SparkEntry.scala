@@ -259,6 +259,65 @@ object SparkEntry {
         Multimodal.asMedia(documents(s, d), col("doc_id"), col("text")))
         .select(col("media_id"), col("kind"), col("n_bytes"))),
 
+    // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
+    // S13 idempotent date-partition overwrite: initial load days <20, then a
+    // corrected re-delivery of days >=15 (doubled) — only those partitions
+    // are replaced; the final table state is the oracle.
+    "q_sink_partition_overwrite" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sink_s13_").toString + "/tbl"
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        round(col("value"), 2).as("v"))
+      Sink.overwriteDatePartitions(
+        ev.filter(to_date(col("ts")) < lit("2024-01-20")), col("ts"), path)
+      Sink.overwriteDatePartitions(
+        ev.filter(to_date(col("ts")) >= lit("2024-01-15"))
+          .withColumn("v", round(col("v") * 2, 2)), col("ts"), path)
+      s.read.parquet(path).select(col("event_id"), col("v"))
+    }),
+    // S14 keyed upsert writer: create, then merge a corrected batch
+    "q_sink_upsert" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sink_s14_").toString + "/tbl"
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        round(col("value"), 2).as("v"))
+      Sink.upsertParquet(s, ev.filter(col("ts") < lit("2024-01-20")), path,
+        Seq("event_id"), Seq(col("event_id")))
+      Sink.upsertParquet(s,
+        ev.filter(col("ts") >= lit("2024-01-15"))
+          .withColumn("v", round(col("v") * 2, 2)),
+        path, Seq("event_id"), Seq(col("event_id")))
+      s.read.parquet(path).select(col("event_id"), col("v"))
+    }),
+
+    // ---- Structured Streaming (SURVEY §2.8) ----
+    // A6 as a stream: watermarked hourly tumbling windows over a file source,
+    // run to completion with AvailableNow; windows whose end precedes the
+    // final watermark (max ts - 2h) are emitted — that closed-form is the
+    // oracle.
+    "q_stream_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the streaming file source wants a directory: symlink the single
+      // parquet file into a temp dir (zero-copy)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val out = graft.streaming.Streams.hourlySumStream(src, "ts",
+        col("event_type"), col("value"))
+      val qname = "graft_stream_hourly"
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(graft.streaming.Streams.hourlySumMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(col("bucket"), col("grp"),
+        round(col("total"), 2).as("total"))
+    }),
+
     // ---- Windows (SURVEY §2.5) ----
     // A10 per-day summary stats as window aggregates (daily_pv_automation.py:176-179)
     "q_daily_stats_window" -> ((s, d) =>
@@ -427,6 +486,25 @@ object SparkEntry {
               ELSE 'video' END AS kind,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents""",
+    "q_sink_partition_overwrite" ->
+      """SELECT event_id, round(value, 2) AS v FROM events
+         WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+         UNION ALL
+         SELECT event_id, round(round(value, 2) * 2, 2) AS v FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-15'""",
+    "q_sink_upsert" ->
+      """SELECT event_id, round(value, 2) AS v FROM events
+         WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+         UNION ALL
+         SELECT event_id, round(round(value, 2) * 2, 2) AS v FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+    "q_stream_hourly" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
+           round(SUM(value), 2) AS total
+         FROM events, mx
+         GROUP BY 1, 2, mx.m
+         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
     "q_melt_roundtrip" ->
       """SELECT event_type AS grp, date_trunc('hour', ts) AS ts,
          round(SUM(value), 2) AS total FROM events GROUP BY 1, 2""",

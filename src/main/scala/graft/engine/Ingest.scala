@@ -1,0 +1,68 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.file.{Files, Paths}
+
+/** §2.1 scan-side helpers.
+  *
+  * S1 — the reference's multi-encoding CSV reader: try cp949 → euc-kr →
+  * utf-8-sig → utf-8 until one decodes, plus header-whitespace normalization
+  * (fetch_data/pv/namdong_merge_pv_data.py:25-49, normalize_columns :13-22).
+  *
+  * Charset detection is a driver-side strict-decode probe of the file head
+  * (cheap, one small read); the actual scan is a normal distributed
+  * `spark.read.csv` with the winning charset — executors never re-probe.
+  * S2 (BOM) is native to Spark's UTF-8 handling; S3 (chunking) and S4
+  * (column-pruned scans) are free via partitioned scans + Catalyst pruning.
+  */
+object Ingest {
+
+  val defaultCharsets: Seq[String] = Seq("UTF-8", "x-windows-949", "EUC-KR")
+
+  /** First charset in `charsets` that strictly decodes the first `probeBytes`
+    * of `path` (malformed input → try next), else the last one. */
+  private[graft] def detectCharset(path: String, charsets: Seq[String],
+                                   probeBytes: Int = 64 * 1024): String = {
+    val f = Paths.get(path)
+    val sample: Array[Byte] =
+      if (Files.isDirectory(f)) {
+        // directory of part files: probe the first regular file
+        val first = Files.list(f).filter(p => Files.isRegularFile(p))
+          .sorted().findFirst()
+        if (first.isPresent) readHead(first.get, probeBytes) else Array.empty
+      } else readHead(f, probeBytes)
+    charsets.find { cs =>
+      try {
+        val dec = Charset.forName(cs).newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        dec.decode(java.nio.ByteBuffer.wrap(sample))
+        true
+      } catch { case _: Exception => false }
+    }.getOrElse(charsets.last)
+  }
+
+  private def readHead(p: java.nio.file.Path, n: Int): Array[Byte] = {
+    val in = Files.newInputStream(p)
+    try in.readNBytes(n) finally in.close()
+  }
+
+  /** S1: CSV scan with charset fallback + normalized headers. */
+  def csvWithCharsetFallback(spark: SparkSession, path: String,
+                             charsets: Seq[String] = defaultCharsets): DataFrame = {
+    val cs = detectCharset(path, charsets)
+    // Spark 4 restricts CSV charsets to a short allowlist unless the legacy
+    // flag is on — the multi-encoding fallback is the whole point here (S1).
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    val df = spark.read
+      .option("header", "true")
+      .option("charset", cs)
+      .option("mode", "PERMISSIVE")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .csv(path)
+    // header normalization: collapse embedded whitespace runs, trim
+    val cleaned = df.columns.map(_.replaceAll("[\\s\\u00a0]+", " ").trim)
+    df.toDF(cleaned: _*)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** §2.8 — the reference's scheduled-batch incremental semantics re-expressed
+  * as Structured Streaming. The reference polls APIs on cron, keeps per-key
+  * high-watermarks in the sink, and re-fetches incomplete days
+  * (daily_pv_automation.py:74-126, nambu_backfill.py:161-182). Here the same
+  * semantics are event-driven: watermarked tumbling windows for the hourly
+  * rollup (A6), watermark+dropDuplicates for upsert-ish idempotency (S14),
+  * and a typed stateful tracker for per-key resume points (A4/A5).
+  *
+  * All transforms take/return streaming DataFrames; run them with
+  * `Trigger.AvailableNow()` for the reference's batch-cron behavior, or a
+  * processing-time trigger for continuous ingest. State is bounded by the
+  * watermark (old windows/dup-keys evicted), so executors hold O(keys ×
+  * watermark-horizon) state regardless of total stream length.
+  */
+object Streams {
+
+  /** A6 as a stream: hourly tumbling-window sum per key, late data admitted
+    * up to `lateness`. Append-mode emits each window once, when the
+    * watermark passes — the streaming analogue of the reference's
+    * "re-fetch until the day is complete". */
+  def hourlySumStream(events: DataFrame, ts: String, key: Column,
+                      value: Column, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), "1 hour").as("win"), key.as("grp"))
+      .agg(sum(value).as("total"))
+      .select(col("win.start").as("bucket"), col("grp"), col("total"))
+
+  /** S14/U3 as a stream: exactly-once-per-key within the watermark horizon
+    * (duplicate re-deliveries from upstream retries are dropped). */
+  def dedupStream(events: DataFrame, ts: String, keys: Seq[String],
+                  lateness: String = "2 hours"): DataFrame =
+    events.withWatermark(ts, lateness)
+      .dropDuplicates(keys :+ ts)
+
+  case class KeyProgress(grp: String, lastTs: Timestamp, hoursSeen: Int,
+                         lastDay: String)
+  // state = (lastTsMs, hourMask, day) — a flat tuple keeps the state encoder
+  // codegen-friendly (a nested private case class is not reachable from
+  // generated code)
+  private type ProgressState = (Long, Int, String)
+
+  /** A4/A5 as typed streaming state: per key, track the high-watermark and an
+    * hour-of-day bitmask for the most recent day — the streaming resume-point
+    * tracker. Emits updated progress on every batch (Update mode).
+    * State is one (long, int, string) per key — flat and GC-cheap. */
+  def resumeTracker(events: DataFrame, ts: String, key: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($key AS STRING) AS k", s"CAST($ts AS TIMESTAMP) AS t")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ProgressState, KeyProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Timestamp)],
+         state: GroupState[ProgressState]) =>
+          var (lastTsMs, hourMask, day) =
+            state.getOption.getOrElse((Long.MinValue, 0, ""))
+          rows.foreach { case (_, t) =>
+            val d = t.toString.substring(0, 10)
+            val hour = t.toLocalDateTime.getHour
+            lastTsMs = math.max(lastTsMs, t.getTime)
+            if (d > day) { day = d; hourMask = 1 << hour }
+            else if (d == day) hourMask |= (1 << hour)
+          }
+          state.update((lastTsMs, hourMask, day))
+          KeyProgress(k, new Timestamp(lastTsMs),
+            Integer.bitCount(hourMask), day)
+      }
+      .toDF()
+  }
+
+  /** Preferred output mode per transform (append for windows, update for the
+    * stateful tracker) — callers wire writeStream with these. */
+  val hourlySumMode: OutputMode = OutputMode.Append()
+  val resumeTrackerMode: OutputMode = OutputMode.Update()
+}

@@ -15,6 +15,9 @@ import graft.engine._
   */
 object SparkEntry {
 
+  /** Memory-sink names must be unique per streaming run within a session. */
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A9 top-K revenue (piechart panel, pv_dashboard.json). */
   def entry(spark: SparkSession): DataFrame =
@@ -56,11 +59,10 @@ object SparkEntry {
     "q_countdistinct_by_group" -> ((s, d) =>
       events(s, d).groupBy(col("event_type").as("grp"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
-    // A7/P7 global sum over a timestamp range (Grafana stat panel)
+    // A7/P7 global sum over a timestamp range (Grafana stat panel) —
+    // range-pruned at the scan via eventsRange (raw-long pushdown)
     "q_sum_over_range" -> ((s, d) =>
-      events(s, d)
-        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
-                col("ts") <  lit("2024-01-20 00:00:00"))
+      Tables.eventsRange(s, d, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))),
     // A8/A11 global count-distinct + distinct values
     "q_distinct_types" -> ((s, d) =>
@@ -148,10 +150,11 @@ object SparkEntry {
     // A4+A5+P6 composite: per-key resume point
     "q_resume_points" -> ((s, d) =>
       Watermark.resumePoints(events(s, d), col("event_type"), col("ts"))),
-    // A5 backfill probe: incomplete days in a range
+    // A5 backfill probe: incomplete days in a range (range-pruned scan)
     "q_incomplete_days" -> ((s, d) =>
       Watermark.incompleteDays(
-        events(s, d).filter(col("event_type") === "error"),
+        Tables.eventsRange(s, d, "2024-01-05", "2024-01-12")
+          .filter(col("event_type") === "error"),
         col("ts"), "2024-01-05", "2024-01-12")),
 
     // ---- Scalar functions (SURVEY §2.7) ----
@@ -308,7 +311,7 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val out = graft.streaming.Streams.hourlySumStream(src, "ts",
         col("event_type"), col("value"))
-      val qname = "graft_stream_hourly"
+      val qname = s"graft_stream_hourly_${streamRunCounter.incrementAndGet()}"
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode(graft.streaming.Streams.hourlySumMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -32,8 +32,15 @@ object NearDup {
     * selective — which is exactly when near-dup detection is meaningful. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
                    n: Int = 3): DataFrame = {
+    // join/shuffle on the 8-byte shingle hash, not the shingle string — the
+    // intersection count is unchanged (per-doc shingles are pre-distinct;
+    // cross-shingle 64-bit collisions are ~1e-7 at corpus scale) and the
+    // self-join shuffle moves ~3× fewer bytes.
     val sh = TextOps.shingles(docs, id, text, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // per-doc set size from the array — narrow, no second explode+shuffle
+    val sizes = docs.select(id.as("doc_id"),
+      size(TextOps.shingleArray(text, n)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
@@ -57,11 +64,17 @@ object NearDup {
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         k: Int = 32, n: Int = 3): DataFrame = {
     val sh = TextOps.shingles(docs, id, text, n)
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    // (doc, seed, hash) long-format min, then re-assemble the signature
+    // array ordered by seed. k parallel min() agg columns would generate a
+    // pathologically large codegen method (observed ~10× slower cold); this
+    // shape keeps every stage's generated code small.
+    val hashes = array((0 until k).map(i =>
+      xxhash64(lit(i), col("shingle"))): _*)
+    sh.select(col("doc_id"), posexplode(hashes).as(Seq("seed", "h")))
+      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs, verified by exact shingle Jaccard.
@@ -89,9 +102,11 @@ object NearDup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
       .distinct()
-    // exact verification of candidates only
+    // exact verification of candidates only (hashed shingles, as above)
     val sh = TextOps.shingles(docs, id, text, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = docs.select(id.as("doc_id"),
+      size(TextOps.shingleArray(text, n)).as("n_sh"))
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("shingle", "s1"), "id1")

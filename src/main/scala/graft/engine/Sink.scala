@@ -31,7 +31,10 @@ object Sink {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // repartition by the partition column first: one task per date →
+    // one file per partition dir, not (tasks × dates) small files
     try df.withColumn("p_date", to_date(ts))
+      .repartition(col("p_date"))
       .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -18,11 +18,36 @@ object Tables {
     * reader rejects; read nanos as long and truncate to microseconds with
     * integer division (a double division would lose precision above 2^53 ns).
     * DuckDB truncates nanos→micros identically, so oracles agree. */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private def eventsLong(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  private def toMicros(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    toMicros(eventsLong(spark, sfDir))
+
+  /** Range-pruned events scan: the predicate is applied to the RAW nanos long
+    * BEFORE the timestamp conversion, so it pushes into the parquet scan
+    * (min/max row-group skipping). Filtering the converted `ts` instead
+    * defeats pushdown — `timestamp_micros(ts div 1000) >= x` is opaque to the
+    * source. At 100 TB this is the difference between scanning a day and
+    * scanning the table. */
+  def eventsRange(spark: SparkSession, sfDir: String, fromIso: String,
+                  toIso: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def nanos(s: String): Long = {
+      val ldt =
+        if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    }
+    toMicros(eventsLong(spark, sfDir)
+      .filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(toIso)))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

@@ -90,15 +90,19 @@ object TextOps {
   /** 3-word shingles of the text, distinct per doc — the unit for near-dup
     * detection. `sequence`+`transform` stays inside codegen; `explode` is the
     * only row-multiplier. */
-  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  /** Distinct n-word shingles of the text as an array column (no explode —
+    * narrow, usable for per-doc set sizes without a shuffle). */
+  def shingleArray(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     val count = size(toks)
     // NB: Spark's sequence(1, stop) REVERSES when stop < 1 (unlike SQL
     // generate_series, which yields empty) — filter a 1..count ramp instead
     // so short texts produce zero shingles on both sides of the oracle.
     val idxs = filter(sequence(lit(1), count), i => i <= count - lit(n - 1))
-    val sh = transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
-    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+    array_distinct(transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
   }
+
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"), explode(shingleArray(text, n)).as("shingle"))
 }

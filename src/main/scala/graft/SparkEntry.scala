@@ -68,6 +68,23 @@ object SparkEntry {
     "q_distinct_types" -> ((s, d) =>
       events(s, d).select(col("event_type").as("t")).distinct()),
 
+    // ---- Filter/predicate suite (SURVEY §2.2: P5, P8, P9, P10) ----
+    "q_filter_suite" -> ((s, d) =>
+      orders(s, d)
+        .na.drop(Seq("o_orderdate"))                                // P5
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))  // P8 isin
+        .filter(!col("o_orderstatus").isin("X"))                    // P8 exclude
+        .filter(Normalize.stripSeparators(                          // P9 strip-compare
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).startsWith("1996"))
+        .filter(col("o_totalprice").isNotNull)                      // P10
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+    // P6 predicate on a group-agg result: keys active since a cutoff
+    "q_active_keys" -> ((s, d) =>
+      Analytics.highWatermark(events(s, d), Seq(col("user_id").as("grp")),
+          col("ts"), col("event_type"))
+        .filter(col("last_ts") >= lit("2024-01-25"))),
+
     // ---- Joins (SURVEY §2.3) ----
     // J5 left join with range condition in ON + COALESCE(SUM,0) (geomap panel)
     "q_dim_activity_range" -> ((s, d) => {
@@ -556,7 +573,8 @@ object SparkEntry {
          km AS (SELECT grp, AVG(v) AS kmean FROM valid GROUP BY 1),
          gm AS (SELECT AVG(v) AS gmean FROM valid)
          SELECT b.grp, b.ts, b.v,
-           round(COALESCE(b.v, h.ha, k.kmean, g.gmean), 6) AS v_filled
+           COALESCE(b.v, round(h.ha, 6), round(k.kmean, 6), round(g.gmean, 6))
+             AS v_filled
          FROM base b
          LEFT JOIN hist h USING (grp, m, d, h)
          LEFT JOIN km k USING (grp)
@@ -594,6 +612,21 @@ object SparkEntry {
            AS m_start,
          last_day(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH) AS m_end
          FROM orders""",
+    "q_filter_suite" ->
+      """SELECT o_orderpriority AS grp, COUNT(*) AS n,
+         round(SUM(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate IS NOT NULL
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+           AND o_orderstatus NOT IN ('X')
+           AND regexp_replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 '-', '', 'g') LIKE '1996%'
+           AND o_totalprice IS NOT NULL
+         GROUP BY 1""",
+    "q_active_keys" ->
+      """SELECT user_id AS grp, max(ts) AS last_ts, max(event_type) AS carry
+         FROM events GROUP BY 1
+         HAVING max(ts) >= TIMESTAMP '2024-01-25 00:00:00'""",
     "q_join_normalized_key" ->
       """SELECT p.p_partkey, b.brand_avg
          FROM part p

@@ -66,8 +66,11 @@ object Impute {
       .join(broadcast(keyMean), Seq("grp"), "left")
       .crossJoin(broadcast(globalMean))
       .select(col("grp"), col("ts"), col("v"),
-        round(coalesce(col("v"), col("_hist_avg"), col("_key_mean"),
-          col("_global_mean")), 6).as("v_filled"))
+        // round only the IMPUTED values (averages are FP-accumulation-order
+        // sensitive); present values pass through bit-exact
+        coalesce(col("v"), round(col("_hist_avg"), 6),
+          round(col("_key_mean"), 6), round(col("_global_mean"), 6))
+          .as("v_filled"))
   }
 
   /** W4: cubic-spline fill for short gaps (run length <= maxSplineRun).
@@ -122,8 +125,12 @@ object Impute {
           } else i += 1
         }
         pts.indices.iterator.map { k =>
-          (g, pts(k)._2, pts(k)._3, pts(k)._4,
-            out(k).map(d => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          // round only filled values; present values pass through bit-exact
+          val filled =
+            if (ys(k).isDefined) ys(k)
+            else out(k).map(d =>
+              BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (g, pts(k)._2, pts(k)._3, pts(k)._4, filled)
         }
       }
       .toDF("grp", "ts", "id", "v", "v_filled")

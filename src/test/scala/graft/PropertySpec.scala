@@ -1,0 +1,104 @@
+package graft
+
+import graft.engine.{CubicSpline, Dedup, Impute, Unpivot}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import java.sql.Timestamp
+
+/** Property-based invariants (SURVEY.md §5: the reference has none; we add
+  * the ones its unit tests imply — melt/pivot roundtrip, dedup cardinality,
+  * imputation shape preservation, spline knot interpolation).
+  *
+  * Generators are driven directly with deterministic seeds (the
+  * scalatest-scalacheck bridge isn't in the offline dependency cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("property: spline passes through its knots exactly") {
+    val knotsGen = for {
+      n <- Gen.choose(3, 12)
+      xs <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+      ys <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (xs.distinct.sorted, ys)
+    forAll(knotsGen) { case (xs, ys0) =>
+      whenever(xs.length >= 3) {
+        val ys = ys0.take(xs.length).padTo(xs.length, 0.0)
+        val sp = CubicSpline(xs.toArray, ys.toArray)
+        xs.indices.foreach { i =>
+          sp(xs(i)) shouldBe (ys(i) +- math.max(1e-8, math.abs(ys(i)) * 1e-9))
+        }
+      }
+    }
+  }
+
+  test("property: keepLast emits one row per key, the max-order one") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 5)
+      seq <- Gen.choose(0, 100)
+      v <- Gen.choose(-1e6, 1e6)
+    } yield (s"k$k", seq, v))
+    forAll(rowsGen) { rows =>
+      // make (key, seq) unique so "the max" is well-defined
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = uniq.toDF("k", "seq", "v").repartition(5)
+      val out = Dedup.keepLast(df, Seq(col("k")), Seq(col("seq")))
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val expected = uniq.groupBy(_._1).map { case (k, g) =>
+        val m = g.maxBy(_._2); k -> (m._2, m._3)
+      }
+      out shouldBe expected
+    }
+  }
+
+  test("property: melt(pivot(events)) with 0-based hours == direct hourly sums") {
+    val evGen = Gen.nonEmptyListOf(for {
+      day <- Gen.choose(1, 3)
+      hour <- Gen.choose(0, 23)
+      v <- Gen.choose(0.0, 100.0)
+    } yield (Timestamp.valueOf(f"2024-02-0$day $hour%02d:15:00"), "g", v))
+    forAll(evGen) { evs =>
+      val df = evs.toDF("ts", "k", "v")
+      val wide = Unpivot.pivotByHour(df, col("ts"), col("k"), col("v"))
+      val melted = Unpivot.meltHours(wide, Seq("ymd", "grp"), Unpivot.hourNames)
+        .filter(col("generation").isNotNull)
+        .select(Unpivot.tsZeroBased(col("ymd"), col("hour_col")).as("b"),
+          round(col("generation"), 6).as("t"))
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      val direct = df.groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(round(sum("v"), 6).as("t"))
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      melted shouldBe direct
+    }
+  }
+
+  test("property: historicalFill preserves row count and non-null values") {
+    val serGen = Gen.nonEmptyListOf(for {
+      i <- Gen.choose(0, 200)
+      missing <- Gen.prob(0.3)
+      v <- Gen.choose(0.0, 50.0)
+    } yield (i, if (missing) None else Some(v)))
+    forAll(serGen) { ser0 =>
+      val ser = ser0.groupBy(_._1).map(_._2.head).toSeq // unique hours
+      val df = ser.map { case (i, v) =>
+        ("s", new Timestamp(1704067200000L + i * 3600000L), i.toLong, v)
+      }.toDF("g", "t", "id", "v")
+      val out = Impute.historicalFill(df, col("g"), col("t"), col("v"))
+      out.count() shouldBe ser.length
+      out.filter(col("v").isNotNull && col("v") =!= col("v_filled"))
+        .count() shouldBe 0
+      // if any value exists, every row is filled
+      if (ser.exists(_._2.isDefined))
+        out.filter(col("v_filled").isNull).count() shouldBe 0
+    }
+  }
+}

@@ -262,6 +262,21 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(documents(s, d), col("doc_id"), col("text"), 20)),
 
+    // winnowing (rolling-hash) fingerprint pairs: shared-passage detection.
+    // k=24 (~4-5 words) because this corpus's vocabulary is tiny — short
+    // grams occur in every doc and would pair everything quadratically.
+    "q_winnow_pairs" -> ((s, d) =>
+      NearDup.winnowPairs(documents(s, d), col("doc_id"), col("text"),
+        minShared = 5, k = 24, w = 8)),
+    // embedding-cosine near-dup pairs — exact baseline (oracled)
+    "q_embed_dedup_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(embeddings(s, d), col("vec_id"),
+        col("embedding"), 0.4)),
+    // embedding-cosine near-dup at scale: LSH buckets + rerank (rows-only)
+    "q_embed_dedup_lsh" -> ((s, d) =>
+      Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
+        col("embedding"), 0.4)),
+
     // ---- Training-data pipeline: similarity search ----
     // brute-force cosine top-k (exact baseline)
     "q_ann_cosine_topk" -> ((s, d) =>
@@ -487,6 +502,14 @@ object SparkEntry {
                JOIN sizes s1 ON s1.doc_id = id1
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    "q_embed_dedup_pairs" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id1, id2, cos FROM p WHERE cos >= 0.4""",
     "q_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

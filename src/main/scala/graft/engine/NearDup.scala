@@ -125,6 +125,21 @@ object NearDup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: docs sharing >= minShared
+    * fingerprints (see [[TextOps.winnowFingerprints]]). Substring-overlap
+    * detection — complementary to set-based Jaccard: it fires on long shared
+    * passages even when overall token sets differ. One shuffle on fp. */
+  def winnowPairs(docs: DataFrame, id: Column, text: Column,
+                  minShared: Int = 3, k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = TextOps.winnowFingerprints(docs, id, text, k, w)
+    val a = fps.as("a")
+    val b = fps.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash 64-bit signature per doc: for each bit, sum +1/-1 over token
     * hashes (weighted by occurrence) and take the sign. Expressed as one
     * aggregation over exploded tokens — no UDF, no driver loop.

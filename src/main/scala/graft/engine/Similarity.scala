@@ -48,6 +48,48 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Embedding-cosine near-dup pairs, exact: every (id1 < id2) pair with
+    * cosine >= tau. Quadratic — the small-scale baseline/oracle; the corpus
+    * path is [[lshCosinePairs]]. The right side is broadcast (nested-loop
+    * join on the inequality), so use only when one side fits in memory. */
+  def cosinePairs(emb: DataFrame, id: Column, vec: Column,
+                  tau: Double): DataFrame = {
+    val a = emb.select(id.as("id1"), asDouble(vec).as("v1"))
+    val b = emb.select(id.as("id2"), asDouble(vec).as("v2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: candidates share >= 1 LSH
+    * signature band (shuffle on (band, chunk) buckets — no quadratic
+    * cross-join), then exact cosine rerank with threshold tau.
+    * Recall < 1 by design; measured against [[cosinePairs]] in specs. */
+  def lshCosinePairs(emb: DataFrame, id: Column, vec: Column, tau: Double,
+                     bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val rbits = bits / bands
+    val planes = hyperplanes(bits, 64)
+    val mask = (1L << rbits) - 1
+    val banded = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("sig", signature(col("cv"), planes))
+      .select(col("cid"), col("cv"), posexplode(array(
+        (0 until bands).map(j =>
+          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"),
+      col("cv").as("v1"))
+    val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"),
+      col("cv").as("v2"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
     * same on every JVM, so signatures are reproducible cluster-wide. */
   private[graft] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =

@@ -87,6 +87,60 @@ object TextOps {
   /** Exact content fingerprint (md5 — identical in DuckDB). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hash over
+    * character k-grams, then the minimum hash per sliding window of w —
+    * guarantees any shared substring of length >= k + w - 1 yields a shared
+    * fingerprint, with density ~ 2/(w+1). Pure per-row kernel → typed
+    * flatMap; deterministic across JVMs (fixed base/modulus, no RNG).
+    * Output: (doc_id, fp) distinct. */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        winnow(t, k, w).map(fp => (docId, fp))
+      }
+      .toDF("doc_id", "fp")
+      .distinct()
+  }
+
+  /** Rolling-hash winnowing kernel (driver-free; runs inside tasks). */
+  private[graft] def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array.empty
+    val B = 257L
+    val M = 1000000007L // products stay < 2^63 with 31-bit values
+    var powK = 1L
+    var i = 0
+    while (i < k - 1) { powK = powK * B % M; i += 1 }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + text.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = ((h - text.charAt(i - 1) * powK % M + M * B) % M * B +
+        text.charAt(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    if (m <= w) return Array(hs.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i + w <= m) {
+      var best = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= best) best = hs(j); j += 1 }
+      out += best
+      i += 1
+    }
+    out.toArray
+  }
+
   /** 3-word shingles of the text, distinct per doc — the unit for near-dup
     * detection. `sequence`+`transform` stays inside codegen; `explode` is the
     * only row-multiplier. */

@@ -28,7 +28,18 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via higher-order functions — kept as the reference formulation
+    * (and for engines without the extension); HOFs evaluate interpreted. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression
+    * ([[graft.engine.expressions.CosineSimilarity]]) — identical semantics,
+    * one fused Java loop inside whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Exact top-k by cosine for each query vector (query ids from the same
     * table). Queries are broadcast; one pass over the corpus. */

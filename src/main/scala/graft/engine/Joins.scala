@@ -33,6 +33,24 @@ object Joins {
     l.join(broadcast(r), Seq("_nk"), how).drop("_nk")
   }
 
+  /** Skew-mitigating equi-join (the manual fallback when AQE's skew-join
+    * split isn't available or the skew is in a single key): the left (fact)
+    * side salts its key into `salts` sub-keys using a deterministic hash of
+    * `saltSrc` (any well-distributed fact column, e.g. the row id); the right
+    * side is exploded across all salt values. The hot key's rows spread over
+    * `salts` reducers instead of one. Result == plain equi-join, bit-exact.
+    * Right side grows ×salts — use for dim-sized right sides only. */
+  def saltedJoin(left: DataFrame, leftKey: Column, saltSrc: Column,
+                 right: DataFrame, rightKey: Column, salts: Int,
+                 how: String = "inner"): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(saltSrc), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, leftKey === rightKey && l("_salt") === r("_salt"), how)
+      .drop("_salt")
+  }
+
   /** J4: fuzzy lookup — exact key match, else substring containment in either
     * direction, else a default (fetch_data/pv/database.py:211-223,
     * pv_test/init_db.py:145-177, default-Seoul fallback).

@@ -34,6 +34,22 @@ class JoinsSpec extends SparkSpec {
       .head().getString(0) shouldBe "solarpv"
   }
 
+  test("saltedJoin == plain join on skewed data") {
+    // 90% of fact rows share one key — the classic hot-key shape
+    val fact = (1 to 200).map(i =>
+      (if (i <= 180) "hot" else s"k$i", i.toLong)).toDF("k", "id")
+    val dim = Seq(("hot", "H"), ("k190", "A"), ("k200", "B")).toDF("dk", "dv")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("id", "dv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Joins.saltedJoin(fact, col("k"), col("id"), dim, col("dk"), 8)
+      .select("id", "dv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    salted shouldBe plain
+    // left-outer variant keeps unmatched fact rows exactly once
+    val lo = Joins.saltedJoin(fact, col("k"), col("id"), dim, col("dk"), 8,
+      "left").count()
+    lo shouldBe 200
+  }
+
   test("resumePoints: incomplete last day resumes same day, complete next day") {
     def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     // k1's last day (Jan 2) has only 2 distinct hours → resume same day;

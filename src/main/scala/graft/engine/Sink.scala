@@ -68,6 +68,35 @@ object Sink {
   def replaceTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed managed table: pre-shuffles once at write time so that every
+    * subsequent equi-join/aggregation on `keys` between co-bucketed tables
+    * runs with NO exchange (the 100 TB co-location strategy for repeatedly
+    * joined fact tables — SURVEY §4's B-tree-index analogue for joins).
+    * Managed-catalog only: bucketing metadata lives in the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet table to ~targetFileMB files.
+    * Daily S13 runs produce one file per day per run; long-lived tables need
+    * periodic compaction to keep scan task counts sane at 100 TB. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (bytes / (targetFileMB.toLong << 20)).toInt)
+    val tmp = path + "._compact"
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    val bak = new java.io.File(path + "._old")
+    delete(bak); target.renameTo(bak)
+    new java.io.File(tmp).renameTo(target)
+    delete(bak)
+  }
+
   /** S11: CSV sink (utf-8, header), append or overwrite. */
   def writeCsv(df: DataFrame, path: String, append: Boolean = false): Unit =
     df.write.option("header", "true")

@@ -37,6 +37,38 @@ class SinkIngestSpec extends SparkSpec {
       Array((1L, "a"), (2L, "B"), (3L, "C"))
   }
 
+  test("bucketed co-located join plans with NO shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+      Sink.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+      Sink.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      joined.count() shouldBe 1000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "ShuffleExchange"
+      plan should not include "Exchange hashpartitioning"
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("compact rewrites a fragmented table preserving content") {
+    val path = tmpDir() + "/frag"
+    val df = (1 to 500).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    df.repartition(50).write.parquet(path) // 50 tiny files
+    Sink.compact(spark, path)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    files shouldBe 1 // tiny table → single target-size file
+    spark.read.parquet(path).agg(sum("v")).head().getDouble(0) shouldBe
+      (1 to 500).map(_ * 1.5).sum
+  }
+
   test("S1 charset fallback: cp949 file decodes, utf-8 preferred when valid") {
     val dir = tmpDir()
     val cp949 = Paths.get(dir, "kr.csv")

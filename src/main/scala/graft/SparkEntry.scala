@@ -155,6 +155,22 @@ object SparkEntry {
         .withColumn("v", Impute.withMissing(col("value"), col("event_id")))
       Impute.historicalFill(ev, col("event_type"), col("ts"), col("v"))
     }),
+    // full imputation dispatcher: run detection → spline (≤3) / historical
+    // (≥4) routing, the reference's impute_missing_values end-to-end
+    // (spline component → rows-only; routing/fills specced in FlowsSpec)
+    "q_impute_all" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("v", Impute.withMissing(col("value"), col("event_id")))
+      Impute.imputeAll(ev, col("event_type"), col("ts"), col("event_id"),
+        col("v"))
+    }),
+    // SQL surface parity: the A9 top-K via spark.sql over a temp view
+    "q_sql_topk" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_suppkey AS grp,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+               FROM lineitem_v GROUP BY 1 ORDER BY total DESC, grp LIMIT 10""")
+    }),
     // W4 cubic-spline fill (non-SQL kernel → rows-only check + ScalaTest)
     "q_spline_impute" -> ((s, d) => {
       val ev = events(s, d)
@@ -368,6 +384,10 @@ object SparkEntry {
 
   /** DuckDB equivalents over the same parquet tables (see Verify). */
   def oracleSql: Map[String, String] = Map(
+    "q_sql_topk" ->
+      """SELECT l_suppkey AS grp,
+         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+         FROM lineitem GROUP BY 1 ORDER BY total DESC, grp LIMIT 10""",
     "q_topk_revenue" ->
       """SELECT l_suppkey AS grp,
          round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total

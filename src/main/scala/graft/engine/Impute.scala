@@ -51,8 +51,15 @@ object Impute {
     * lookup joins back on the composite key — at scale this is a shuffle on
     * (key,m,d,h), with the two scalar-ish fallback levels broadcast. */
   def historicalFill(df: DataFrame, key: Column, ts: Column,
-                     v: Column): DataFrame = {
-    val base = df.select(key.as("grp"), ts.as("ts"), v.as("v"))
+                     v: Column): DataFrame =
+    histImpl(df.select(key.as("grp"), ts.as("ts"), lit(0L).as("id"),
+      v.as("v"))).drop("id")
+
+  /** As [[historicalFill]] but carrying a caller row id through (joinable on
+    * non-null keys — needed by [[imputeAll]], since `v` is null exactly where
+    * the join must hit). Input columns: grp, ts, id, v. */
+  private def histImpl(df: DataFrame): DataFrame = {
+    val base = df
       .withColumn("_m", month(col("ts")))
       .withColumn("_d", dayofmonth(col("ts")))
       .withColumn("_h", hour(col("ts")))
@@ -65,12 +72,49 @@ object Impute {
       .join(hist, Seq("grp", "_m", "_d", "_h"), "left")
       .join(broadcast(keyMean), Seq("grp"), "left")
       .crossJoin(broadcast(globalMean))
-      .select(col("grp"), col("ts"), col("v"),
+      .select(col("grp"), col("ts"), col("id"), col("v"),
         // round only the IMPUTED values (averages are FP-accumulation-order
         // sensitive); present values pass through bit-exact
         coalesce(col("v"), round(col("_hist_avg"), 6),
           round(col("_key_mean"), 6), round(col("_global_mean"), 6))
           .as("v_filled"))
+  }
+
+  /** The full reference dispatcher (`impute_missing_values`,
+    * impute_missing.py:191-457): detect missing runs per key; runs <=
+    * maxSplineRun get the spline/linear kernel (W4); longer runs get the
+    * historical (m,d,h) fallback chain (W5). One pass of each engine, joined
+    * by coalesce — run-length routing is what the reference's per-station
+    * Python loop did, here it's a window + two column expressions.
+    * Output: (grp, ts, id, v, v_filled, fill_src ∈ {present,spline,hist}). */
+  def imputeAll(df: DataFrame, key: Column, ts: Column, id: Column, v: Column,
+                maxSplineRun: Int = 3): DataFrame = {
+    val base = df.select(key.cast("string").as("grp"), ts.as("ts"),
+      id.cast("long").as("id"), v.cast("double").as("v"))
+    // run length of the null-run each row belongs to (0 for present rows)
+    val w = Window.partitionBy(col("grp")).orderBy(col("ts"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = base
+      .withColumn("_isl", sum(when(col("v").isNotNull, 1).otherwise(0)).over(w))
+    val runLens = withRun.filter(col("v").isNull)
+      .groupBy(col("grp"), col("_isl")).agg(count(lit(1)).as("_run_len"))
+    val routed = withRun.join(runLens, Seq("grp", "_isl"), "left")
+    val spline = splineImpute(base, col("grp"), col("ts"), col("id"), col("v"),
+      maxSplineRun)
+      .select(col("grp"), col("ts"), col("id"), col("v_filled").as("_sp"))
+    val hist = histImpl(base)
+      .select(col("grp"), col("ts"), col("id"), col("v_filled").as("_hi"))
+    routed
+      .join(spline, Seq("grp", "ts", "id"), "left")
+      .join(hist, Seq("grp", "ts", "id"), "left")
+      .select(col("grp"), col("ts"), col("id"), col("v"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("_run_len") <= maxSplineRun, coalesce(col("_sp"), col("_hi")))
+          .otherwise(col("_hi")).as("v_filled"),
+        when(col("v").isNotNull, lit("present"))
+          .when(col("_run_len") <= maxSplineRun && col("_sp").isNotNull,
+            lit("spline"))
+          .otherwise(lit("hist")).as("fill_src"))
   }
 
   /** W4: cubic-spline fill for short gaps (run length <= maxSplineRun).

@@ -1,0 +1,75 @@
+package graft
+
+import graft.engine.{Flows, Impute}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end flow composition (SURVEY §3 E1–E3). */
+class FlowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E1 dailyPvFlow: wide payload lands as hourly partitioned rows, idempotent") {
+    val sink = Files.createTempDirectory("graft_e1_").toString + "/pv"
+    val wide = Seq(("2024-03-10", "plantA", 5.0, null.asInstanceOf[Any]),
+      ("2024-03-11", "plantA", 7.0, 3.0))
+      .map { case (d, p, a, b) => (d, p, a, Option(b).map(_.toString.toDouble)) }
+      .toDF("ymd", "plant", "h01", "h02")
+    val out = Flows.dailyPvFlow(wide, "ymd", "plant", Seq("h01", "h02"), sink)
+    out.count() shouldBe 4 // nulls coerced to 0.0, not dropped
+    val read = spark.read.parquet(sink)
+    read.count() shouldBe 4
+    read.filter(col("ts") === Timestamp.valueOf("2024-03-10 00:00:00"))
+      .head().getAs[Double]("generation") shouldBe 5.0
+    read.filter(col("ts") === Timestamp.valueOf("2024-03-10 01:00:00"))
+      .head().getAs[Double]("generation") shouldBe 0.0 // null→0 (generation only)
+    // idempotent re-run: same content
+    Flows.dailyPvFlow(wide, "ymd", "plant", Seq("h01", "h02"), sink)
+    spark.read.parquet(sink).count() shouldBe 4
+  }
+
+  test("E2 weatherFlow: imputes gaps then merges into history keyed (grp, ts)") {
+    val hist = Files.createTempDirectory("graft_e2_").toString + "/weather"
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val batch1 = Seq(("st1", t(0), 0L, Some(10.0)), ("st1", t(1), 1L, Some(12.0)))
+      .toDF("grp", "ts", "id", "v")
+    Flows.weatherFlow(spark, batch1, hist).count() shouldBe 2
+    // batch 2 overlaps t(1) (revised) and adds a gap at t(2) + value at t(3)
+    val batch2 = Seq(("st1", t(1), 2L, Some(99.0)), ("st1", t(2), 3L, None),
+      ("st1", t(3), 4L, Some(20.0))).toDF("grp", "ts", "id", "v")
+    val merged = Flows.weatherFlow(spark, batch2, hist)
+      .orderBy("ts").collect()
+    merged.length shouldBe 4
+    merged(1).getDouble(3) shouldBe 99.0 // revised value won the upsert
+    merged(2).getDouble(3) should (be >= 20.0 or be <= 99.0) // gap was filled
+    merged.forall(r => !r.isNullAt(3)) shouldBe true
+  }
+
+  test("E3 backfillTargets: missing ∪ incomplete days") {
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // day 1 complete (2 hours when requiredHours=2), day 2 incomplete,
+    // day 3 absent entirely
+    val df = Seq(t(1, 0), t(1, 1), t(2, 5)).map(Tuple1(_)).toDF("ts")
+    // note: the calendar range is INCLUSIVE of `to` (reference date_range
+    // semantics) — window covers days 1..3
+    val targets = Flows.backfillTargets(df, col("ts"), "2024-01-01",
+        "2024-01-03", requiredHours = 2)
+      .orderBy("day").collect().map(_.getDate(0).toString)
+    targets shouldBe Array("2024-01-02", "2024-01-03")
+  }
+
+  test("imputeAll routes short gaps to spline, long gaps to historical") {
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = (Seq(Some(1.0), Some(2.0), None, Some(4.0), Some(5.0)) ++ // short gap
+      Seq(None, None, None, None) ++ Seq(Some(10.0))) // long run (4)
+      .zipWithIndex.map { case (v, i) => ("g", t(i), i.toLong, v) }
+      .toDF("g", "t", "id", "v")
+    val out = Impute.imputeAll(df, col("g"), col("t"), col("id"), col("v"))
+      .orderBy("ts").collect()
+    out.map(_.getString(5)) shouldBe Array("present", "present", "spline",
+      "present", "present", "hist", "hist", "hist", "hist", "present")
+    out(2).getDouble(4) shouldBe (3.0 +- 0.5) // spline ≈ linear trend
+    out.forall(r => !r.isNullAt(4)) shouldBe true
+    out.count(_.getString(5) == "present") shouldBe 5
+  }
+}

@@ -406,7 +406,8 @@ object SparkEntry {
     "q_hist_mean_mdh" ->
       """SELECT event_type AS grp, CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
          CAST(EXTRACT(day FROM ts) AS BIGINT) AS d, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
-         round(AVG(value), 6) AS hist_avg
+         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+           // COUNT(value) AS BIGINT) AS hist_avg_micro
          FROM events GROUP BY 1, 2, 3, 4""",
     "q_global_stats" ->
       """SELECT round(AVG(value), 6) AS mean_v,
@@ -453,6 +454,11 @@ object SparkEntry {
            CAST(len(toks) AS BIGINT) AS n_tokens,
            round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 6)
              AS mean_tok_len,
+           (len(list_filter(toks, x -> x = 'the'))
+                + len(list_filter(toks, x -> x = 'a'))
+                + len(list_filter(toks, x -> x = 'of'))
+                + len(list_filter(toks, x -> x = 'and'))
+                + len(list_filter(toks, x -> x = 'is'))) AS n_hits,
            round((len(list_filter(toks, x -> x = 'the'))
                 + len(list_filter(toks, x -> x = 'a'))
                 + len(list_filter(toks, x -> x = 'of'))
@@ -465,10 +471,11 @@ object SparkEntry {
              AS n_word_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
            mean_tok_len, stop_ratio,
-           round(least(1.0, greatest(0.0,
-             0.2 + least(length(text)::DOUBLE, 500.0) * 0.001
-                 + stop_ratio * 1.5 - abs(mean_tok_len - 5.0) * 0.05)), 6)
-             AS quality
+           CAST(least(1000, greatest(0,
+             200 + least(length(text), 500)
+                 + (n_hits * 1500) // n_tokens
+                 - (abs(length(text) - (n_tokens - 1) - 5 * n_tokens) * 50)
+                   // n_tokens)) AS BIGINT) AS quality
          FROM c""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -63,10 +63,19 @@ object Analytics {
     * (reference: fetch_data/common/impute_missing.py:101-129).
     */
   def historicalMeanByMDH(df: DataFrame, key: Column, ts: Column,
-                          value: Column): DataFrame =
+                          value: Column): DataFrame = {
+    // exact integer micro-unit mean: quantize each value BEFORE aggregating
+    // (floor(v*1e6+0.5) is identical on identical doubles in every engine),
+    // then long-sum + floor-divide — immune to both FP accumulation order
+    // and engine round() boundary semantics (observed 1-ulp flakes at sf0.1)
+    val vm = floor(value * lit(1000000.0) + lit(0.5)).cast("long")
     df.groupBy(key.as("grp"), month(ts).cast("long").as("m"),
         dayofmonth(ts).cast("long").as("d"), hour(ts).cast("long").as("h"))
-      .agg(round(avg(value), 6).as("hist_avg"))
+      .agg(sum(vm).as("_s"), count(vm).as("_n"))
+      .select(col("grp"), col("m"), col("d"), col("h"),
+        ((col("_s") - pmod(col("_s"), col("_n"))) / col("_n")).cast("long")
+          .as("hist_avg_micro"))
+  }
 
   /** J5 left join with a range condition in the ON clause, null-sum coalesced
     * to 0 — the geomap panel

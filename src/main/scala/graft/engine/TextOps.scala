@@ -74,14 +74,24 @@ object TextOps {
     }
   }
 
-  /** Quality score: clamped linear blend of length, stopword ratio and token
-    * shape — deterministic arithmetic, mirrored 1:1 in the oracle. */
+  /** Quality score in integer milli-points [0, 1000]: clamped blend of
+    * length, stopword density and token shape. ALL-INTEGER arithmetic
+    * (floor divisions) — float blends of rounded ratios systematically land
+    * on rounding boundaries (e.g. ratio×1.5 → exact 7th-digit-5) where
+    * engines disagree by 1 ulp; integers are bit-exact everywhere. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val raw = lit(0.2) +
-      least(length(text).cast("double"), lit(500.0)) * 0.001 +
-      stopwordRatio(text, stopwords) * lit(1.5) -
-      abs(meanTokenLength(text) - lit(5.0)) * 0.05
-    round(least(lit(1.0), greatest(lit(0.0), raw)), 6)
+    val nTok = size(tokens(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val hits = stopwords.map(tokenOccurrences(text, _)).reduce(_ + _)
+    // exact integer division: strip the remainder first, then the double
+    // division is exact (multiples of b below 2^53)
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    // mean token length ×nTok == nChars - (nTok - 1) for single-space text
+    val meanDevX50 = abs(nChars - (nTok - lit(1)) - lit(5) * nTok) * lit(50)
+    val raw = lit(200L) + least(nChars, lit(500L)) +
+      intDiv(hits * lit(1500), nTok) - intDiv(meanDevX50, nTok)
+    least(lit(1000L), greatest(lit(0L), raw))
   }
 
   /** Exact content fingerprint (md5 — identical in DuckDB). */

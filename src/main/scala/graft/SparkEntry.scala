@@ -278,6 +278,14 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(documents(s, d), col("doc_id"), col("text"), 20)),
 
+    // near-dup CLUSTERS: connected components over minhash pairs + canonical
+    // member per cluster (the corpus-dedup endgame; rows-only — iterative)
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLshPairs(docs, col("doc_id"), col("text"), 0.1)
+      NearDup.dedupClusters(pairs, docs, col("doc_id"))
+        .filter(col("doc_id") =!= col("cluster")) // non-canonical members
+    }),
     // winnowing (rolling-hash) fingerprint pairs: shared-passage detection.
     // k=24 (~4-5 words) because this corpus's vocabulary is tiny — short
     // grams occur in every doc and would pair everything quadratically.

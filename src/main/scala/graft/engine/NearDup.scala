@@ -125,6 +125,49 @@ object NearDup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the near-dup
+    * pair graph (any of jaccard/minhash/simhash/embedding pairs), by
+    * iterative min-label propagation. Corpus dedup keeps ONE doc per
+    * component, not per pair — pairs alone under-dedup transitive chains
+    * (a~b, b~c ⇒ {a,b,c} is one cluster even if a≁c directly).
+    *
+    * Each iteration: one join + one aggregation; lineage is truncated with an
+    * eager localCheckpoint so the plan doesn't grow unboundedly. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow (dups of a
+    * common source), so maxIters=20 is generous. The driver-side loop is a
+    * fixpoint controller, not a data path: per round it moves zero rows to
+    * the driver beyond the 1-row convergence probe.
+    * Output: (doc_id, cluster) where cluster = min doc_id of the component. */
+  def dedupClusters(pairs: DataFrame, allDocs: DataFrame, id: Column,
+                    maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = allDocs.select(id.as("doc_id"))
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels,
+          edges("id2") === labels("doc_id"))
+        .groupBy(col("id1").as("doc_id"))
+        .agg(min(col("label")).as("_nl"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(
+          labels.withColumnRenamed("label", "_old"), "doc_id")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Keep the canonical member (min id) of every duplicate cluster. */
+  def canonicalByCluster(clusters: DataFrame): DataFrame =
+    clusters.filter(col("doc_id") === col("cluster")).select(col("doc_id"))
+
   /** Winnowing-fingerprint near-dup pairs: docs sharing >= minShared
     * fingerprints (see [[TextOps.winnowFingerprints]]). Substring-overlap
     * detection — complementary to set-based Jaccard: it fires on long shared

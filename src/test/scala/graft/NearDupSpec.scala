@@ -58,6 +58,19 @@ class NearDupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("dedupClusters: transitive chains collapse to one component") {
+    val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2, 2-3 plus pair 5-6; 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val clusters = NearDup.dedupClusters(pairs, ids, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L)
+    NearDup.canonicalByCluster(
+        NearDup.dedupClusters(pairs, ids, col("doc_id")))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L, 5L)
+  }
+
   test("simhash: identical texts → identical signature; near-dups → small hamming") {
     val sigs = NearDup.simhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

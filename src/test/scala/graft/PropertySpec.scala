@@ -81,6 +81,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnow guarantees a shared fingerprint for shared substrings >= k+w-1") {
+    val k = 8; val w = 4
+    val pieceGen = Gen.listOfN(30, Gen.alphaLowerChar).map(_.mkString)
+    val sharedGen = Gen.listOfN(k + w - 1, Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.zip(pieceGen, pieceGen, sharedGen, pieceGen, pieceGen)) {
+      case (a1, a2, shared, b1, b2) =>
+        val docA = a1 + shared + a2
+        val docB = b1 + shared + b2
+        val fpsA = graft.engine.TextOps.winnow(docA, k, w).toSet
+        val fpsB = graft.engine.TextOps.winnow(docB, k, w).toSet
+        fpsA.intersect(fpsB) should not be empty
+    }
+  }
+
   test("property: historicalFill preserves row count and non-null values") {
     val serGen = Gen.nonEmptyListOf(for {
       i <- Gen.choose(0, 200)

@@ -140,8 +140,12 @@ object NearDup {
     * Output: (doc_id, cluster) where cluster = min doc_id of the component. */
   def dedupClusters(pairs: DataFrame, allDocs: DataFrame, id: Column,
                     maxIters: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — its lineage is typically a whole
+    // near-dup pipeline (minhash etc.) that would otherwise recompute on
+    // every propagation round
     val edges = pairs.select(col("id1"), col("id2"))
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
     var labels = allDocs.select(id.as("doc_id"))
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var converged = false

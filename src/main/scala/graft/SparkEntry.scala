@@ -231,6 +231,22 @@ object SparkEntry {
           col("v"), "DEFAULT")
         .select(col("p_brand"), col("matched"))
     }),
+    // AS-OF join: each 'view' event enriched with the user's latest
+    // preceding 'click' (merge-style union+window — no range-join blowup);
+    // oracled against DuckDB's native ASOF JOIN
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 2).as("v"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          round(col("value"), 2).as("c_val"))
+      Joins.asofJoin(views, col("user_id"), col("ts"), clicks, col("c_uid"),
+          col("c_ts"), Seq("c_ts", "c_val"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"),
+          col("asof_c_ts"), col("asof_c_val"))
+    }),
     // J6 anti-join: dimension rows absent from a fact subset (customers with
     // no urgent orders — nonempty, unlike the unrestricted variant)
     "q_customers_no_orders" -> ((s, d) =>
@@ -707,6 +723,15 @@ object SparkEntry {
          SELECT p_brand, COALESCE(v, 'DEFAULT') AS matched FROM j
          QUALIFY ROW_NUMBER() OVER (
            PARTITION BY p_brand ORDER BY pri, length(k) DESC, k) = 1""",
+    "q_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id, round(value, 2) AS v
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id AS c_uid, ts AS c_ts, round(value, 2) AS c_val
+               FROM events WHERE event_type = 'click')
+         SELECT v.event_id, v.user_id, v.ts, v.v,
+           c.c_ts AS asof_c_ts, c.c_val AS asof_c_val
+         FROM v ASOF LEFT JOIN c
+           ON v.user_id = c.c_uid AND v.ts >= c.c_ts""",
     "q_customers_no_orders" ->
       """SELECT c_custkey FROM customer
          WHERE c_custkey NOT IN

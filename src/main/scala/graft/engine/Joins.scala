@@ -33,6 +33,39 @@ object Joins {
     l.join(broadcast(r), Seq("_nk"), how).drop("_nk")
   }
 
+  /** AS-OF join: for each left row, the LATEST right row with
+    * rTs <= left ts, per key — without a range join (which explodes
+    * quadratically per key) and without a per-key collect.
+    *
+    * Merge-style composition: union both sides tagged (right sorts before
+    * left at equal ts), then `last(right value, ignoreNulls)` over an
+    * ordered per-key window carries the most recent right values forward
+    * onto each left row. One shuffle on the key, O(n log n) per-key sort,
+    * linear output — the plan a native as-of operator would produce.
+    *
+    * `rightVals` are the right-side value columns to carry (left columns all
+    * pass through; carried columns get an `asof_` prefix). */
+  def asofJoin(left: DataFrame, lKey: Column, lTs: Column, right: DataFrame,
+               rKey: Column, rTs: Column, rightVals: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(
+      (lKey.as("_k") +: lTs.as("_ts") +: lit(1).as("_side") +:
+        lCols.map(c => col(c)) ++:
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))): _*)
+    val r = right.select(
+      (rKey.as("_k") +: rTs.as("_ts") +: lit(0).as("_side") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightVals.map(c => col(c).as(s"asof_$c"))): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_k", "_ts", "_side")
+  }
+
   /** Skew-mitigating equi-join (the manual fallback when AQE's skew-join
     * split isn't available or the skew is in a single key): the left (fact)
     * side salts its key into `salts` sub-keys using a deterministic hash of

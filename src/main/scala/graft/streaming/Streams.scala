@@ -39,6 +39,31 @@ object Streams {
     events.withWatermark(ts, lateness)
       .dropDuplicates(keys :+ ts)
 
+  /** Session windows: per-key activity sessions closed after `gap` of
+    * silence — the streaming shape of "collection sessions" (the reference's
+    * per-run batches become dynamic sessions). State per open session only. */
+  def sessionSumStream(events: DataFrame, ts: String, key: Column,
+                       value: Column, gap: String = "30 minutes",
+                       lateness: String = "2 hours"): DataFrame =
+    events.withWatermark(ts, lateness)
+      .groupBy(session_window(col(ts), gap).as("win"), key.as("grp"))
+      .agg(sum(value).as("total"), count(lit(1)).as("n"))
+      .select(col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("grp"), col("total"), col("n"))
+
+  /** Stream-stream interval join: each left event enriched with right events
+    * of the same key within [left.ts - tolerance, left.ts] — the streaming
+    * generation⋈weather overlay. Both sides watermarked so join state is
+    * evicted past the horizon. Column names must be distinct across sides. */
+  def intervalJoinStreams(left: DataFrame, lKey: String, lTs: String,
+                          right: DataFrame, rKey: String, rTs: String,
+                          tolerance: String = "1 hour",
+                          lateness: String = "2 hours"): DataFrame =
+    left.withWatermark(lTs, lateness).join(
+      right.withWatermark(rTs, lateness),
+      expr(s"$lKey = $rKey AND $rTs BETWEEN $lTs - INTERVAL '$tolerance' " +
+        s"AND $lTs"))
+
   case class KeyProgress(grp: String, lastTs: Timestamp, hoursSeen: Int,
                          lastDay: String)
   // state = (lastTsMs, hourMask, day) — a flat tuple keeps the state encoder

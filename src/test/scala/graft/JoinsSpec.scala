@@ -34,6 +34,21 @@ class JoinsSpec extends SparkSpec {
       .head().getString(0) shouldBe "solarpv"
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val quotes = Seq(("a", t(1), 100.0), ("a", t(5), 105.0), ("b", t(2), 50.0))
+      .toDF("q_sym", "q_ts", "px")
+    val trades = Seq(("a", t(0), 1L), ("a", t(3), 2L), ("a", t(5), 3L),
+      ("b", t(10), 4L)).toDF("sym", "ts", "trade_id")
+    val out = Joins.asofJoin(trades, col("sym"), col("ts"), quotes,
+        col("q_sym"), col("q_ts"), Seq("px"))
+      .orderBy("trade_id").collect()
+    out(0).isNullAt(out(0).fieldIndex("asof_px")) shouldBe true // before any quote
+    out(1).getDouble(out(1).fieldIndex("asof_px")) shouldBe 100.0
+    out(2).getDouble(out(2).fieldIndex("asof_px")) shouldBe 105.0 // equal-ts quote visible
+    out(3).getDouble(out(3).fieldIndex("asof_px")) shouldBe 50.0  // per-key isolation
+  }
+
   test("saltedJoin == plain join on skewed data") {
     // 90% of fact rows share one key — the classic hot-key shape
     val fact = (1 to 200).map(i =>

@@ -46,6 +46,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionSumStream: gap-separated sessions close independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.sessionSumStream(mem.toDF().toDF("ts", "k", "v"), "ts",
+      col("k"), col("v"), gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two bursts 30 min apart → two sessions; then advance the watermark
+      mem.addData((t("2024-01-01 10:00:00"), "a", 1.0),
+        (t("2024-01-01 10:05:00"), "a", 2.0),
+        (t("2024-01-01 10:40:00"), "a", 4.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 15:00:00"), "a", 0.5))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sessions ORDER BY session_start")
+        .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
+      rows.take(2) shouldBe Array(("a", 3.0, 2L), ("a", 4.0, 1L))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams: right events within tolerance enrich left") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = MemoryStream[(Timestamp, String, Double)]
+    val wx = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.intervalJoinStreams(
+      gen.toDF().toDF("g_ts", "g_plant", "g_mw"), "g_plant", "g_ts",
+      wx.toDF().toDF("w_ts", "w_station", "w_temp"), "w_station", "w_ts")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      wx.addData((t("2024-01-01 09:30:00"), "p1", 21.5))
+      gen.addData((t("2024-01-01 10:00:00"), "p1", 5.0))  // within 1h → joins
+      gen.addData((t("2024-01-01 12:00:00"), "p1", 6.0))  // no recent weather
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT g_mw, w_temp FROM enriched").collect()
+      rows.map(r => (r.getDouble(0), r.getDouble(1))).toSet shouldBe
+        Set((5.0, 21.5))
+    } finally q.stop()
+  }
+
   test("resumeTracker: per-key watermark + hour coverage, day rollover resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

@@ -83,19 +83,22 @@ object Similarity {
     val rbits = bits / bands
     val planes = hyperplanes(bits, 64)
     val mask = (1L << rbits) - 1
-    val banded = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    // bucket-join on IDS ONLY (vectors are ~0.5 KB each — carrying them
+    // through the bucket shuffle dominates cost); re-attach for the rerank
+    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    val banded = vecs
       .withColumn("sig", signature(col("cv"), planes))
-      .select(col("cid"), col("cv"), posexplode(array(
+      .select(col("cid"), posexplode(array(
         (0 until bands).map(j =>
           shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"),
-      col("cv").as("v1"))
-    val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"),
-      col("cv").as("v2"))
+    val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"))
+    val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
+      .join(vecs.select(col("cid").as("id1"), col("cv").as("v1")), "id1")
+      .join(vecs.select(col("cid").as("id2"), col("cv").as("v2")), "id2")
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= tau)
@@ -128,19 +131,24 @@ object Similarity {
     val rbits = bits / bands
     val planes = hyperplanes(bits, 64)
     val mask = (1L << rbits) - 1
-    val signed = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    val banded = vecs
       .withColumn("sig", signature(col("cv"), planes))
-    val banded = signed.select(col("cid"), col("cv"), posexplode(array(
-      (0 until bands).map(j =>
-        shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
-      .as(Seq("band", "chunk")))
+      .select(col("cid"), posexplode(array(
+        (0 until bands).map(j =>
+          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "chunk")))
+    // query side is tiny: carry its vector in the broadcast; corpus vectors
+    // join back only for surviving candidates
     val queries = banded.filter(col("cid").isin(queryIds: _*))
+      .join(vecs, "cid")
       .select(col("cid").as("qid"), col("cv").as("qv"),
         col("band"), col("chunk"))
     val candidates = banded.join(broadcast(queries), Seq("band", "chunk"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .select(col("qid"), col("cid"), col("qv"))
       .dropDuplicates("qid", "cid")
+      .join(vecs, "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     candidates

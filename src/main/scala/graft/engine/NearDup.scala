@@ -41,11 +41,17 @@ object NearDup {
     // per-doc set size from the array — narrow, no second explode+shuffle
     val sizes = docs.select(id.as("doc_id"),
       size(TextOps.shingleArray(text, n)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // ONE shuffle on the shingle hash, then emit ordered doc pairs per
+    // posting list (lists are short — a shingle shared by m docs emits
+    // m(m-1)/2 pairs) — cheaper than the equivalent two-sided self-join
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id1")

@@ -198,7 +198,11 @@ object SparkEntry {
         Normalize.cleanSpec(concat(col("p_brand"), lit(" x"), col("p_size")))
           .as("spec_num"),
         Normalize.zeroPad2(col("p_size") % 24).as("padded"),
-        Normalize.extractDigits(col("p_brand")).as("brand_digits"))),
+        Normalize.extractDigits(col("p_brand")).as("brand_digits"),
+        Normalize.extractCity(col("p_type"),
+          Seq("BRASS", "COPPER", "NICKEL", "STEEL", "TIN")).as("city_like"),
+        Normalize.sanitizeFilename(concat(col("p_name"), lit("/:*?"),
+          col("p_brand"))).as("safe_name"))),
     "q_prev_month_range" -> ((s, d) =>
       orders(s, d).select(
         Normalize.prevMonthStart(col("o_orderdate")).as("m_start"),
@@ -678,7 +682,11 @@ object SparkEntry {
          CAST(regexp_extract(p_brand || ' x' || CAST(p_size AS VARCHAR),
            '(\d+\.?\d*)', 1) AS DOUBLE) AS spec_num,
          lpad(CAST(p_size % 24 AS VARCHAR), 2, '0') AS padded,
-         regexp_extract(p_brand, '(\d+)', 1) AS brand_digits
+         regexp_extract(p_brand, '(\d+)', 1) AS brand_digits,
+         regexp_extract(p_type, '(BRASS|COPPER|NICKEL|STEEL|TIN)', 1)
+           AS city_like,
+         regexp_replace(p_name || '/:*?' || p_brand, '[^\w\-.가-힣 ]+', '', 'g')
+           AS safe_name
          FROM part""",
     "q_prev_month_range" ->
       """SELECT DISTINCT

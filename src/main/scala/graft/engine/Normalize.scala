@@ -41,4 +41,15 @@ object Normalize {
     * fetch_data/common/date_utils.py:27-34). */
   def prevMonthStart(d: Column): Column = trunc(add_months(d, -1), "MM")
   def prevMonthEnd(d: Column): Column = last_day(add_months(d, -1))
+
+  /** City/region extraction via an alternation regex over an address-ish
+    * string (pv_test/init_db.py:84-96). First match wins; empty when none. */
+  def extractCity(c: Column, cities: Seq[String]): Column =
+    regexp_extract(c, "(" + cities.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")", 1)
+
+  /** Filename sanitize: strip everything outside word chars, dash, dot,
+    * space and Hangul (namdong_collect_pv.py:42-46). */
+  def sanitizeFilename(c: Column): Column =
+    regexp_replace(c, "[^\\w\\-.가-힣 ]+", "")
 }

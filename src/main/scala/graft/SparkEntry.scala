@@ -402,6 +402,14 @@ object SparkEntry {
     "q_daily_stats_window" -> ((s, d) =>
       Analytics.dailyStatsWindow(events(s, d), col("event_type"), col("ts"),
         col("value"))),
+    // P11 sliding recency window as a per-row RANGE-frame rolling aggregate
+    "q_rolling_window" -> ((s, d) =>
+      Analytics.rollingByKey(events(s, d), col("event_type"), col("ts"),
+        col("value"), days = 7)),
+    // lag-based per-key delta (explicit total order)
+    "q_delta_lag" -> ((s, d) =>
+      Analytics.deltaVsPrev(events(s, d), col("event_type"), col("ts"),
+        col("event_id"), col("value"))),
     // W7 conditional suffix by group property (namdong_merge_pv_data.py:93-104)
     "q_suffix_multi_unit" -> ((s, d) =>
       Analytics.suffixWhenMultiUnit(
@@ -744,6 +752,20 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    "q_rolling_window" ->
+      """SELECT event_type AS grp, ts,
+         round(SUM(value) OVER w, 2) AS rolling_total,
+         COUNT(value) OVER w AS rolling_n
+         FROM events
+         WINDOW w AS (PARTITION BY event_type
+                      ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+    "q_delta_lag" ->
+      """SELECT event_type AS grp, ts, event_id AS id,
+         round(value, 2) AS v,
+         round(value - LAG(value, 1) OVER (PARTITION BY event_type
+           ORDER BY ts, event_id), 2) AS delta
+         FROM events""",
     "q_suffix_multi_unit" ->
       """SELECT p.p_partkey,
          CASE WHEN b.n_units > 1

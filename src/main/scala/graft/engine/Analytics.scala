@@ -116,6 +116,33 @@ object Analytics {
       round(min(value).over(w), 6).as("daily_min"))
   }
 
+  /** P11-style sliding window as a per-row analytic: rolling sum/count over
+    * the trailing `days` window per key (RANGE frame on epoch seconds — both
+    * engines truncate timestamps to seconds identically, so peer groups
+    * agree). The stat-panel "last 30 days" filter generalized to every row. */
+  def rollingByKey(df: DataFrame, key: Column, ts: Column, value: Column,
+                   days: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("_sec"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    df.select(key.as("grp"), ts.as("ts"), value.as("v"))
+      .withColumn("_sec", col("ts").cast("long"))
+      .select(col("grp"), col("ts"),
+        round(sum(col("v")).over(w), 2).as("rolling_total"),
+        count(col("v")).over(w).as("rolling_n"))
+  }
+
+  /** Per-key delta vs the previous event (lag) — the change-over-time
+    * derivative every monitoring dashboard wants; explicit (ts, id) total
+    * order for determinism. */
+  def deltaVsPrev(df: DataFrame, key: Column, ts: Column, id: Column,
+                  value: Column): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("ts"), col("id"))
+    df.select(key.as("grp"), ts.as("ts"), id.as("id"), value.as("v"))
+      .select(col("grp"), col("ts"), col("id"),
+        round(col("v"), 2).as("v"),
+        round(col("v") - lag(col("v"), 1).over(w), 2).as("delta"))
+  }
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

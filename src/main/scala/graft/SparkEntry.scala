@@ -753,13 +753,18 @@ object SparkEntry {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
     "q_rolling_window" ->
-      """SELECT event_type AS grp, ts,
-         round(SUM(value) OVER w, 2) AS rolling_total,
-         COUNT(value) OVER w AS rolling_n
-         FROM events
-         WINDOW w AS (PARTITION BY event_type
-                      ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
-                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+      """WITH daily AS (
+           SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             SUM(value) AS dv, COUNT(*) AS dn
+           FROM events GROUP BY 1, 2)
+         SELECT grp, day,
+           round(SUM(dv) OVER w, 2) AS rolling_total,
+           CAST(SUM(dn) OVER w AS BIGINT) AS rolling_n
+         FROM daily
+         WINDOW w AS (PARTITION BY grp
+                      ORDER BY CAST(floor(date_part('epoch',
+                        CAST(day AS TIMESTAMP))) AS BIGINT)
+                      RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""",
     "q_delta_lag" ->
       """SELECT event_type AS grp, ts, event_id AS id,
          round(value, 2) AS v,

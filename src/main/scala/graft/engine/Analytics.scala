@@ -116,19 +116,22 @@ object Analytics {
       round(min(value).over(w), 6).as("daily_min"))
   }
 
-  /** P11-style sliding window as a per-row analytic: rolling sum/count over
-    * the trailing `days` window per key (RANGE frame on epoch seconds — both
-    * engines truncate timestamps to seconds identically, so peer groups
-    * agree). The stat-panel "last 30 days" filter generalized to every row. */
+  /** P11-style sliding window: trailing `days`-day rolling sum/count per key,
+    * at day granularity (the dashboard "last N days" series). TWO-LEVEL by
+    * design: daily partial aggregation first, then a RANGE frame over day
+    * epochs — the frame holds <= days rows. A per-event frame would be
+    * O(rows × frame) because Spark re-evaluates bounded sliding frames per
+    * row (no aggregate retraction) — measured 17s vs <1s at sf0.1. */
   def rollingByKey(df: DataFrame, key: Column, ts: Column, value: Column,
                    days: Int): DataFrame = {
+    val daily = df.groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(value).as("_dv"), count(lit(1)).as("_dn"))
     val w = Window.partitionBy(col("grp")).orderBy(col("_sec"))
-      .rangeBetween(-days.toLong * 86400L, 0L)
-    df.select(key.as("grp"), ts.as("ts"), value.as("v"))
-      .withColumn("_sec", col("ts").cast("long"))
-      .select(col("grp"), col("ts"),
-        round(sum(col("v")).over(w), 2).as("rolling_total"),
-        count(col("v")).over(w).as("rolling_n"))
+      .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
+    daily.withColumn("_sec", col("day").cast("timestamp").cast("long"))
+      .select(col("grp"), col("day"),
+        round(sum(col("_dv")).over(w), 2).as("rolling_total"),
+        sum(col("_dn")).over(w).as("rolling_n"))
   }
 
   /** Per-key delta vs the previous event (lag) — the change-over-time

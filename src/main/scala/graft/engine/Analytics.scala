@@ -116,6 +116,15 @@ object Analytics {
       round(min(value).over(w), 6).as("daily_min"))
   }
 
+  /** A8 at scale: approximate distinct counts (HLL++). The reference's exact
+    * `COUNT(DISTINCT plant_name)` is fine at dim cardinality; for billions of
+    * user-ids a 100 TB dashboard uses the sketch (bounded memory, one pass,
+    * mergeable across partitions) — exact stays the oracle-able default. */
+  def approxDistinctByGroup(df: DataFrame, key: Column, counted: Column,
+                            rsd: Double = 0.02): DataFrame =
+    df.groupBy(key.as("grp"))
+      .agg(approx_count_distinct(counted, rsd).as("approx_n"))
+
   /** P11-style sliding window: trailing `days`-day rolling sum/count per key,
     * at day granularity (the dashboard "last N days" series). TWO-LEVEL by
     * design: daily partial aggregation first, then a RANGE frame over day

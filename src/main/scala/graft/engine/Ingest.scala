@@ -28,18 +28,29 @@ object Ingest {
     val sample: Array[Byte] =
       if (Files.isDirectory(f)) {
         // directory of part files: probe the first regular file
-        val first = Files.list(f).filter(p => Files.isRegularFile(p))
-          .sorted().findFirst()
-        if (first.isPresent) readHead(first.get, probeBytes) else Array.empty
+        val stream = Files.list(f)
+        try {
+          val first = stream.filter(p => Files.isRegularFile(p))
+            .sorted().findFirst()
+          if (first.isPresent) readHead(first.get, probeBytes) else Array.empty
+        } finally stream.close()
       } else readHead(f, probeBytes)
-    charsets.find { cs =>
+    val truncated = sample.length == probeBytes
+    def decodes(cs: String, bytes: Array[Byte]): Boolean =
       try {
         val dec = Charset.forName(cs).newDecoder()
           .onMalformedInput(CodingErrorAction.REPORT)
           .onUnmappableCharacter(CodingErrorAction.REPORT)
-        dec.decode(java.nio.ByteBuffer.wrap(sample))
+        dec.decode(java.nio.ByteBuffer.wrap(bytes))
         true
       } catch { case _: Exception => false }
+    charsets.find { cs =>
+      decodes(cs, sample) ||
+        // a fixed-size probe can cut a multibyte sequence at the buffer
+        // edge — retry with up to 3 trailing bytes trimmed (max UTF-8/
+        // EUC sequence length) before rejecting the charset
+        (truncated && (1 to 3).exists(k =>
+          sample.length > k && decodes(cs, sample.dropRight(k))))
     }.getOrElse(charsets.last)
   }
 
@@ -54,6 +65,9 @@ object Ingest {
     val cs = detectCharset(path, charsets)
     // Spark 4 restricts CSV charsets to a short allowlist unless the legacy
     // flag is on — the multi-encoding fallback is the whole point here (S1).
+    // Deliberately NOT restored: the returned DataFrame is lazy and its scan
+    // re-reads this conf at every action, so a save/restore here would make
+    // later executions fail. The flag only re-allows JVM charsets.
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val df = spark.read
       .option("header", "true")

@@ -48,22 +48,27 @@ object Joins {
   def asofJoin(left: DataFrame, lKey: Column, lTs: Column, right: DataFrame,
                rKey: Column, rTs: Column, rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns
+    // carry the matched right ROW as one struct — per-column last(ignoreNulls)
+    // would look past a genuinely-NULL right value to an older row, stitching
+    // fields from different right rows together
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val l = left.select(
       (lKey.as("_k") +: lTs.as("_ts") +: lit(1).as("_side") +:
-        lCols.map(c => col(c)) ++:
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))): _*)
+        lit(null).cast(rStructType).as("_rrow") +:
+        lCols.map(c => col(c))): _*)
     val r = right.select(
       (rKey.as("_k") +: rTs.as("_ts") +: lit(0).as("_side") +:
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightVals.map(c => col(c).as(s"asof_$c"))): _*)
+        struct(rightVals.map(c => col(c).as(c)): _*).as("_rrow") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_k", "_ts", "_side")
+    l.unionByName(r)
+      .withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(lCols.map(col) ++
+        rightVals.map(c => col(s"_rrow.$c").as(s"asof_$c")): _*)
   }
 
   /** Skew-mitigating equi-join (the manual fallback when AQE's skew-join

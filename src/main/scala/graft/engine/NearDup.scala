@@ -26,6 +26,30 @@ object NearDup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Hashed shingle postings + per-doc set sizes (shared by the exact and
+    * LSH paths — one definition so collision/rounding policy can't drift). */
+  private def hashedShinglesAndSizes(docs: DataFrame, id: Column, text: Column,
+                                     n: Int): (DataFrame, DataFrame) = {
+    val sh = TextOps.shingles(docs, id, text, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = docs.select(id.as("doc_id"),
+      size(TextOps.shingleArray(text, n)).as("n_sh"))
+    (sh, sizes)
+  }
+
+  /** (id1, id2, n_inter) -> verified jaccard pairs >= tau. */
+  private def jaccardFromInter(inter: DataFrame, sizes: DataFrame,
+                               tau: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
   /** Exact n-gram (shingle) Jaccard pairs with similarity >= tau.
     * Pairs only form between docs sharing >= 1 shingle (the shingle join is
     * the blocker), so this is corpus-feasible only when shingles are
@@ -36,11 +60,7 @@ object NearDup {
     // intersection count is unchanged (per-doc shingles are pre-distinct;
     // cross-shingle 64-bit collisions are ~1e-7 at corpus scale) and the
     // self-join shuffle moves ~3× fewer bytes.
-    val sh = TextOps.shingles(docs, id, text, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    // per-doc set size from the array — narrow, no second explode+shuffle
-    val sizes = docs.select(id.as("doc_id"),
-      size(TextOps.shingleArray(text, n)).as("n_sh"))
+    val (sh, sizes) = hashedShinglesAndSizes(docs, id, text, n)
     // ONE shuffle on the shingle hash, then emit ordered doc pairs per
     // posting list (lists are short — a shingle shared by m docs emits
     // m(m-1)/2 pairs) — cheaper than the equivalent two-sided self-join
@@ -53,15 +73,7 @@ object NearDup {
       .select(col("p.id1"), col("p.id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n_sh", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n_sh", "n2"), "id2")
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("n1") + col("n2") - col("n_inter")), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    jaccardFromInter(inter, sizes, tau)
   }
 
   /** MinHash signatures: k independent min-hashes per doc over its shingle
@@ -109,10 +121,7 @@ object NearDup {
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
       .distinct()
     // exact verification of candidates only (hashed shingles, as above)
-    val sh = TextOps.shingles(docs, id, text, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = docs.select(id.as("doc_id"),
-      size(TextOps.shingleArray(text, n)).as("n_sh"))
+    val (sh, sizes) = hashedShinglesAndSizes(docs, id, text, n)
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("shingle", "s1"), "id1")
@@ -120,15 +129,7 @@ object NearDup {
         .withColumnRenamed("shingle", "s2"), "id2")
       .filter(col("s1") === col("s2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n_sh", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n_sh", "n2"), "id2")
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("n1") + col("n2") - col("n_inter")), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    jaccardFromInter(inter, sizes, tau)
   }
 
   /** Duplicate-cluster assignment: connected components over the near-dup
@@ -171,6 +172,10 @@ object NearDup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] dedupClusters: NOT converged after " +
+        s"$maxIters iterations — components with diameter > $maxIters " +
+        "carry split labels; raise maxIters")
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -78,20 +78,10 @@ object Similarity {
     * cross-join), then exact cosine rerank with threshold tau.
     * Recall < 1 by design; measured against [[cosinePairs]] in specs. */
   def lshCosinePairs(emb: DataFrame, id: Column, vec: Column, tau: Double,
-                     bits: Int = 16, bands: Int = 4): DataFrame = {
-    require(bits % bands == 0, "bits must divide into bands")
-    val rbits = bits / bands
-    val planes = hyperplanes(bits, 64)
-    val mask = (1L << rbits) - 1
+                     bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     // bucket-join on IDS ONLY (vectors are ~0.5 KB each — carrying them
     // through the bucket shuffle dominates cost); re-attach for the rerank
-    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
-    val banded = vecs
-      .withColumn("sig", signature(col("cv"), planes))
-      .select(col("cid"), posexplode(array(
-        (0 until bands).map(j =>
-          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
-        .as(Seq("band", "chunk")))
+    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands, dim)
     val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"))
     val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"))
     l.join(r, Seq("band", "chunk"))
@@ -102,6 +92,27 @@ object Similarity {
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  /** Shared banding stage for both LSH paths: (vectors as (cid, cv),
+    * banded signature chunks as (cid, band, chunk)). `dim` MUST match the
+    * embedding dimension — shorter planes zero every signature and collapse
+    * all buckets into one (quadratic blowup). */
+  private def bandedSignatures(emb: DataFrame, id: Column, vec: Column,
+                               bits: Int, bands: Int,
+                               dim: Int): (DataFrame, DataFrame) = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val rbits = bits / bands
+    val planes = hyperplanes(bits, dim)
+    val mask = (1L << rbits) - 1
+    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+    val banded = vecs
+      .withColumn("sig", signature(col("cv"), planes))
+      .select(col("cid"), posexplode(array(
+        (0 until bands).map(j =>
+          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "chunk")))
+    (vecs, banded)
   }
 
   /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
@@ -126,18 +137,8 @@ object Similarity {
     * see SimilaritySpec for the measured recall floor. */
   def lshCosineTopK(emb: DataFrame, id: Column, vec: Column,
                     queryIds: Seq[Long], k: Int, bits: Int = 16,
-                    bands: Int = 4): DataFrame = {
-    require(bits % bands == 0, "bits must divide into bands")
-    val rbits = bits / bands
-    val planes = hyperplanes(bits, 64)
-    val mask = (1L << rbits) - 1
-    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
-    val banded = vecs
-      .withColumn("sig", signature(col("cv"), planes))
-      .select(col("cid"), posexplode(array(
-        (0 until bands).map(j =>
-          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
-        .as(Seq("band", "chunk")))
+                    bands: Int = 4, dim: Int = 64): DataFrame = {
+    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands, dim)
     // query side is tiny: carry its vector in the broadcast; corpus vectors
     // join back only for surviving candidates
     val queries = banded.filter(col("cid").isin(queryIds: _*))

@@ -56,11 +56,20 @@ object Sink {
     val tmp = path + "._staged"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     // atomic-ish swap (single-FS rename; object stores would commit via
-    // a metastore pointer instead)
+    // a metastore pointer instead) — every rename is CHECKED: an ignored
+    // renameTo failure followed by delete(bak) would destroy the only copy
     val tmpFile = new java.io.File(tmp)
     val bak = new java.io.File(path + "._old")
-    if (target.exists()) { delete(bak); target.renameTo(bak) }
-    tmpFile.renameTo(target)
+    if (target.exists()) {
+      delete(bak)
+      if (!target.renameTo(bak))
+        throw new java.io.IOException(s"upsertParquet: cannot stage $path aside")
+    }
+    if (!tmpFile.renameTo(target)) {
+      // restore the backup before failing — the table must survive
+      if (bak.exists()) bak.renameTo(target)
+      throw new java.io.IOException(s"upsertParquet: swap into $path failed")
+    }
     delete(bak)
   }
 
@@ -92,8 +101,13 @@ object Sink {
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(path)
     val bak = new java.io.File(path + "._old")
-    delete(bak); target.renameTo(bak)
-    new java.io.File(tmp).renameTo(target)
+    delete(bak)
+    if (!target.renameTo(bak))
+      throw new java.io.IOException(s"compact: cannot stage $path aside")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      if (bak.exists()) bak.renameTo(target)
+      throw new java.io.IOException(s"compact: swap into $path failed")
+    }
     delete(bak)
   }
 

@@ -88,8 +88,12 @@ object Streams {
           var (lastTsMs, hourMask, day) =
             state.getOption.getOrElse((Long.MinValue, 0, ""))
           rows.foreach { case (_, t) =>
-            val d = t.toString.substring(0, 10)
-            val hour = t.toLocalDateTime.getHour
+            // pure UTC epoch math — Timestamp.toString/toLocalDateTime use
+            // the JVM default zone and would diverge from the UTC session
+            val sec = Math.floorDiv(t.getTime, 1000L)
+            val d = java.time.LocalDate
+              .ofEpochDay(Math.floorDiv(sec, 86400L)).toString
+            val hour = (Math.floorMod(sec, 86400L) / 3600L).toInt
             lastTsMs = math.max(lastTsMs, t.getTime)
             if (d > day) { day = d; hourMask = 1 << hour }
             else if (d == day) hourMask |= (1 << hour)

@@ -32,6 +32,18 @@ class ExpressionSpec extends SparkSpec {
     out(2).getDouble(0).isNaN shouldBe true // 0/0 — same as the HOF path
   }
 
+  test("null ELEMENT nulls the result (matches HOF propagation)") {
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    df.select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .head() match {
+      case r =>
+        r.isNullAt(0) shouldBe true
+        r.isNullAt(1) shouldBe true
+    }
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     GraftExtensions.registerOn(spark)
     spark.sql("SELECT graft_cosine(array(0.0d, 3.0d), array(0.0d, 6.0d)) AS c")

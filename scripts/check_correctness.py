@@ -45,6 +45,15 @@ def main():
     names = [d for d in os.listdir(out_dir)
              if os.path.isdir(os.path.join(out_dir, d))]
     passed, failed, no_oracle = [], [], []
+    # graft.Verify swallows per-query exceptions — a crashed query produces
+    # no output dir. Fail on any expected query that is missing, instead of
+    # silently dropping it from the comparison.
+    expected = set(oracles)
+    manifest = f"{out_dir}/query_names.json"
+    if os.path.exists(manifest):
+        expected |= set(json.load(open(manifest)))
+    for name in sorted(expected - set(names)):
+        failed.append((name, "no output dir — query crashed in graft.Verify"))
     for name in sorted(names):
         spark_df = duckdb.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()

@@ -39,7 +39,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for the driver's parser: also drop the JSON in a known
+    // file, immune to any logger prefixes on stdout
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write /tmp/graft_bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.engine.expressions.CosineSimilarity
+import graft.engine.expressions.{CosineSimilarity, HammingDistance, SrpSignature}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are usable from SQL and `call_function`.
@@ -13,11 +13,33 @@ import graft.engine.expressions.CosineSimilarity
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 object GraftExtensions {
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
+  private[graft] def buildSrp(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): SrpSignature = {
+    require(exprs.length == 3, "graft_srp_signature(vec, bits, dim)")
+    SrpSignature(exprs.head, litInt(exprs(1), "bits"), litInt(exprs(2), "dim"))
+  }
+
   /** Runtime registration for sessions built without the extension. */
-  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
-      spark, "graft_cosine",
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    bridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "graft_hamming",
+      exprs => HammingDistance(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -29,5 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_cosine(a, b) takes two arrays")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_hamming(a, b) takes two long arrays")
+        HammingDistance(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_signature"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
+      GraftExtensions.buildSrp _))
   }
 }

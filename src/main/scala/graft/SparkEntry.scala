@@ -440,11 +440,16 @@ object SparkEntry {
          COUNT(DISTINCT EXTRACT(hour FROM ts)) AS n_hours
          FROM events GROUP BY 1 HAVING COUNT(DISTINCT EXTRACT(hour FROM ts)) >= 24""",
     "q_hist_mean_mdh" ->
-      """SELECT event_type AS grp, CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
-         CAST(EXTRACT(day FROM ts) AS BIGINT) AS d, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
-         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
-           // COUNT(value) AS BIGINT) AS hist_avg_micro
-         FROM events GROUP BY 1, 2, 3, 4""",
+      """WITH g AS (
+           SELECT event_type AS grp, CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+             CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s,
+             COUNT(value) AS n
+           FROM events GROUP BY 1, 2, 3, 4)
+         SELECT grp, m, d, h,
+           CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS hist_avg_micro
+         FROM g""",
     "q_global_stats" ->
       """SELECT round(AVG(value), 6) AS mean_v,
          round(STDDEV_SAMP(value), 6) AS std_v,
@@ -762,9 +767,8 @@ object SparkEntry {
            CAST(SUM(dn) OVER w AS BIGINT) AS rolling_n
          FROM daily
          WINDOW w AS (PARTITION BY grp
-                      ORDER BY CAST(floor(date_part('epoch',
-                        CAST(day AS TIMESTAMP))) AS BIGINT)
-                      RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""",
+                      ORDER BY date_diff('day', DATE '1970-01-01', day)
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "q_delta_lag" ->
       """SELECT event_type AS grp, ts, event_id AS id,
          round(value, 2) AS v,

@@ -135,9 +135,12 @@ object Analytics {
                    days: Int): DataFrame = {
     val daily = df.groupBy(key.as("grp"), to_date(ts).as("day"))
       .agg(sum(value).as("_dv"), count(lit(1)).as("_dn"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("_sec"))
-      .rangeBetween(-(days.toLong - 1) * 86400L, 0L)
-    daily.withColumn("_sec", col("day").cast("timestamp").cast("long"))
+    // day index via datediff, NOT day.cast(timestamp).cast(long): epoch
+    // seconds depend on the session TZ, and in a DST zone day deltas are not
+    // always multiples of 86400 s, shifting the RANGE frame boundary
+    val w = Window.partitionBy(col("grp")).orderBy(col("_dayIdx"))
+      .rangeBetween(-(days.toLong - 1), 0L)
+    daily.withColumn("_dayIdx", datediff(col("day"), lit("1970-01-01")).cast("long"))
       .select(col("grp"), col("day"),
         round(sum(col("_dv")).over(w), 2).as("rolling_total"),
         sum(col("_dn")).over(w).as("rolling_n"))

@@ -6,9 +6,12 @@ import java.nio.file.{Files, Paths}
 
 /** §2.1 scan-side helpers.
   *
-  * S1 — the reference's multi-encoding CSV reader: try cp949 → euc-kr →
-  * utf-8-sig → utf-8 until one decodes, plus header-whitespace normalization
-  * (fetch_data/pv/namdong_merge_pv_data.py:25-49, normalize_columns :13-22).
+  * S1 — the reference's multi-encoding CSV reader (which probes cp949 →
+  * euc-kr → utf-8; see fetch_data/pv/namdong_merge_pv_data.py:25-49,
+  * normalize_columns :13-22). We probe UTF-8 FIRST ([[defaultCharsets]]):
+  * UTF-8 is a strict decoder, so valid cp949/euc-kr bytes virtually never
+  * pass it, while the reverse misdetection is common — plus header-
+  * whitespace normalization.
   *
   * Charset detection is a driver-side strict-decode probe of the file head
   * (cheap, one small read); the actual scan is a normal distributed
@@ -65,10 +68,16 @@ object Ingest {
     val cs = detectCharset(path, charsets)
     // Spark 4 restricts CSV charsets to a short allowlist unless the legacy
     // flag is on — the multi-encoding fallback is the whole point here (S1).
-    // Deliberately NOT restored: the returned DataFrame is lazy and its scan
-    // re-reads this conf at every action, so a save/restore here would make
-    // later executions fail. The flag only re-allows JVM charsets.
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    // Set ONLY when the winning charset needs it (UTF-8 and friends don't),
+    // so UTF-8-only sessions are untouched. Deliberately NOT restored after:
+    // the returned DataFrame is lazy and its scan re-reads this conf at every
+    // action, so a save/restore here would make later executions fail.
+    // Callers reading non-allowlist charsets must keep it set for the
+    // lifetime of those scans. The flag only re-allows JVM charsets.
+    val nativeAllowlist = Set("US-ASCII", "ISO-8859-1", "UTF-8",
+      "UTF-16BE", "UTF-16LE", "UTF-16", "UTF-32")
+    if (!nativeAllowlist.contains(cs.toUpperCase(java.util.Locale.ROOT)))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val df = spark.read
       .option("header", "true")
       .option("charset", cs)

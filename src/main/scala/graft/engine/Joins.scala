@@ -76,11 +76,17 @@ object Joins {
     * side salts its key into `salts` sub-keys using a deterministic hash of
     * `saltSrc` (any well-distributed fact column, e.g. the row id); the right
     * side is exploded across all salt values. The hot key's rows spread over
-    * `salts` reducers instead of one. Result == plain equi-join, bit-exact.
+    * `salts` reducers instead of one. Result == plain equi-join, bit-exact
+    * for inner/left ONLY (enforced): a right/full join would emit each
+    * unmatched right row once per salt value.
     * Right side grows ×salts — use for dim-sized right sides only. */
   def saltedJoin(left: DataFrame, leftKey: Column, saltSrc: Column,
                  right: DataFrame, rightKey: Column, salts: Int,
                  how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left" || how == "left_outer" ||
+      how == "leftouter",
+      s"saltedJoin supports inner/left only (got '$how'): right/full would " +
+        "duplicate unmatched right rows once per salt")
     val l = left.withColumn("_salt",
       pmod(xxhash64(saltSrc), lit(salts)).cast("int"))
     val r = right.withColumn("_salt",

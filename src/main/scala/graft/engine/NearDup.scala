@@ -52,10 +52,17 @@ object NearDup {
 
   /** Exact n-gram (shingle) Jaccard pairs with similarity >= tau.
     * Pairs only form between docs sharing >= 1 shingle (the shingle join is
-    * the blocker), so this is corpus-feasible only when shingles are
-    * selective — which is exactly when near-dup detection is meaningful. */
+    * the blocker). `maxDf` caps the document frequency of a shingle: a
+    * shingle shared by m docs emits m(m-1)/2 pairs, so ONE stop-shingle in a
+    * real corpus makes this quadratic. Posting lists longer than maxDf are
+    * dropped (hot shingles carry no near-dup signal — they're corpus
+    * boilerplate); the drop count is published as the observable metric
+    * `jaccard_df_cap.n_dropped_shingles` (read it via a QueryExecutionListener
+    * or `Observation`). With the cap this is corpus-safe; results stay EXACT
+    * whenever maxDf exceeds the corpus's true max shingle df (the testdata
+    * oracle case). */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, maxDf: Int = 100000): DataFrame = {
     // join/shuffle on the 8-byte shingle hash, not the shingle string — the
     // intersection count is unchanged (per-doc shingles are pre-distinct;
     // cross-shingle 64-bit collisions are ~1e-7 at corpus scale) and the
@@ -67,6 +74,10 @@ object NearDup {
     val inter = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("jaccard_df_cap",
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
+          .as("n_dropped_shingles"))
+      .filter(size(col("ids")) <= maxDf)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
@@ -138,23 +149,37 @@ object NearDup {
     * component, not per pair — pairs alone under-dedup transitive chains
     * (a~b, b~c ⇒ {a,b,c} is one cluster even if a≁c directly).
     *
-    * Each iteration: one join + one aggregation; lineage is truncated with an
-    * eager localCheckpoint so the plan doesn't grow unboundedly. Converges in
-    * O(component diameter) rounds — near-dup clusters are shallow (dups of a
-    * common source), so maxIters=20 is generous. The driver-side loop is a
-    * fixpoint controller, not a data path: per round it moves zero rows to
-    * the driver beyond the 1-row convergence probe.
+    * Each iteration runs EXACTLY ONE job: the propagation plan carries a
+    * `_changed` flag, is marked for (lazy) checkpoint, and the changed-label
+    * count is aggregated on top — the one action both materializes the
+    * checkpoint blocks and returns the convergence signal (round 1 ran a
+    * separate join+isEmpty probe per round, doubling job count). Lineage is
+    * truncated by the checkpoint so the plan doesn't grow unboundedly.
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (dups of a common source), so maxIters=20 is generous. The
+    * driver-side loop is a fixpoint controller, not a data path: per round it
+    * moves one aggregate row to the driver.
+    *
+    * `reliableCheckpoint`: localCheckpoint stores blocks on executors — fine
+    * on local[32]; on a 1000-executor cluster an executor loss would kill the
+    * lineage-truncated RDD. Set true (after
+    * `spark.sparkContext.setCheckpointDir(...)`) to checkpoint to the cluster
+    * FS instead for fault tolerance.
     * Output: (doc_id, cluster) where cluster = min doc_id of the component. */
   def dedupClusters(pairs: DataFrame, allDocs: DataFrame, id: Column,
-                    maxIters: Int = 20): DataFrame = {
+                    maxIters: Int = 20,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    def ckptEager(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(false) else df.localCheckpoint(false)
     // materialize the edge list ONCE — its lineage is typically a whole
     // near-dup pipeline (minhash etc.) that would otherwise recompute on
     // every propagation round
-    val edges = pairs.select(col("id1"), col("id2"))
-      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
-    var labels = allDocs.select(id.as("doc_id"))
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    val edges = ckptEager(pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    var labels = ckptEager(allDocs.select(id.as("doc_id"))
+      .withColumn("label", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -162,14 +187,16 @@ object NearDup {
           edges("id2") === labels("doc_id"))
         .groupBy(col("id1").as("doc_id"))
         .agg(min(col("label")).as("_nl"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val updated = ckptLazy(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = updated.join(
-          labels.withColumnRenamed("label", "_old"), "doc_id")
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = updated
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          coalesce(col("_nl") < col("label"), lit(false)).as("_changed")))
+      // single action: materializes the checkpoint AND counts changed labels
+      val nChanged = updated
+        .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      converged = nChanged == 0L
+      labels = updated.drop("_changed")
       iter += 1
     }
     if (!converged)

@@ -73,46 +73,97 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
-  /** Embedding-cosine near-dup pairs at scale: candidates share >= 1 LSH
-    * signature band (shuffle on (band, chunk) buckets — no quadratic
-    * cross-join), then exact cosine rerank with threshold tau.
-    * Recall < 1 by design; measured against [[cosinePairs]] in specs. */
+  /** Packed SRP signature (ceil(bits/64) longs) via the native codegen'd
+    * expression [[graft.engine.expressions.SrpSignature]] — one fused
+    * bits×dim loop, computed ONCE per corpus vector. */
+  def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.SrpSignature(
+      ColumnBridge.expression(vec), bits, dim))
+  }
+
+  /** Hamming distance between packed signatures — native codegen'd
+    * xor+popcount ([[graft.engine.expressions.HammingDistance]]); this is the
+    * LSH join's post-match filter, evaluated once per bucket collision. */
+  def hamming(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Hamming cut for "cosine >= tau" on a bits-bit SRP signature: expected
+    * Hamming fraction of a pair AT the threshold is acos(tau)/π; allow
+    * `zSlack` standard deviations above it so threshold-grazing true pairs
+    * still pass (z=2.5 → ~0.6% per-pair miss), while background pairs
+    * (fraction ≈ 0.5) are overwhelmingly cut. */
+  private[graft] def hammingCut(tau: Double, bits: Int,
+                                zSlack: Double = 2.5): Int = {
+    val p = math.acos(tau) / math.Pi
+    math.ceil(bits * p + zSlack * math.sqrt(bits * p * (1 - p))).toInt
+  }
+
+  /** Shared signing+banding stage: (vectors as (cid, cv, sig), banded rows as
+    * (cid, sig, band, chunk)). The first bands×rowsPerBand signature bits are
+    * the band chunks (rowsPerBand must divide 64 so a chunk never straddles
+    * words); the FULL signature rides along (bits/8 bytes — cheap) so the
+    * bucket join can Hamming-filter without re-attaching anything. */
+  private def bandedSignatures(emb: DataFrame, id: Column, vec: Column,
+                               bits: Int, bands: Int, rowsPerBand: Int,
+                               dim: Int): (DataFrame, DataFrame) = {
+    require(bands * rowsPerBand <= bits, "bands*rowsPerBand must fit in bits")
+    require(64 % rowsPerBand == 0, "rowsPerBand must divide 64")
+    val mask = (1L << rowsPerBand) - 1
+    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("sig", srpSignature(col("cv"), bits, dim))
+    val banded = vecs.select(col("cid"), col("sig"), posexplode(array(
+      (0 until bands).map { j =>
+        val word = (j * rowsPerBand) / 64
+        val off = (j * rowsPerBand) % 64
+        shiftright(element_at(col("sig"), word + 1), off).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "chunk")))
+    (vecs.drop("sig"), banded)
+  }
+
+  /** Embedding-cosine near-dup pairs at scale — three stages, none quadratic
+    * in materialized rows:
+    *  1. BLOCK: candidates share >= 1 LSH band chunk (shuffle on
+    *     (band, chunk) buckets, ids+signature only — never the vectors).
+    *  2. PREFILTER: Hamming distance over the full bits-bit signature,
+    *     evaluated INSIDE the join as a post-match filter (native
+    *     xor+popcount) — bucket collisions stream through it without
+    *     materializing; survivors are the only rows that ever carry ids
+    *     downstream.
+    *  3. RERANK: exact cosine on the deduped survivors (vectors re-attached;
+    *     at this corpus size Catalyst picks broadcast joins), threshold tau.
+    *
+    * Defaults (bits=256, 24 bands × 4 rows) are tuned for recall >= 0.9 at
+    * tau=0.4 — a HARD threshold for SRP (pairs at 66°, background at 90°):
+    * band-OR recall ≈ 0.98, Hamming-cut recall ≈ 0.99 at the threshold.
+    * At larger corpora raise rowsPerBand (buckets must number >> n/1000) and
+    * bands together — candidate volume scales ~n^1.65 at this tau (ρ=0.65),
+    * sub-quadratic but tau-limited; tighter taus block far harder.
+    * Recall < 1 by design; floor asserted against [[cosinePairs]] in
+    * SimilaritySpec. */
   def lshCosinePairs(emb: DataFrame, id: Column, vec: Column, tau: Double,
-                     bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
-    // bucket-join on IDS ONLY (vectors are ~0.5 KB each — carrying them
-    // through the bucket shuffle dominates cost); re-attach for the rerank
-    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands, dim)
-    val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"))
-    val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"))
+                     bits: Int = 256, bands: Int = 24, rowsPerBand: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands,
+      rowsPerBand, dim)
+    val maxHam = hammingCut(tau, bits)
+    val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"),
+      col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"),
+      col("sig").as("sig2"))
     l.join(r, Seq("band", "chunk"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") < col("id2") &&
+        hamming(col("sig1"), col("sig2")) <= maxHam)
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
       .join(vecs.select(col("cid").as("id1"), col("cv").as("v1")), "id1")
       .join(vecs.select(col("cid").as("id2"), col("cv").as("v2")), "id2")
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= tau)
-  }
-
-  /** Shared banding stage for both LSH paths: (vectors as (cid, cv),
-    * banded signature chunks as (cid, band, chunk)). `dim` MUST match the
-    * embedding dimension — shorter planes zero every signature and collapse
-    * all buckets into one (quadratic blowup). */
-  private def bandedSignatures(emb: DataFrame, id: Column, vec: Column,
-                               bits: Int, bands: Int,
-                               dim: Int): (DataFrame, DataFrame) = {
-    require(bits % bands == 0, "bits must divide into bands")
-    val rbits = bits / bands
-    val planes = hyperplanes(bits, dim)
-    val mask = (1L << rbits) - 1
-    val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
-    val banded = vecs
-      .withColumn("sig", signature(col("cv"), planes))
-      .select(col("cid"), posexplode(array(
-        (0 until bands).map(j =>
-          shiftright(col("sig"), j * rbits).bitwiseAND(mask)): _*))
-        .as(Seq("band", "chunk")))
-    (vecs, banded)
   }
 
   /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
@@ -123,39 +174,42 @@ object Similarity {
       if ((h & 1) == 0) 1.0 else -1.0
     }
 
-  /** bits-bit sign signature of `vec` against [[hyperplanes]], as a long.
-    * Pure expression: one dot product per bit over the literal plane. */
-  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /** LSH-bucketed ANN: candidates = corpus vectors sharing at least one
-    * signature band with the query; exact cosine rerank within candidates.
+  /** LSH-bucketed ANN: banded candidates (corpus vectors sharing >= 1 band
+    * chunk with the query), ranked by full-signature Hamming distance to keep
+    * the best `candidatesPerQuery` per query, exact-cosine reranked to top-k.
+    * The Hamming ranking between blocking and rerank is what rescues recall
+    * on FAR neighbors (an exact top-k reaches into background distances where
+    * single-band collisions alone are noisy).
     * Returns (qid, cid, cos, rn) like [[cosineTopK]] — recall < 1 by design;
     * see SimilaritySpec for the measured recall floor. */
   def lshCosineTopK(emb: DataFrame, id: Column, vec: Column,
-                    queryIds: Seq[Long], k: Int, bits: Int = 16,
-                    bands: Int = 4, dim: Int = 64): DataFrame = {
-    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands, dim)
+                    queryIds: Seq[Long], k: Int, bits: Int = 256,
+                    bands: Int = 24, rowsPerBand: Int = 4, dim: Int = 64,
+                    candidatesPerQuery: Int = 400): DataFrame = {
+    val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands,
+      rowsPerBand, dim)
     // query side is tiny: carry its vector in the broadcast; corpus vectors
-    // join back only for surviving candidates
+    // join back only for Hamming-ranked survivors
     val queries = banded.filter(col("cid").isin(queryIds: _*))
       .join(vecs, "cid")
       .select(col("cid").as("qid"), col("cv").as("qv"),
-        col("band"), col("chunk"))
+        col("sig").as("qsig"), col("band"), col("chunk"))
+    val wHam = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("cid").asc)
     val candidates = banded.join(broadcast(queries), Seq("band", "chunk"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), col("qv"))
+      .select(col("qid"), col("qv"), col("cid"),
+        hamming(col("sig"), col("qsig")).as("ham"))
       .dropDuplicates("qid", "cid")
+      .withColumn("_hr", row_number().over(wHam))
+      .filter(col("_hr") <= candidatesPerQuery)
       .join(vecs, "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     candidates
       .select(col("qid"), col("cid"),
         round(cosine(col("cv"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
 }

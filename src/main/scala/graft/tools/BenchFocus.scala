@@ -10,7 +10,8 @@ object BenchFocus {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("q_jaccard_pairs", "q_minhash_pairs")
+    val names =
+      if (args.nonEmpty) args.toSeq else Seq("q_jaccard_pairs", "q_minhash_pairs")
     for (round <- 1 to 3; n <- names) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir)

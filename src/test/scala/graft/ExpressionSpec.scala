@@ -49,4 +49,64 @@ class ExpressionSpec extends SparkSpec {
     spark.sql("SELECT graft_cosine(array(0.0d, 3.0d), array(0.0d, 6.0d)) AS c")
       .head().getDouble(0) shouldBe (1.0 +- 1e-12)
   }
+
+  test("graft_srp_signature: sign bits match per-plane HOF dot products") {
+    val bits = 64
+    val dim = 8
+    val planes = Similarity.hyperplanes(bits, dim)
+    val df = Seq(
+      Tuple1(Array(0.3, -1.2, 4.0, 0.01, -2.5, 0.0, 7.1, -0.4)),
+      Tuple1(Array(-9.0, 2.0, 0.5, 0.5, 1.0, -1.0, 3.0, 2.2))
+    ).toDF("v")
+    val sigs = df.select(Similarity.srpSignature(col("v"), bits, dim).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val vecs = df.collect().map(_.getSeq[Double](0))
+    for ((v, sig) <- vecs.zip(sigs); j <- 0 until bits) {
+      val dot = planes(j).zip(v).map { case (p, x) => p * x }.sum
+      val bit = (sig(j >> 6) >> (j & 63)) & 1L
+      withClue(s"bit $j (dot=$dot): ") { bit shouldBe (if (dot >= 0) 1L else 0L) }
+    }
+  }
+
+  test("graft_srp_signature: null vector and null element -> null") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0)))),
+      (2L, None: Option[Seq[Option[Double]]]),
+      (3L, Some(Seq(Some(1.0), None)))
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        Similarity.srpSignature(col("v"), 64, 2).as("s"))
+      .orderBy("id").collect()
+    out(0).isNullAt(1) shouldBe false
+    out(1).isNullAt(1) shouldBe true
+    out(2).isNullAt(1) shouldBe true
+  }
+
+  test("graft_hamming: known distances on packed words") {
+    val df = Seq(
+      (Array(0L, 0L), Array(0L, 0L), 0),
+      (Array(-1L, 0L), Array(0L, 0L), 64),
+      (Array(5L, 3L), Array(6L, 3L), 2), // 101 vs 110
+      (Array(7L), Array(7L, 255L), 8)    // shorter side zero-extends
+    ).toDF("a", "b", "want")
+    df.select(Similarity.hamming(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
+  test("graft_hamming ~ bits * angle/pi on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("sig", Similarity.srpSignature(col("v"), 256, 64))
+    val a = emb.select(col("vec_id").as("i"), col("v").as("va"), col("sig").as("sa"))
+    val b = emb.select(col("vec_id").as("j"), col("v").as("vb"), col("sig").as("sb"))
+    val rows = a.join(b, col("i") < col("j"))
+      .select(Similarity.cosine(col("va"), col("vb")).as("cos"),
+        Similarity.hamming(col("sa"), col("sb")).as("ham"))
+      .collect()
+    // SRP guarantee: E[ham/bits] = acos(cos)/pi; check mean abs deviation
+    val devs = rows.map { r =>
+      math.abs(r.getInt(1) / 256.0 - math.acos(r.getDouble(0)) / math.Pi)
+    }
+    (devs.sum / devs.length) should be < 0.05
+  }
 }

@@ -28,8 +28,34 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // deterministic planes + data → deterministic recall; pin a floor
-    recall should be >= 0.4
+    recall should be >= 0.9
     approx.size should be <= exact.size // never returns more than k per query
+  }
+
+  test("LSH pairs: recall >= 0.9 and precision 1.0 vs exact at sf0.1") {
+    // the tuning lock (bits=256, 24×4 bands, z=2.5 Hamming cut): tau=0.4 is
+    // adversarial for SRP (true pairs at ~66°, background continuum to
+    // 0.3999) — this floor is what forces the parameterization to stay honest
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4))
+    val lsh = pairs(
+      Similarity.lshCosinePairs(emb, col("vec_id"), col("embedding"), 0.4))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    recall should be >= 0.9
+    // exact-cosine rerank means NO false positives, ever
+    (lsh diff exact) shouldBe empty
+  }
+
+  test("hammingCut: tracks the expected fraction with slack") {
+    // tau=0.4, 256 bits: E[ham] ≈ 94.5, std ≈ 7.7 → cut ≈ 114
+    val cut = Similarity.hammingCut(0.4, 256)
+    cut should be >= 110
+    cut should be <= 120
+    Similarity.hammingCut(0.9, 256) should be < cut // tighter tau, tighter cut
   }
 
   test("signature determinism: hyperplanes are JVM-independent constants") {

@@ -37,6 +37,11 @@ object SparkEntry {
     "q_hourly_by_type" -> ((s, d) =>
       Analytics.sumByTimeBucket(events(s, d), col("ts"), col("event_type"),
         col("value"))),
+    // A6 in KST — every reference dashboard panel buckets AT TIME ZONE
+    // 'Asia/Seoul' (pv_dashboard.json); session TZ stays UTC throughout
+    "q_hourly_kst" -> ((s, d) =>
+      Analytics.sumByTimeBucketTz(events(s, d), col("ts"), col("event_type"),
+        col("value"), "hour", "Asia/Seoul", "UTC")),
     // A4 per-key high-watermark (daily_pv_automation.py:79-87)
     "q_watermark" -> ((s, d) =>
       Analytics.highWatermark(events(s, d), Seq(col("user_id").as("grp")),
@@ -93,6 +98,17 @@ object SparkEntry {
         supplier(s, d), col("s_suppkey"), li, col("l_suppkey"),
         col("l_shipdate"), col("l_extendedprice"),
         lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+    }),
+    // J5 full geomap shape: dim attrs (lat/lon stand-ins) carried through the
+    // agg, IS NOT NULL on a dim attr (pv_dashboard.json geomap panel)
+    "q_geomap_activity" -> ((s, d) => {
+      val li = lineitem(s, d)
+      Analytics.dimWithRangeActivityAttrs(
+        supplier(s, d), col("s_suppkey"), li, col("l_suppkey"),
+        col("l_shipdate"), col("l_extendedprice"),
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"),
+        Seq(col("s_name").as("name"), col("s_acctbal").as("acctbal")),
+        Some(col("s_acctbal")))
     }),
     // J7 anti-join on generated calendar → missing dates (nambu_bulk_sync.py:24-40)
     "q_missing_dates" -> ((s, d) =>
@@ -432,6 +448,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
          round(SUM(value), 2) AS total
          FROM events GROUP BY 1, 2""",
+    // timezone(tz, TIMESTAMP→TIMESTAMPTZ) then timezone(tz, TIMESTAMPTZ→
+    // TIMESTAMP): the inner call pins the instant to UTC independent of the
+    // DuckDB session TimeZone, the outer renders Seoul wall time
+    "q_hourly_kst" ->
+      """SELECT date_trunc('hour', timezone('Asia/Seoul', timezone('UTC', ts)))
+           AS bucket_local,
+         event_type AS grp, round(SUM(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
     "q_watermark" ->
       """SELECT user_id AS grp, max(ts) AS last_ts, max(event_type) AS carry
          FROM events GROUP BY 1""",
@@ -473,6 +497,15 @@ object SparkEntry {
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate <= TIMESTAMP '1996-12-31'
          GROUP BY 1""",
+    "q_geomap_activity" ->
+      """SELECT s.s_suppkey AS grp, s.s_name AS name, s.s_acctbal AS acctbal,
+         round(COALESCE(SUM(l.l_extendedprice), 0), 2) AS total
+         FROM supplier s LEFT JOIN lineitem l
+           ON s.s_suppkey = l.l_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <= TIMESTAMP '1996-12-31'
+         WHERE s.s_acctbal IS NOT NULL
+         GROUP BY 1, 2, 3""",
     "q_missing_dates" ->
       """SELECT cal.day AS day
          FROM (SELECT unnest(generate_series(DATE '2001-06-01', DATE '2001-12-31',

@@ -39,6 +39,24 @@ object Analytics {
     df.groupBy(date_trunc(bucket, ts).as("bucket"), key.as("grp"))
       .agg(round(sum(value), 2).as("total"))
 
+  /** A6 in a non-session time zone — every Grafana panel in the reference
+    * applies `AT TIME ZONE 'Asia/Seoul'` before bucketing
+    * (reference: docker/grafana/dashboards/pv_dashboard.json,
+    * wind_dashboard.json; KST helper fetch_data/common/utils.py:5-15).
+    * `convert_timezone` shifts the wall clock from `sourceTz` to `tz` as a
+    * TIMESTAMP_NTZ, so `date_trunc` buckets on local-time boundaries — the
+    * session time zone never participates. Same plan shape as
+    * [[sumByTimeBucket]]: one partial-agg shuffle on (bucket, key). */
+  def sumByTimeBucketTz(df: DataFrame, ts: Column, key: Column, value: Column,
+                        bucket: String = "hour", tz: String = "Asia/Seoul",
+                        sourceTz: String = "UTC"): DataFrame =
+    df.groupBy(
+        date_trunc(bucket,
+          convert_timezone(lit(sourceTz), lit(tz), ts.cast("timestamp_ntz")))
+          .as("bucket_local"),
+        key.as("grp"))
+      .agg(round(sum(value), 2).as("total"))
+
   /** A4 per-key high-watermark — incremental resume point
     * `SELECT gencd, hogi, MAX(datetime), MAX(plant_name) ... GROUP BY gencd, hogi`
     * (reference: fetch_data/pv/daily_pv_automation.py:79-87).
@@ -85,9 +103,29 @@ object Analytics {
   def dimWithRangeActivity(dim: DataFrame, dimKey: Column, fact: DataFrame,
                            factKey: Column, factTs: Column, factVal: Column,
                            from: Column, to: Column): DataFrame =
-    dim.join(fact, dimKey === factKey && factTs >= from && factTs <= to, "left")
-      .groupBy(dimKey.as("grp"))
+    dimWithRangeActivityAttrs(dim, dimKey, fact, factKey, factTs, factVal,
+      from, to, Nil)
+
+  /** J5 full geomap shape: dim attributes (the panel's latitude/longitude)
+    * carried through the aggregation alongside the coalesced sum, with the
+    * panel's `WHERE p.latitude IS NOT NULL` expressed as a dim-side filter
+    * BEFORE the join (equivalent for a left join keyed on the dim, and it
+    * shrinks the build side). `attrs` must be functionally dependent on
+    * `dimKey` (one row per key in `dim`), so grouping by key+attrs adds no
+    * groups — it only projects the attributes through.
+    * (reference: docker/grafana/dashboards/pv_dashboard.json geomap panel:
+    * SELECT latitude, longitude, plant_name, SUM(...) ... WHERE latitude IS
+    * NOT NULL GROUP BY 1,2,3). */
+  def dimWithRangeActivityAttrs(dim: DataFrame, dimKey: Column, fact: DataFrame,
+                                factKey: Column, factTs: Column, factVal: Column,
+                                from: Column, to: Column,
+                                attrs: Seq[Column],
+                                notNullAttr: Option[Column] = None): DataFrame = {
+    val d = notNullAttr.fold(dim)(a => dim.filter(a.isNotNull))
+    d.join(fact, dimKey === factKey && factTs >= from && factTs <= to, "left")
+      .groupBy(dimKey.as("grp") +: attrs: _*)
       .agg(round(coalesce(sum(factVal), lit(0.0)), 2).as("total"))
+  }
 
   /** J7 anti-join on a generated calendar: expected date range minus dates
     * present — "missing days" discovery

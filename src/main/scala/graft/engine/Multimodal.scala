@@ -29,9 +29,17 @@ object Multimodal {
         (id % 3 + 1).cast("int")).as("kind"),
       text.cast("binary").as("payload"))
 
+  /** Decoder contract: (media kind, raw payload bytes) → feature vector.
+    * Implementations must be serializable (they ship to executors) and
+    * cheap to call per row — per-task init belongs in [[extractFeatures]]'s
+    * mapPartitions body. */
+  type Decoder = (String, Array[Byte]) => Array[Double]
+
   /** STUB — deterministic fake decoder: normalized 8-bin byte histogram.
-    * Replace with a real `decode(kind, bytes)` (e.g. JPEG → pixels →
-    * embedding) in production; signature and batch shape stay identical. */
+    * The DEFAULT `decode` argument of [[extractFeatures]], not the
+    * architecture: production swaps in a real `Decoder` (e.g. JPEG → pixels
+    * → embedding) with the same signature and batch shape. Kept as the
+    * default because this container ships no media libs. */
   private[engine] def decodeStub(kind: String, payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     var i = 0
@@ -44,15 +52,18 @@ object Multimodal {
   }
 
   /** Decode + featurize, one partition at a time. `mapPartitions` (not `map`)
-    * so a real decoder initializes once per task. */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * so a real decoder initializes once per task. The decode step is
+    * pluggable: pass any serializable [[Decoder]]; the stub is only the
+    * default. */
+  def extractFeatures(media: DataFrame,
+                      decode: Decoder = decodeStub _): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // real pipelines: val decoder = Decoder.open(...) here, once per task
+      // real pipelines: per-task decoder/session init goes here, once
       it.map { r =>
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          decodeStub(r.kind, r.payload))
+          decode(r.kind, r.payload))
       }
     }.toDF()
   }

@@ -31,6 +31,19 @@ class MultimodalSpec extends SparkSpec {
     again(0).getSeq[Double](3) shouldBe hist
   }
 
+  test("extractFeatures: custom decoder flows through the same plumbing") {
+    // stand-in for a real media decoder: kind-tagged length + first byte
+    val decoder: Multimodal.Decoder = (kind, bytes) =>
+      Array(kind.length.toDouble, bytes.length.toDouble,
+        if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else -1.0)
+    val out = Multimodal.extractFeatures(
+        Multimodal.asMedia(docs, col("doc_id"), col("text")), decoder)
+      .orderBy("media_id").collect()
+    out(0).getSeq[Double](3) shouldBe Seq(5.0, 8.0, 'a'.toInt.toDouble)
+    out(1).getSeq[Double](3) shouldBe Seq(5.0, 4.0, 'z'.toInt.toDouble)
+    out.map(_.getLong(2)) shouldBe Array(8L, 4L, 1L) // n_bytes unchanged
+  }
+
   test("sampleFrames: every-nth-byte rows") {
     val frames = Multimodal.sampleFrames(
         Multimodal.asMedia(docs, col("doc_id"), col("text")), everyN = 4)

@@ -58,6 +58,20 @@ class NearDupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("minhash precision 1.0 and recall >= 0.95 vs exact at sf0.01") {
+    // hardens the one rows-only dedup path at the correctness-gate SF:
+    // every LSH pair must be verified-exact (precision 1.0 by construction
+    // of the verify step — assert it anyway), recall floor locks the tuning
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = NearDup.jaccardPairs(d, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(d, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    lsh.subsetOf(exact) shouldBe true // precision == 1.0
+    lsh.size.toDouble / exact.size should be >= 0.95
+  }
+
   test("dedupClusters: transitive chains collapse to one component") {
     val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     // chain 1-2, 2-3 plus pair 5-6; 4 isolated

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.engine.expressions.{CosineSimilarity, HammingDistance, SrpSignature}
+import graft.engine.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SrpSignature}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are usable from SQL and `call_function`.
@@ -31,6 +31,12 @@ object GraftExtensions {
     SrpSignature(exprs.head, litInt(exprs(1), "bits"), litInt(exprs(2), "dim"))
   }
 
+  private[graft] def buildMinhash(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MinHashSignature = {
+    require(exprs.length == 2, "graft_minhash(shingle_hashes, k)")
+    MinHashSignature(exprs.head, litInt(exprs(1), "k"))
+  }
+
   /** Runtime registration for sessions built without the extension. */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -39,6 +45,7 @@ object GraftExtensions {
     bridge.registerFunction(spark, "graft_hamming",
       exprs => HammingDistance(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
+    bridge.registerFunction(spark, "graft_minhash", buildMinhash)
   }
 }
 
@@ -62,5 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srp_signature"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
       GraftExtensions.buildSrp _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      GraftExtensions.buildMinhash _))
   }
 }

@@ -30,9 +30,13 @@ object NearDup {
     * LSH paths — one definition so collision/rounding policy can't drift). */
   private def hashedShinglesAndSizes(docs: DataFrame, id: Column, text: Column,
                                      n: Int): (DataFrame, DataFrame) = {
-    val sh = TextOps.shingles(docs, id, text, n)
+    // both branches re-shingle the corpus (sizes needs the DISTINCT shingle
+    // count, so it can't avoid building the set) — spread the shared input
+    // once; the two subtrees reuse the same exchange
+    val d = TextOps.spreadForCpu(docs)
+    val sh = TextOps.shingles(d, id, text, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = docs.select(id.as("doc_id"),
+    val sizes = d.select(id.as("doc_id"),
       size(TextOps.shingleArray(text, n)).as("n_sh"))
     (sh, sizes)
   }
@@ -88,22 +92,28 @@ object NearDup {
   }
 
   /** MinHash signatures: k independent min-hashes per doc over its shingle
-    * set. Hash i of a shingle is xxhash64(seed=i, shingle) — deterministic,
-    * codegen'd, no UDF. One aggregation pass builds all k columns. */
+    * set, computed row-at-a-time by the native codegen'd
+    * [[graft.engine.expressions.MinHashSignature]] expression over the
+    * per-doc shingle-hash array — ZERO shuffles (the signature is a pure
+    * function of the document row). Replaces the round-1 long-format
+    * posexplode + double-groupBy shape, which shuffled |shingles|×k rows
+    * (32M at sf0.1) and dominated every minhash-based query's runtime. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         k: Int = 32, n: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(docs, id, text, n)
-    // (doc, seed, hash) long-format min, then re-assemble the signature
-    // array ordered by seed. k parallel min() agg columns would generate a
-    // pathologically large codegen method (observed ~10× slower cold); this
-    // shape keeps every stage's generated code small.
-    val hashes = array((0 until k).map(i =>
-      xxhash64(lit(i), col("shingle"))): _*)
-    sh.select(col("doc_id"), posexplode(hashes).as(Seq("seed", "h")))
-      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val shingleHashes = transform(TextOps.shingleArray(text, n),
+      s => xxhash64(s))
+    // docs too short to shingle are dropped by the CHEAP token-count
+    // predicate BEFORE the spread, never by `sig IS NOT NULL` after it:
+    // Catalyst pushes a post-repartition filter down through the exchange,
+    // and a pushed-down null-check on the computed signature would evaluate
+    // the full MinHash per row on the (possibly single-partition) scan side —
+    // exactly the serialization the spread exists to avoid. With the
+    // token-count guard the signature expression can't return null.
+    TextOps.spreadForCpu(docs.filter(size(TextOps.tokens(text)) >= n))
+      .select(id.as("doc_id"),
+        ColumnBridge.column(expressions.MinHashSignature(
+          ColumnBridge.expression(shingleHashes), k)).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs, verified by exact shingle Jaccard.
@@ -118,11 +128,18 @@ object NearDup {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(docs, id, text, k, n)
     // band j = hash of sig[j*r .. j*r+r)
+    // explicit exchange on the join keys: the signature pipeline below has no
+    // shuffle of its own, so without this the self-join would plan two
+    // exchanges whose map sides EACH recompute every signature; pre-
+    // partitioning on (band, band_hash) makes both sides the same exchange
+    // (ReuseExchange) — signatures are computed once — and the join needs no
+    // further shuffle
     val banded = sigs.select(col("doc_id"), posexplode(array(
       (0 until bands).map { j =>
         xxhash64((j * rowsPerBand until (j + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band", "band_hash")))
+      .repartition(col("band"), col("band_hash"))
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,

@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Spread a CPU-bound per-row stage (shingling, signature hashing) across
+    * all cores when the source scan provides fewer partitions than the
+    * cluster's parallelism — a small parquet file arrives as ONE split, which
+    * serializes the expensive map work onto one core no matter how wide the
+    * cluster is. At real corpus scale input splits ≫ cores, the condition is
+    * false, and this is a no-op (no shuffle added). Checking partition count
+    * costs physical planning only — no job runs. */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Whitespace tokens (single-space corpus → plain split). */
   def tokens(text: Column): Column = split(text, " ")
 

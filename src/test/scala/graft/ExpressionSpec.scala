@@ -109,4 +109,41 @@ class ExpressionSpec extends SparkSpec {
     }
     (devs.sum / devs.length) should be < 0.05
   }
+
+  test("graft_minhash: set semantics, determinism, empty -> null") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def mh(c: org.apache.spark.sql.Column, k: Int) =
+      ColumnBridge.column(graft.engine.expressions.MinHashSignature(
+        ColumnBridge.expression(c), k))
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(30L, 10L, 20L, 20L)), // same set, different order + dup
+      (3L, Seq(10L, 20L, 99L)),      // 2-of-3 overlap
+      (4L, Seq.empty[Long])
+    ).toDF("id", "hs")
+    val sigs = df.select(col("id"), mh(col("hs"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    sigs(1L) shouldBe sigs(2L)          // min over the SET: order/dup invariant
+    sigs(4L) shouldBe null              // no shingles -> no signature
+    sigs(1L).length shouldBe 32
+    // overlapping sets agree on some but not all hash slots
+    val agree = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    agree should be > 0
+    agree should be < 32
+  }
+
+  test("graft_minhash match fraction estimates jaccard on real docs") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.engine.NearDup.jaccardPairs(
+        d, col("doc_id"), col("text"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sigs = graft.engine.NearDup.minhashSignatures(
+        d, col("doc_id"), col("text"), 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    exact.foreach { case ((i, j), jac) =>
+      val est = sigs(i).zip(sigs(j)).count { case (x, y) => x == y } / 128.0
+      est shouldBe (jac +- 0.2) // 128 hashes: se ~ sqrt(j(1-j)/128) < 0.05
+    }
+  }
 }

@@ -43,11 +43,13 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver's parser: also drop the JSON in a known
-    // file, immune to any logger prefixes on stdout
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+    // file, immune to any logger prefixes on stdout. Overridable so
+    // back-to-back runs over different SF dirs don't clobber each other.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write /tmp/graft_bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -409,8 +409,17 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // spill the sink to parquet and DROP the memory table: memory sinks
+      // hold every output row on the driver for the session lifetime, and a
+      // long-lived session (or the 54-query bench JVM) accumulates one
+      // resident table per run — the result must outlive the sink, not pin it
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_out_").toString + "/res"
       s.table(qname).select(col("bucket"), col("grp"),
-        round(col("total"), 2).as("total"))
+          round(col("total"), 2).as("total"))
+        .write.parquet(outDir)
+      s.catalog.dropTempView(qname)
+      s.read.parquet(outDir)
     }),
 
     // ---- Windows (SURVEY §2.5) ----

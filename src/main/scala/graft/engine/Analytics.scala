@@ -43,19 +43,27 @@ object Analytics {
     * applies `AT TIME ZONE 'Asia/Seoul'` before bucketing
     * (reference: docker/grafana/dashboards/pv_dashboard.json,
     * wind_dashboard.json; KST helper fetch_data/common/utils.py:5-15).
-    * `convert_timezone` shifts the wall clock from `sourceTz` to `tz` as a
-    * TIMESTAMP_NTZ, so `date_trunc` buckets on local-time boundaries — the
-    * session time zone never participates. Same plan shape as
+    * The session time zone never participates, for EITHER timestamp flavor:
+    *  - TIMESTAMP (instant/LTZ): the two-arg `convert_timezone(tz, ts)` maps
+    *    the instant to `tz` wall time directly — `sourceTz` is ignored (an
+    *    instant already pins the clock). The naive
+    *    `ts.cast("timestamp_ntz")` route would render the wall clock in the
+    *    SESSION zone first and silently double-shift in any non-UTC session.
+    *  - TIMESTAMP_NTZ (wall time): the three-arg form re-interprets the wall
+    *    clock from `sourceTz` into `tz`.
+    * `date_trunc` then buckets on local-time boundaries. Same plan shape as
     * [[sumByTimeBucket]]: one partial-agg shuffle on (bucket, key). */
   def sumByTimeBucketTz(df: DataFrame, ts: Column, key: Column, value: Column,
                         bucket: String = "hour", tz: String = "Asia/Seoul",
-                        sourceTz: String = "UTC"): DataFrame =
-    df.groupBy(
-        date_trunc(bucket,
-          convert_timezone(lit(sourceTz), lit(tz), ts.cast("timestamp_ntz")))
-          .as("bucket_local"),
-        key.as("grp"))
+                        sourceTz: String = "UTC"): DataFrame = {
+    val localTs = df.select(ts).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        convert_timezone(lit(sourceTz), lit(tz), ts)
+      case _ => convert_timezone(lit(tz), ts)
+    }
+    df.groupBy(date_trunc(bucket, localTs).as("bucket_local"), key.as("grp"))
       .agg(round(sum(value), 2).as("total"))
+  }
 
   /** A4 per-key high-watermark — incremental resume point
     * `SELECT gencd, hogi, MAX(datetime), MAX(plant_name) ... GROUP BY gencd, hogi`

@@ -61,10 +61,15 @@ object NearDup {
     * real corpus makes this quadratic. Posting lists longer than maxDf are
     * dropped (hot shingles carry no near-dup signal — they're corpus
     * boilerplate); the drop count is published as the observable metric
-    * `jaccard_df_cap.n_dropped_shingles` (read it via a QueryExecutionListener
-    * or `Observation`). With the cap this is corpus-safe; results stay EXACT
+    * `jaccard_df_cap_<n>.n_dropped_shingles` (suffix unique per call; read it
+    * via a QueryExecutionListener or `Observation`). With the cap this is corpus-safe; results stay EXACT
     * whenever maxDf exceeds the corpus's true max shingle df (the testdata
     * oracle case). */
+  /** Observation names must be unique per query plan — two jaccardPairs
+    * results combined into ONE plan (e.g. a union over two corpora) would
+    * fail analysis with duplicated observed metrics under a fixed name. */
+  private val observeCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
                    n: Int = 3, maxDf: Int = 100000): DataFrame = {
     // join/shuffle on the 8-byte shingle hash, not the shingle string — the
@@ -78,7 +83,7 @@ object NearDup {
     val inter = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .observe("jaccard_df_cap",
+      .observe(s"jaccard_df_cap_${observeCounter.incrementAndGet()}",
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("n_dropped_shingles"))
       .filter(size(col("ids")) <= maxDf)
@@ -213,6 +218,12 @@ object NearDup {
         .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
       converged = nChanged == 0L
+      // the previous round's checkpoint blocks are dead the moment the new
+      // one is materialized — release them, or every run permanently grows
+      // executor storage by O(iters) RDDs for the session lifetime (lethal
+      // in a long-lived cluster session; measured to tax every later query
+      // in a 54-query bench JVM)
+      releaseCheckpoint(labels)
       labels = updated.drop("_changed")
       iter += 1
     }
@@ -220,8 +231,25 @@ object NearDup {
       System.err.println(s"[graft] dedupClusters: NOT converged after " +
         s"$maxIters iterations — components with diameter > $maxIters " +
         "carry split labels; raise maxIters")
+    // edges are only referenced by the (already-materialized) label rounds
+    releaseCheckpoint(edges)
     labels.withColumnRenamed("label", "cluster")
   }
+
+  /** Unpersist the checkpoint blocks backing a checkpointed DataFrame (the
+    * result of `localCheckpoint`/`checkpoint`, whose plan is a single
+    * `LogicalRDD` leaf). No-op for non-checkpointed frames and for reliable
+    * checkpoints (files, not blocks; reclaim those via
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` or by deleting the
+    * checkpoint dir). The RETURNED frame of [[dedupClusters]] stays backed by
+    * its final checkpoint — call this on it once consumed to free the blocks
+    * in a long-lived session. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Keep the canonical member (min id) of every duplicate cluster. */
   def canonicalByCluster(clusters: DataFrame): DataFrame =

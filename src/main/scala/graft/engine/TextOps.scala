@@ -16,15 +16,23 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Spread a CPU-bound per-row stage (shingling, signature hashing) across
-    * all cores when the source scan provides fewer partitions than the
-    * cluster's parallelism — a small parquet file arrives as ONE split, which
+    * all cores when the source would provide fewer splits than the cluster's
+    * parallelism — a small parquet file arrives as ONE split, which
     * serializes the expensive map work onto one core no matter how wide the
-    * cluster is. At real corpus scale input splits ≫ cores, the condition is
-    * false, and this is a no-op (no shuffle added). Checking partition count
-    * costs physical planning only — no job runs. */
+    * cluster is. The decision reads the OPTIMIZED-plan size estimate only
+    * (scan relation stats — no physical planning, no job, and no `df.rdd`,
+    * which under AQE plans the subtree a second time and can diverge from the
+    * plan actually executed): fewer than `parallelism` max-partition-bytes
+    * splits would come out of the scan ⇒ repartition. At real corpus scale
+    * input splits ≫ cores, the estimate exceeds the cutoff and this is a
+    * no-op (no shuffle added). */
   def spreadForCpu(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(par) * maxPartBytes) df.repartition(par) else df
   }
 
   /** Whitespace tokens (single-space corpus → plain split). */

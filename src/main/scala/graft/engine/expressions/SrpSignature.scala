@@ -49,7 +49,13 @@ case class SrpSignature(child: Expression, bits: Int, dim: Int)
   /** One pass over (bits × vector) — called from both interpreted eval and
     * the generated code (via a bound reference, keeping codegen tiny). */
   def compute(v: ArrayData): ArrayData = {
-    val n = math.min(v.numElements(), dim)
+    val n = v.numElements()
+    // a vector longer than the plane matrix would silently project onto a
+    // PREFIX of its dimensions, degrading signature quality (and LSH recall)
+    // with no error — fail loud so a dim/embedding mismatch is caught
+    if (n > dim) throw new IllegalArgumentException(
+      s"graft_srp_signature: vector has $n dims but the expression was built " +
+        s"with dim=$dim — dim must be >= the embedding width")
     val words = new Array[Long](bits / 64)
     var j = 0
     while (j < bits) {

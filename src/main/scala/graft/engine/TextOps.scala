@@ -52,6 +52,17 @@ object TextOps {
   def tokenOccurrences(text: Column, token: String): Column =
     size(filter(tokens(text), t => t === lit(token))).cast("long")
 
+  /** Per-group marker-token occurrence counts in ONE tokenize pass — the
+    * fused kernel behind [[stopwordRatio]]/[[qualityScore]]/[[langId]] (the
+    * per-marker HOF route re-splits the text G×M times, interpreted; see
+    * [[graft.engine.expressions.MarkerCounts]]). Returns array<long>, one
+    * count per group, 1-indexed via `element_at`. */
+  def markerCounts(text: Column, groups: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.MarkerCounts(
+      ColumnBridge.expression(text), groups))
+  }
+
   /** Mean token length for single-space-joined text:
     * (chars - separators) / tokens. */
   def meanTokenLength(text: Column): Column = {
@@ -61,8 +72,7 @@ object TextOps {
 
   /** Stopword ratio: occurrences of any marker token / token count. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val hits = stopwords.map(tokenOccurrences(text, _))
-      .reduce(_ + _)
+    val hits = element_at(markerCounts(text, Seq(stopwords)), 1)
     round(hits.cast("double") / tokenCount(text), 6)
   }
 
@@ -79,8 +89,11 @@ object TextOps {
     * language; argmax with deterministic lexicographic tie-break; "und" when
     * no marker hits. */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(tokenOccurrences(text, _)).reduce(_ + _)
+    // ONE fused tokenize+count pass shared by all four scores (Catalyst CSE
+    // collapses the identical deterministic markerCounts subtrees)
+    val counts = markerCounts(text, langMarkers.map(_._2))
+    val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
     // CASE cascade: lang i wins when its score is positive and >= every later
     // score — equivalent to argmax with earliest (lexicographic) tie-break,
@@ -102,7 +115,7 @@ object TextOps {
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val nTok = size(tokens(text)).cast("long")
     val nChars = length(text).cast("long")
-    val hits = stopwords.map(tokenOccurrences(text, _)).reduce(_ + _)
+    val hits = element_at(markerCounts(text, Seq(stopwords)), 1)
     // exact integer division: strip the remainder first, then the double
     // division is exact (multiples of b below 2^53)
     def intDiv(a: Column, b: Column): Column =

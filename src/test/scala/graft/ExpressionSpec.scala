@@ -133,6 +133,42 @@ class ExpressionSpec extends SparkSpec {
     agree should be < 32
   }
 
+  test("graft_marker_counts == per-marker HOF occurrence counts on real docs") {
+    import graft.engine.TextOps
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val groups = TextOps.langMarkers.map(_._2)
+    val fused = d.select(col("doc_id"),
+      TextOps.markerCounts(col("text"), groups).as("c"))
+    val hof = d.select(col("doc_id") +: groups.zipWithIndex.map { case (ms, i) =>
+      ms.map(TextOps.tokenOccurrences(col("text"), _)).reduce(_ + _).as(s"g$i")
+    }: _*)
+    fused.join(hof, "doc_id").collect().foreach { r =>
+      val c = r.getSeq[Long](1)
+      for (i <- groups.indices)
+        withClue(s"doc ${r.getLong(0)} group $i: ") {
+          c(i) shouldBe r.getLong(2 + i)
+        }
+    }
+  }
+
+  test("graft_marker_counts: multiplicity, multi-group markers, edge cases") {
+    import graft.engine.TextOps
+    val groups = Seq(Seq("the", "a"), Seq("a", "und"))
+    val df = Seq(
+      (1L, Some("the a the  a")), // double space -> empty token, no match
+      (2L, Some("")),
+      (3L, None: Option[String]),
+      (4L, Some("thea a und"))    // no substring matches
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextOps.markerCounts(col("t"), groups).as("c"))
+      .orderBy("id").collect()
+    out(0).getSeq[Long](1) shouldBe Seq(4L, 2L) // 'a' counts toward BOTH groups
+    out(1).getSeq[Long](1) shouldBe Seq(0L, 0L)
+    out(2).isNullAt(1) shouldBe true
+    out(3).getSeq[Long](1) shouldBe Seq(1L, 2L)
+  }
+
   test("graft_minhash match fraction estimates jaccard on real docs") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = graft.engine.NearDup.jaccardPairs(

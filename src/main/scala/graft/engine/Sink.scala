@@ -44,7 +44,12 @@ object Sink {
 
   /** S14: keyed upsert into a parquet table — read-merge-rewrite with the
     * incoming side winning on key conflict. Writes to a temp path first, then
-    * swaps, so a failed job never truncates the table. */
+    * swaps via [[swapStaged]], so a failed job never truncates the table.
+    *
+    * COMMIT CONTRACT: single POSIX filesystem (or HDFS) ONLY — see
+    * [[swapStaged]]. On S3/GCS at 100 TB, commit through a metastore/table-
+    * format pointer flip (Hive location swap, Iceberg/Delta commit) instead;
+    * directory rename there is non-atomic copy+delete. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame, path: String,
                     keys: Seq[String], tieBreak: Seq[Column]): Unit = {
     val target = new java.io.File(path)
@@ -55,20 +60,32 @@ object Sink {
     } else incoming
     val tmp = path + "._staged"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap (single-FS rename; object stores would commit via
-    // a metastore pointer instead) — every rename is CHECKED: an ignored
-    // renameTo failure followed by delete(bak) would destroy the only copy
-    val tmpFile = new java.io.File(tmp)
-    val bak = new java.io.File(path + "._old")
+    swapStaged(new java.io.File(tmp), target)
+  }
+
+  /** Staged swap of a freshly-written table directory into place:
+    * `target` → `target._old`, `tmp` → `target`, drop `target._old`.
+    *
+    * CONTRACT — single-filesystem `rename(2)` semantics: both renames must be
+    * atomic metadata moves, which holds on one POSIX FS and on HDFS, and does
+    * NOT hold on object stores (S3/GCS "rename" = copy+delete per object).
+    * Every rename is CHECKED: an ignored failure followed by delete would
+    * destroy the only copy. If the swap-in fails after the table was staged
+    * aside, the backup is restored before the error propagates — the table
+    * survives any single failure. A crash BETWEEN the two renames leaves the
+    * data intact at `target._old`; recover by renaming it back. */
+  private[graft] def swapStaged(tmp: java.io.File, target: java.io.File): Unit = {
+    val bak = new java.io.File(target.getPath + "._old")
     if (target.exists()) {
       delete(bak)
       if (!target.renameTo(bak))
-        throw new java.io.IOException(s"upsertParquet: cannot stage $path aside")
+        throw new java.io.IOException(
+          s"swapStaged: cannot stage $target aside to $bak")
     }
-    if (!tmpFile.renameTo(target)) {
+    if (!tmp.renameTo(target)) {
       // restore the backup before failing — the table must survive
       if (bak.exists()) bak.renameTo(target)
-      throw new java.io.IOException(s"upsertParquet: swap into $path failed")
+      throw new java.io.IOException(s"swapStaged: swap of $tmp into $target failed")
     }
     delete(bak)
   }
@@ -91,7 +108,8 @@ object Sink {
 
   /** Small-file compaction: rewrite a parquet table to ~targetFileMB files.
     * Daily S13 runs produce one file per day per run; long-lived tables need
-    * periodic compaction to keep scan task counts sane at 100 TB. */
+    * periodic compaction to keep scan task counts sane at 100 TB.
+    * Same single-FS commit contract as [[swapStaged]]. */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -99,16 +117,7 @@ object Sink {
       (bytes / (targetFileMB.toLong << 20)).toInt)
     val tmp = path + "._compact"
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    val bak = new java.io.File(path + "._old")
-    delete(bak)
-    if (!target.renameTo(bak))
-      throw new java.io.IOException(s"compact: cannot stage $path aside")
-    if (!new java.io.File(tmp).renameTo(target)) {
-      if (bak.exists()) bak.renameTo(target)
-      throw new java.io.IOException(s"compact: swap into $path failed")
-    }
-    delete(bak)
+    swapStaged(new java.io.File(tmp), new java.io.File(path))
   }
 
   /** S11: CSV sink (utf-8, header), append or overwrite. */

@@ -90,6 +90,37 @@ class NearDupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L, 5L)
   }
 
+  test("dedupClusters: reliable-checkpoint path yields identical clusters") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val local = NearDup.dedupClusters(pairs, ids, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = NearDup.dedupClusters(pairs, ids, col("doc_id"),
+        reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reliable shouldBe local
+    // the fault-tolerant path really wrote to the cluster FS, not exec blocks
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckptDir).iterator().asScala
+      .count(java.nio.file.Files.isRegularFile(_)) should be > 0
+  }
+
+  test("dedupClusters releases every checkpoint block except its result") {
+    val sc = spark.sparkContext
+    val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val before = sc.getPersistentRDDs.keySet
+    val out = NearDup.dedupClusters(pairs, ids, col("doc_id"))
+    out.count() shouldBe 6
+    // edges + every superseded label round must be unpersisted by now; only
+    // the checkpoint backing the RETURNED frame may remain
+    (sc.getPersistentRDDs.keySet -- before).size should be <= 1
+    NearDup.releaseCheckpoint(out)
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
+
   test("simhash: identical texts → identical signature; near-dups → small hamming") {
     val sigs = NearDup.simhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

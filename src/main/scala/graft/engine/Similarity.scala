@@ -174,18 +174,53 @@ object Similarity {
       if ((h & 1) == 0) 1.0 else -1.0
     }
 
+  /** Estimated corpus row count from optimizer stats — no job. Parquet scans
+    * report sizeInBytes; rowCount only exists under CBO/collected stats, so
+    * fall back to bytes / (8 bytes per double × dim, plus id) per row. */
+  private def estimatedRows(emb: DataFrame, dim: Int): Long = {
+    val stats = emb.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      (stats.sizeInBytes / BigInt(8L * dim + 8)).toLong max 1L
+    }
+  }
+
   /** LSH-bucketed ANN: banded candidates (corpus vectors sharing >= 1 band
     * chunk with the query), ranked by full-signature Hamming distance to keep
     * the best `candidatesPerQuery` per query, exact-cosine reranked to top-k.
     * The Hamming ranking between blocking and rerank is what rescues recall
     * on FAR neighbors (an exact top-k reaches into background distances where
     * single-band collisions alone are noisy).
+    *
+    * `candidatesPerQuery <= 0` (the default) auto-scales the Hamming window
+    * to `clamp(max(40k, rows/5), 10_000)` from optimizer scan stats. The
+    * floor is recall-driven: an exact top-k reaches into background
+    * distances, where a true neighbor's Hamming rank among n background
+    * collisions grows ~linearly in n (measured: 40-candidate window → recall
+    * 0.8 at n=500; 200 → ≥0.9). The cap bounds the rerank join at corpus
+    * scale, where near-neighbor Hamming ranks ARE accurate and the window
+    * only needs to cover k with margin. Note the window depth does NOT
+    * bound the banded-join/ranking cost — collisions are ranked before the
+    * cut — so shrinking it cannot rescue small-corpus latency; see the
+    * crossover note below for when to use brute force instead.
+    *
+    * CROSSOVER vs [[cosineTopK]]: brute force is one linear corpus pass per
+    * query batch — at n = 2 000 (sf0.1) it wins and LSH's signing + banded
+    * join overhead is pure loss. LSH amortizes the one-off signing and scores
+    * only bucket collisions (~n^0.65 per query at these parameters), so it
+    * overtakes once n reaches the high 10^4s and is the only viable path at
+    * corpus scale (10^8+, where a linear pass per query batch is a full-table
+    * scan). Below that, call [[cosineTopK]].
+    *
     * Returns (qid, cid, cos, rn) like [[cosineTopK]] — recall < 1 by design;
     * see SimilaritySpec for the measured recall floor. */
   def lshCosineTopK(emb: DataFrame, id: Column, vec: Column,
                     queryIds: Seq[Long], k: Int, bits: Int = 256,
                     bands: Int = 24, rowsPerBand: Int = 4, dim: Int = 64,
-                    candidatesPerQuery: Int = 400): DataFrame = {
+                    candidatesPerQuery: Int = 0): DataFrame = {
+    val cpq =
+      if (candidatesPerQuery > 0) candidatesPerQuery
+      else math.min(
+        math.max(40L * k, estimatedRows(emb, dim) / 5L), 10000L).toInt
     val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands,
       rowsPerBand, dim)
     // query side is tiny: carry its vector in the broadcast; corpus vectors
@@ -202,7 +237,7 @@ object Similarity {
         hamming(col("sig"), col("qsig")).as("ham"))
       .dropDuplicates("qid", "cid")
       .withColumn("_hr", row_number().over(wHam))
-      .filter(col("_hr") <= candidatesPerQuery)
+      .filter(col("_hr") <= cpq)
       .join(vecs, "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)

@@ -44,6 +44,66 @@ class MultimodalSpec extends SparkSpec {
     out.map(_.getLong(2)) shouldBe Array(8L, 4L, 1L) // n_bytes unchanged
   }
 
+  // -- real decoders -------------------------------------------------------
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Hand-built 2×2 24-bit BMP, bottom-up, rows padded to 4 bytes. */
+  private def bmpBytes: Array[Byte] =
+    "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ // DIB header
+      Array[Byte](10, 20, 30, 40, 50, 60, 0, 0, // bottom row (BGR) + pad
+        70, 80, 90, 100.toByte, 110.toByte, 120.toByte, 0, 0) // top row + pad
+
+  /** Hand-built PCM WAV: 8 kHz mono 16-bit, 4 samples of a ±0.5 square wave,
+    * with an odd-sized junk chunk before `data` to exercise RIFF skipping. */
+  private def wavBytes: Array[Byte] = {
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val junk = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // padded
+    val data = "data".getBytes ++ le32(8) ++
+      le16(16384) ++ le16(-16384 & 0xffff) ++ le16(16384) ++ le16(-16384 & 0xffff)
+    val body = fmt ++ junk ++ data
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  test("Decoders.bmp24: real pixel parse — dimensions and channel means") {
+    Multimodal.Decoders.bmp24(bmpBytes).toSeq shouldBe
+      Seq(2.0, 2.0, 75.0, 65.0, 55.0) // w, h, meanR, meanG, meanB
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.bmp24("not an image".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel data
+      Multimodal.Decoders.bmp24(bmpBytes.dropRight(4))
+    }
+  }
+
+  test("Decoders.wavPcm16: real sample parse — rate, channels, count, rms") {
+    Multimodal.Decoders.wavPcm16(wavBytes).toSeq shouldBe
+      Seq(8000.0, 1.0, 4.0, 0.5) // square wave at half amplitude → rms 0.5
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.wavPcm16("RIFFxxxxJUNK".getBytes)
+    }
+  }
+
+  test("extractFeatures end-to-end with the REAL media decoder") {
+    val media = Seq(
+      (1L, "image", bmpBytes),
+      (2L, "audio", wavBytes),
+      (3L, "video", "abcdefgh".getBytes)
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+      .orderBy("media_id").collect()
+    out(0).getSeq[Double](3) shouldBe Seq(2.0, 2.0, 75.0, 65.0, 55.0)
+    out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5)
+    out(2).getSeq[Double](3).sum shouldBe (1.0 +- 1e-4) // histogram fallback
+    out.map(_.getLong(2)) shouldBe
+      Array(bmpBytes.length.toLong, wavBytes.length.toLong, 8L)
+  }
+
   test("sampleFrames: every-nth-byte rows") {
     val frames = Multimodal.sampleFrames(
         Multimodal.asMedia(docs, col("doc_id"), col("text")), everyN = 4)

@@ -346,6 +346,10 @@ object SparkEntry {
     "q_ann_lsh_topk" -> ((s, d) =>
       Similarity.lshCosineTopK(embeddings(s, d), col("vec_id"),
         col("embedding"), Seq(0L, 1L, 2L), 5)),
+    // IVF-Flat ANN (coarse-quantizer scale path; recall in ScalaTest)
+    "q_ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfCosineTopK(embeddings(s, d), col("vec_id"),
+        col("embedding"), Seq(0L, 1L, 2L), 5)),
 
     // ---- Training-data pipeline: multimodal plumbing ----
     // binary payload + stubbed decode via mapPartitions (schema/batching real)

@@ -166,6 +166,136 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Top-`nprobe` nearest centroid indices by dot product (== cosine when
+    * the centroids are L2-normalized) — native codegen'd
+    * [[graft.engine.expressions.NearestCentroids]], one fused nlist×dim loop
+    * per row. */
+  def nearestCentroids(vec: Column, cents: Array[Array[Double]],
+                       nprobe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.NearestCentroids(
+      ColumnBridge.expression(vec), cents, nprobe))
+  }
+
+  /** Spherical k-means coarse quantizer for the IVF index: Lloyd's
+    * iterations run as Spark jobs; the DRIVER only ever holds the model —
+    * `nlist` seed vectors at init and the (cluster, dim) partial-sum
+    * aggregates per iteration (nlist×dim doubles, independent of corpus
+    * size). Vectors are L2-normalized once and cached for the duration of
+    * training (released on exit), so each iteration is one assignment pass
+    * (codegen'd argmax, zero shuffle) plus one (cl, pos) sum aggregation.
+    *
+    * Deterministic: seeds are the `nlist` rows with the smallest
+    * (murmur3(id), id); ties in assignment break toward the lower centroid
+    * index — same model on every run and every cluster.
+    *
+    * Empty clusters keep their previous centroid (standard Lloyd's repair is
+    * unnecessary for a coarse quantizer — an unused list just never gets
+    * probed). Zero-norm vectors are excluded from training; at search time
+    * they score 0 against every centroid and land in list 0. */
+  def ivfTrainCentroids(emb: DataFrame, id: Column, vec: Column,
+                        nlist: Int = 16, iters: Int = 5,
+                        dim: Int = 64): Array[Array[Double]] = {
+    import org.apache.spark.storage.StorageLevel
+    val nv = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("nrm", norm(col("cv")))
+      .filter(col("nrm") > 0)
+      .select(col("cid"),
+        transform(col("cv"), x => x / col("nrm")).as("nv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = nv
+        .orderBy(hash(col("cid")), col("cid")).limit(nlist)
+        .select(col("nv"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(cents.length > 0, "ivfTrainCentroids: empty corpus")
+      var it = 0
+      while (it < iters) {
+        val sums = nv
+          .select(element_at(nearestCentroids(col("nv"), cents, 1), 1)
+            .as("cl"), posexplode(col("nv")).as(Seq("pos", "x")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum(col("x")).as("s"))
+          .collect()
+        val acc = Array.fill(cents.length)(new Array[Double](dim))
+        val seen = new Array[Boolean](cents.length)
+        sums.foreach { r =>
+          val cl = r.getInt(0)
+          acc(cl)(r.getInt(1)) = r.getDouble(2)
+          seen(cl) = true
+        }
+        cents = cents.indices.map { c =>
+          if (!seen(c)) cents(c)
+          else {
+            val s = acc(c)
+            val n = math.sqrt(s.map(x => x * x).sum)
+            if (n == 0) cents(c) else s.map(_ / n)
+          }
+        }.toArray
+        it += 1
+      }
+      cents
+    } finally nv.unpersist(blocking = false)
+  }
+
+  /** Inverted-list assignment: each corpus vector tagged with its nearest
+    * centroid — (cid, cv, cl), one codegen'd pass, zero shuffle. Persist the
+    * result (or sink it partitioned by `cl`) to amortize the index over many
+    * searches. */
+  def ivfAssign(emb: DataFrame, id: Column, vec: Column,
+                cents: Array[Array[Double]]): DataFrame =
+    emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("cl", element_at(nearestCentroids(col("cv"), cents, 1), 1))
+
+  /** IVF-Flat ANN search with a pre-trained quantizer: each query probes its
+    * `nprobe` nearest inverted lists; candidates are the corpus rows in
+    * those lists (broadcast join on the list id — the corpus never
+    * shuffles); exact cosine reranks to top-k. Scanned fraction ≈
+    * nprobe/nlist of the corpus per query — at scale, sink the assignment
+    * partitioned by `cl` and list pruning becomes partition pruning.
+    *
+    * Output matches [[cosineTopK]]: (qid, cid, cos, rn). Recall < 1 by
+    * design (a true neighbor in an unprobed list is missed) and — unlike
+    * [[lshCosineTopK]] — DEPENDS ON CORPUS CLUSTERABILITY: the quantizer
+    * only prunes where direction predicts neighborhood. On a clusterable
+    * corpus (the normal case for trained embeddings), recall ≥ 0.9 at
+    * nprobe/nlist = 4/16 (SimilaritySpec, 20-cluster fixture, measured
+    * 1.0). On an ISOTROPIC corpus, top-k reaches into background
+    * distances and recall degrades to ≈ the scanned fraction
+    * nprobe/nlist (measured on the synthetic testdata: 0.64 at 4/16,
+    * 0.88 at 8/16) — there, prefer [[lshCosineTopK]], whose
+    * Hamming-ranked window handles background-distance neighbors.
+    * SimilaritySpec pins both regimes. */
+  def ivfCosineTopKWith(indexed: DataFrame, cents: Array[Array[Double]],
+                        queryIds: Seq[Long], k: Int,
+                        nprobe: Int = 4): DataFrame = {
+    val queries = indexed.filter(col("cid").isin(queryIds: _*))
+      .select(col("cid").as("qid"), col("cv").as("qv"),
+        explode(nearestCentroids(col("cv"), cents, nprobe)).as("cl"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    indexed.join(broadcast(queries), Seq("cl"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Train + index + search in one call — the small-corpus convenience
+    * entry; at scale, train once ([[ivfTrainCentroids]]), persist the
+    * assignment ([[ivfAssign]]), and search many times
+    * ([[ivfCosineTopKWith]]). */
+  def ivfCosineTopK(emb: DataFrame, id: Column, vec: Column,
+                    queryIds: Seq[Long], k: Int, nlist: Int = 16,
+                    nprobe: Int = 4, iters: Int = 5,
+                    dim: Int = 64): DataFrame = {
+    val cents = ivfTrainCentroids(emb, id, vec, nlist, iters, dim)
+    ivfCosineTopKWith(ivfAssign(emb, id, vec, cents), cents, queryIds, k,
+      nprobe)
+  }
+
   /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
     * same on every JVM, so signatures are reproducible cluster-wide. */
   private[graft] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =

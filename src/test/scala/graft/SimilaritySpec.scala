@@ -32,6 +32,83 @@ class SimilaritySpec extends SparkSpec {
     approx.size should be <= exact.size // never returns more than k per query
   }
 
+  /** Deterministic clusterable corpus: 20 well-separated ±1 direction
+    * centers in 32-dim, 50 points each, every point = its center with 3 of
+    * 32 signs flipped (in-cluster cos = 1−2·3/32 ≈ 0.81; cross-cluster
+    * cos ≈ 0 ± 0.18) — the regime IVF's coarse quantizer assumes. */
+  private def clusteredCorpus = {
+    import scala.util.hashing.MurmurHash3
+    val centers = Similarity.hyperplanes(20, 32)
+    val rows = for {
+      c <- 0 until 20; i <- 0 until 50
+    } yield {
+      val flips = (0 until 32)
+        .sortBy(j => MurmurHash3.productHash((c, i, j))).take(3).toSet
+      val v = Array.tabulate(32) { j =>
+        (if (flips(j)) -centers(c)(j) else centers(c)(j)).toFloat
+      }
+      ((c * 50 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN: recall >= 0.9 on a clusterable corpus at defaults") {
+    val emb = clusteredCorpus
+    val qs = Seq(0L, 101L, 202L, 303L, 404L) // one per first five clusters
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfCosineTopK(emb, col("vec_id"), col("embedding"),
+      qs, 5, dim = 32).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic seeds + deterministic ties → deterministic model, so
+    // this floor is stable run-to-run (measured: 1.0)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.9
+    approx.size should be <= exact.size
+  }
+
+  test("IVF ANN: isotropic corpus recall tracks the scanned fraction; " +
+    "index determinism; reuse path") {
+    // testdata embeddings are ISOTROPIC (near-dup pairs planted in random
+    // directions — label is not a geometric cluster): top-k reaches into
+    // background distances, where IVF recall cannot beat the scanned
+    // fraction ≈ nprobe/nlist. This pins the documented behavior: recall
+    // comfortably above the scanned fraction, not near 1.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfCosineTopK(emb, col("vec_id"), col("embedding"),
+      qs, 5, nprobe = 8).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.6 // scanned fraction 8/16 = 0.5; measured 0.88
+
+    // determinism + reuse: a second training run reproduces the model
+    // bit-for-bit, and search-with-prebuilt-index matches the one-shot path
+    val c1 = Similarity.ivfTrainCentroids(emb, col("vec_id"), col("embedding"))
+    val c2 = Similarity.ivfTrainCentroids(emb, col("vec_id"), col("embedding"))
+    c1.flatten.toSeq shouldBe c2.flatten.toSeq
+    val indexed = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), c1)
+    val reused = Similarity.ivfCosineTopKWith(indexed, c1, qs, 5, nprobe = 8)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    reused shouldBe approx
+  }
+
+  test("IVF assignment: every vector lands in its dot-argmax list") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfTrainCentroids(emb, col("vec_id"),
+      col("embedding"), nlist = 8, iters = 3)
+    val rows = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+      .select("cv", "cl").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val dots = cents.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      r.getInt(1) shouldBe dots.indexOf(dots.max)
+    }
+  }
+
   test("LSH pairs: recall >= 0.9 and precision 1.0 vs exact at sf0.1") {
     // the tuning lock (bits=256, 24×4 bands, z=2.5 Hamming cut): tau=0.4 is
     // adversarial for SRP (true pairs at ~66°, background continuum to

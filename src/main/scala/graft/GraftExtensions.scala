@@ -46,6 +46,10 @@ object GraftExtensions {
       exprs => HammingDistance(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
     bridge.registerFunction(spark, "graft_minhash", buildMinhash)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.engine.rules.RewriteHofCosine))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.engine.rules.RewriteHofCosine)
   }
 }
 
@@ -73,5 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       GraftExtensions.buildMinhash _))
+    // declarative HOF cosine → native codegen'd expression (see the rule's
+    // Scaladoc for the exact pattern and the semantics-preservation guard)
+    ext.injectOptimizerRule(_ => graft.engine.rules.RewriteHofCosine)
   }
 }

@@ -50,6 +50,48 @@ class ExpressionSpec extends SparkSpec {
       .head().getDouble(0) shouldBe (1.0 +- 1e-12)
   }
 
+  test("RewriteHofCosine: HOF formulation optimizes to graft_cosine, " +
+    "bit-equal results, null/mismatch semantics preserved") {
+    import graft.engine.rules.RewriteHofCosine
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = emb.limit(1).select(col("v").as("qv"))
+    val hof = emb.crossJoin(q)
+      .select(col("vec_id"), Similarity.cosineHof(col("v"), col("qv")).as("c"))
+    val baseline = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
+    try {
+      // the optimized plan carries the native expression, not the HOF tree
+      val planStr = hof.queryExecution.optimizedPlan.toString
+      planStr should include("graft_cosine")
+      planStr should not include "aggregate(zip_with"
+      // bit-equal: same accumulation order in both formulations
+      hof.collect().foreach { r =>
+        r.getDouble(1) shouldBe baseline(r.getLong(0))
+      }
+
+      // mismatched lengths: HOF yields null (zip_with pads with null);
+      // the rewrite's size guard preserves that exactly
+      val mixed = Seq(
+        (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))),
+        (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0))),
+        (None: Option[Seq[Double]], Some(Seq(1.0, 2.0)))
+      ).toDF("a", "b")
+      val out = mixed
+        .select(Similarity.cosineHof(col("a"), col("b")).as("c")).collect()
+      out(0).getDouble(0) shouldBe (1.0 +- 1e-12)
+      out(1).isNullAt(0) shouldBe true
+      out(2).isNullAt(0) shouldBe true
+
+      // a bare dot product (no norm denominator) is NOT rewritten
+      val dotOnly = mixed.select(Similarity.dot(col("a"), col("b")).as("d"))
+      dotOnly.queryExecution.optimizedPlan.toString should not
+        .include("graft_cosine")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("graft_srp_signature: sign bits match per-plane HOF dot products") {
     val bits = 64
     val dim = 8

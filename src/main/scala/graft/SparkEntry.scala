@@ -307,6 +307,15 @@ object SparkEntry {
     // exact n-gram (3-shingle) Jaccard near-dup pairs
     "q_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // benchmark decontamination: src0 docs as the "eval set", the rest as
+    // the training corpus; containment >= 0.5 (oracled)
+    "q_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      NearDup.contaminationPairs(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        0.5)
+    }),
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only + ScalaTest)
     "q_minhash_pairs" -> ((s, d) =>
       NearDup.minhashLshPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
@@ -350,6 +359,23 @@ object SparkEntry {
     "q_ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfCosineTopK(embeddings(s, d), col("vec_id"),
         col("embedding"), Seq(0L, 1L, 2L), 5)),
+
+    // end-to-end corpus clean: exact dedup → minhash clusters → quality
+    // floor (rows-only — iterative clustering inside; composition spec'd
+    // in FlowsSpec with the exact-jaccard detector injected)
+    "q_corpus_clean" -> ((s, d) => {
+      val en = TextOps.langMarkers.toMap.apply("en")
+      Flows.corpusClean(documents(s, d), col("doc_id"), col("text"), en)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
+
+    // ---- Training-data pipeline: deterministic mixing ----
+    // hash-stratified sample to target shares (rows-only: xxhash64 bucket
+    // decisions aren't reproducible in the oracle engine; proportions,
+    // determinism and monotonicity are spec'd in SamplingSpec)
+    "q_stratified_mix" -> ((s, d) =>
+      Sampling.mixToShares(documents(s, d), col("doc_id"), col("source"),
+        Map("src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.3))),
 
     // ---- Training-data pipeline: multimodal plumbing ----
     // binary payload + stubbed decode via mapPartitions (schema/batching real)
@@ -616,6 +642,27 @@ object SparkEntry {
                JOIN sizes s1 ON s1.doc_id = id1
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id, source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         bsizes AS (SELECT doc_id, count(*) AS n FROM sh
+                    WHERE source = 'src0' GROUP BY 1),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                     count(*) AS c
+                   FROM (SELECT doc_id, s FROM sh WHERE source <> 'src0') c
+                   JOIN (SELECT doc_id, s FROM sh WHERE source = 'src0') b
+                     USING (s)
+                   GROUP BY 1, 2)
+         SELECT corpus_id, bench_id,
+                round(c::DOUBLE / n, 6) AS containment
+         FROM inter JOIN bsizes ON bsizes.doc_id = bench_id
+         WHERE round(c::DOUBLE / n, 6) >= 0.5""",
     "q_embed_dedup_pairs" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -58,4 +58,38 @@ object Flows {
       requiredHours).select(col("day"))
     missing.unionByName(incomplete).distinct()
   }
+
+  /** LLM corpus cleaning, end to end — the composition the training-data
+    * operators exist for:
+    *
+    *  1. EXACT dedup: one shuffle on the content hash, keeper = min id.
+    *  2. NEAR-dup: `nearDupPairs` (MinHash+LSH by default; inject
+    *     [[NearDup.jaccardPairs]] for the exact small-scale variant or
+    *     a SimHash/embedding detector) → connected components → keep each
+    *     cluster's canonical member.
+    *  3. QUALITY floor: integer [[TextOps.qualityScore]] >= `minQuality`.
+    *
+    * Returns surviving rows of `docs` with `quality` attached. The result is
+    * backed by the clustering's checkpoint blocks — in a long-lived session
+    * call [[NearDup.releaseCheckpoint]] on the RETURNED frame once it is
+    * materialized (it finds the checkpoint leaf through the joins).
+    *
+    * Scale shape: stages 1–2 shuffle ids/hashes only (the text rides a
+    * left-semi join back in, never through the pair pipeline); stage 3 is a
+    * map-side filter. No stage is quadratic in the corpus. */
+  def corpusClean(docs: DataFrame, id: Column, text: Column,
+                  stopwords: Seq[String], tau: Double = 0.1,
+                  minQuality: Long = 300L,
+                  nearDupPairs: (DataFrame, Column, Column, Double) => DataFrame =
+                    NearDup.minhashLshPairs(_, _, _, _)): DataFrame = {
+    val exactKeep = NearDup.exactDuplicates(docs, id, text)
+      .select(col("keeper").as("_keep_id"))
+    val exact = docs.join(exactKeep, id === col("_keep_id"), "left_semi")
+    val pairs = nearDupPairs(exact, id, text, tau)
+    val canon = NearDup.canonicalByCluster(NearDup.dedupClusters(pairs, exact, id))
+      .select(col("doc_id").as("_canon_id"))
+    exact.join(canon, id === col("_canon_id"), "left_semi")
+      .withColumn("quality", TextOps.qualityScore(text, stopwords))
+      .filter(col("quality") >= minQuality)
+  }
 }

@@ -96,6 +96,49 @@ object NearDup {
     jaccardFromInter(inter, sizes, tau)
   }
 
+  /** Cross-corpus contamination scan (benchmark decontamination): for each
+    * benchmark/eval item, the corpus docs whose shingle CONTAINMENT
+    * `|corpus ∩ bench| / |bench shingles|` is >= tau. Containment, not
+    * symmetric Jaccard: an eval item quoted verbatim inside a long training
+    * document dilutes the Jaccard ratio (union grows with the doc) but not
+    * the benchmark-side containment — the metric decontamination needs.
+    *
+    * Same blocking discipline as [[jaccardPairs]]: ONE shuffle of the corpus
+    * shingles (8-byte hashes) into posting lists, df-capped (a boilerplate
+    * shingle shared by m corpus docs × k bench items would emit m×k pairs;
+    * lists longer than `maxDf` are dropped and counted in the observable
+    * metric). The bench side is typically orders of magnitude smaller than
+    * the corpus and rides the join broadcast-style under AQE. Pairs form
+    * only where a shingle is actually shared — no cross product.
+    * Output: (corpus_id, bench_id, containment >= tau). */
+  def contaminationPairs(corpus: DataFrame, corpusId: Column,
+                         corpusText: Column, bench: DataFrame, benchId: Column,
+                         benchText: Column, tau: Double, n: Int = 3,
+                         maxDf: Int = 100000): DataFrame = {
+    val cPost = TextOps.shingles(TextOps.spreadForCpu(corpus), corpusId,
+        corpusText, n)
+      .select(col("doc_id").as("corpus_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(col("corpus_id")).as("cids"))
+      .observe(s"contamination_df_cap_${observeCounter.incrementAndGet()}",
+        sum(when(size(col("cids")) > maxDf, 1L).otherwise(0L))
+          .as("n_dropped_shingles"))
+      .filter(size(col("cids")) <= maxDf)
+    val bSh = TextOps.shingles(bench, benchId, benchText, n)
+      .select(col("doc_id").as("bench_id"), xxhash64(col("shingle")).as("sh"))
+    val bSizes = bench.select(benchId.as("bench_id"),
+      size(TextOps.shingleArray(benchText, n)).as("n_b"))
+    bSh.join(cPost, "sh")
+      .select(col("bench_id"), explode(col("cids")).as("corpus_id"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(bSizes, "bench_id")
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_b"), 6))
+      .filter(col("containment") >= tau)
+      .select(col("corpus_id"), col("bench_id"), col("containment"))
+  }
+
   /** MinHash signatures: k independent min-hashes per doc over its shingle
     * set, computed row-at-a-time by the native codegen'd
     * [[graft.engine.expressions.MinHashSignature]] expression over the

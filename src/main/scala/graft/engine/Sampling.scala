@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: choose per-stratum
+  * fractions (by source, language, quality band, …) and keep a stable,
+  * reproducible subset — the "40% web / 30% code / 30% books" step of a
+  * corpus build.
+  *
+  * Unlike `df.sample`/`sampleBy` (per-partition RNG streams — the kept set
+  * changes with partitioning, task retries and cluster size), the keep
+  * decision here is a PURE FUNCTION of (id, salt): stable across runs and
+  * re-layouts, safe to recompute after an executor loss, and monotone —
+  * raising a stratum's fraction only ADDs rows, so sample growth between
+  * pipeline versions is incremental, never a reshuffle of survivors. One
+  * map-side filter; no shuffle, no RNG state, nothing to broadcast but the
+  * literal fraction map.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Keep a row iff `pmod(xxhash64(id, salt), 10^6) < 10^6 × f(stratum)`.
+    * Strata absent from `fractions` (and null strata) get
+    * `defaultFraction` (0 = drop — the decontamination-friendly default).
+    * Fractions are honored to ±binomial noise (hash buckets are uniform;
+    * the realized count concentrates around f·n like any Bernoulli
+    * sample). */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       fractions: Map[String, Double], salt: Long = 0L,
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    val frac = coalesce(element_at(typedlit(fractions), stratum),
+      lit(defaultFraction))
+    df.filter(pmod(xxhash64(id, lit(salt)), lit(Buckets)).cast("double") <
+      frac * Buckets.toDouble)
+  }
+
+  /** Per-stratum fractions that realize target mix `shares` (relative
+    * weights) at the LARGEST total the corpus supports: the binding stratum
+    * (smallest count/weight) is taken whole; every other stratum is
+    * down-sampled to match. Pure arithmetic — unit-testable without Spark. */
+  private[graft] def mixFractions(counts: Map[String, Long],
+                                  shares: Map[String, Double]): Map[String, Double] = {
+    require(shares.values.forall(_ >= 0.0), "shares must be >= 0")
+    val active = shares.filter { case (s, w) => w > 0 && counts.getOrElse(s, 0L) > 0 }
+    require(active.nonEmpty, "no stratum has both weight > 0 and rows > 0")
+    val total = active.map { case (s, w) => counts(s) / w }.min
+    shares.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0 || w == 0) 0.0 else math.min(1.0, w * total / n))
+    }
+  }
+
+  /** Mix the corpus to target proportions: count each stratum (ONE
+    * aggregate; the driver holds only the #strata-sized count map — a model,
+    * not data), derive fractions via [[mixFractions]], then
+    * [[stratifiedSample]]. Realized proportions carry the same binomial
+    * noise as the underlying hash sample. */
+  def mixToShares(df: DataFrame, id: Column, stratum: Column,
+                  shares: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val counts = df.groupBy(stratum.as("_s")).count().collect()
+      .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1) }
+      .toMap
+    stratifiedSample(df, id, stratum, mixFractions(counts, shares), salt)
+  }
+}

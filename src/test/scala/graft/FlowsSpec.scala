@@ -72,4 +72,35 @@ class FlowsSpec extends SparkSpec {
     out.forall(r => !r.isNullAt(4)) shouldBe true
     out.count(_.getString(5) == "present") shouldBe 5
   }
+
+  test("corpusClean: exact dup, near-dup cluster, then quality floor") {
+    import graft.engine.{NearDup, TextOps}
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank"), // near-dup of 1
+      (4L, "completely different words about spark catalyst optimizer plans here today"),
+      (5L, "zzz qqq xxx vvv kkk mmm nnn ppp rrr ttt") // no stopwords → low quality
+    ).toDF("doc_id", "text")
+    // jaccard as the injected detector: deterministic on a 5-doc fixture
+    // (minhash band collisions are probabilistic at jaccard ≈ 0.45)
+    val cleaned = Flows.corpusClean(docs, col("doc_id"), col("text"), en,
+      tau = 0.3, minQuality = Long.MinValue,
+      nearDupPairs = NearDup.jaccardPairs(_, _, _, _))
+    val q = cleaned.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 fell to exact dedup, 3 to 1's near-dup cluster (canonical = min id)
+    q.keySet shouldBe Set(1L, 4L, 5L)
+
+    // the quality floor drops the stopword-free doc but keeps real prose
+    val floor = q(5L) + 1
+    val expected = Set(1L, 4L).filter(i => q(i) >= floor)
+    expected should not be empty // the score separates prose from junk
+    val floored = Flows.corpusClean(docs, col("doc_id"), col("text"), en,
+        tau = 0.3, minQuality = floor,
+        nearDupPairs = NearDup.jaccardPairs(_, _, _, _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    floored shouldBe expected
+  }
 }

@@ -29,6 +29,51 @@ class NearDupSpec extends SparkSpec {
     out(0).getLong(2) shouldBe 2L // docs 1 and 3
   }
 
+  test("contaminationPairs: benchmark-side containment, not Jaccard") {
+    // eval item 100 is quoted VERBATIM inside long corpus doc 1: Jaccard is
+    // diluted by the doc's extra text, containment is exactly 1.0
+    val corpus = Seq(
+      (1L, "intro words then the secret eval question appears here verbatim " +
+        "followed by lots of other unrelated padding text going on and on"),
+      (2L, "completely different corpus document about spark plans today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the secret eval question appears here verbatim"),
+      (101L, "an uncontaminated eval question nothing shares")
+    ).toDF("doc_id", "text")
+    val out = NearDup.contaminationPairs(
+        corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out.keySet shouldBe Set((1L, 100L))
+    out((1L, 100L)) shouldBe 1.0
+    // sanity: symmetric jaccard on the same pair is far below the tau that
+    // containment clears — the dilution this metric exists to avoid
+    val jac = NearDup.jaccardPairs(
+        corpus.unionByName(bench), col("doc_id"), col("text"), 0.01)
+      .filter(col("id1") === 1L && col("id2") === 100L)
+      .collect()
+    jac.length shouldBe 1
+    jac.head.getDouble(2) should be < 0.5
+  }
+
+  test("contaminationPairs: hot corpus shingles are df-capped out") {
+    // every corpus doc shares the same boilerplate shingle; with maxDf=2 the
+    // posting list (df=3) is dropped, so boilerplate alone contaminates
+    // nothing — only the genuine quote survives
+    val corpus = Seq(
+      (1L, "common boiler plate prefix real signal content here"),
+      (2L, "common boiler plate prefix other words entirely now"),
+      (3L, "common boiler plate prefix third variation of text")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "real signal content here")).toDF("doc_id", "text")
+    val out = NearDup.contaminationPairs(
+        corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 100L))
+  }
+
   test("jaccardPairs finds exact and near dups with correct similarity") {
     val pairs = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
       .orderBy("id1", "id2").collect()

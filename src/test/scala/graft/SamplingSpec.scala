@@ -1,0 +1,64 @@
+package graft
+
+import graft.engine.{Sampling, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = spark.range(0, 9000)
+    .select(col("id"),
+      element_at(typedlit(Seq("web", "code", "books")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("src"))
+
+  test("stratifiedSample: fractions honored within binomial noise") {
+    val out = Sampling.stratifiedSample(fixture, col("id"), col("src"),
+      Map("web" -> 0.2, "code" -> 0.5, "books" -> 1.0))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3000 per stratum; 4 sigma ≈ 4*sqrt(3000*p*(1-p))
+    counts("web").toDouble shouldBe 600.0 +- 90.0
+    counts("code").toDouble shouldBe 1500.0 +- 110.0
+    counts("books") shouldBe 3000L // fraction 1.0 keeps everything
+  }
+
+  test("stratifiedSample: deterministic, monotone in fraction, salt-sensitive") {
+    def ids(f: Double, salt: Long = 0L): Set[Long] =
+      Sampling.stratifiedSample(fixture, col("id"), col("src"),
+          Map("web" -> f), salt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    ids(0.3) shouldBe ids(0.3) // pure function of (id, salt)
+    assert(ids(0.2).subsetOf(ids(0.5))) // raising f only ADDs rows
+    ids(0.3, salt = 1L) should not be ids(0.3) // salt rotates the sample
+    // strata not in the map are dropped entirely by default
+    Sampling.stratifiedSample(fixture, col("id"), col("src"),
+      Map("web" -> 1.0)).groupBy("src").count().count() shouldBe 1
+  }
+
+  test("mixFractions: binding stratum taken whole, others scaled to shares") {
+    val f = Sampling.mixFractions(
+      counts = Map("web" -> 300L, "code" -> 100L, "books" -> 500L),
+      shares = Map("web" -> 0.5, "code" -> 0.5, "books" -> 0.0))
+    // code binds: 100/0.5 = 200 total → web keeps 0.5*200/300
+    f("code") shouldBe 1.0
+    f("web") shouldBe (1.0 / 3.0) +- 1e-12
+    f("books") shouldBe 0.0
+    // a zero-count stratum never divides by zero
+    Sampling.mixFractions(Map("a" -> 10L), Map("a" -> 1.0, "b" -> 1.0))("b")
+      .shouldBe(0.0)
+  }
+
+  test("mixToShares on real documents: realized mix tracks targets") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Sampling.mixToShares(docs, col("doc_id"), col("source"),
+      Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25))
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("src1", "src2", "src3")
+    // src1 should end up ~2x src2 and src3 (±small-corpus noise: strata are
+    // only ~10-25 docs at sf0.01, so just check ordering and non-emptiness)
+    counts.values.foreach(_ should be > 0L)
+    counts("src1") should be >= counts("src2")
+    counts("src1") should be >= counts("src3")
+  }
+}

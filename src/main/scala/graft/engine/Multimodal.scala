@@ -170,6 +170,81 @@ object Multimodal {
       case ("audio", bytes) => wavPcm16(bytes)
       case (_, bytes) => decodeStub("video", bytes)
     }
+
+    private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
+      * newW × newH — source pixel for output (x, y) is
+      * (x·srcW/newW, y·srcH/newH), the standard NN mapping. Emits a VALID
+      * BMP payload (54-byte headers, rows padded to 4 bytes), so the result
+      * feeds straight back into [[bmp24]] or another resize — payload
+      * transforms compose. Same loud-failure contract as the decoders. */
+    def resizeBmp24(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      require(newW > 0 && newH > 0, s"bad target dimensions ${newW}x$newH")
+      require(payload.length >= 54 &&
+        payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+        "not a BMP payload")
+      val pixelOff = i32(payload, 10)
+      val srcW = i32(payload, 18)
+      val srcH = i32(payload, 22)
+      val bpp = u16(payload, 28)
+      val compression = i32(payload, 30)
+      require(bpp == 24 && compression == 0,
+        s"only 24-bit uncompressed BMP supported (bpp=$bpp comp=$compression)")
+      require(srcW > 0 && srcH > 0, s"bad dimensions ${srcW}x$srcH")
+      val srcRow = ((24 * srcW + 31) / 32) * 4
+      require(payload.length >= pixelOff + srcRow * srcH, "truncated pixels")
+      val dstRow = ((24 * newW + 31) / 32) * 4
+      val out = new Array[Byte](54 + dstRow * newH)
+      // file header + 40-byte DIB header
+      System.arraycopy("BM".getBytes("US-ASCII"), 0, out, 0, 2)
+      System.arraycopy(le32(out.length), 0, out, 2, 4)
+      System.arraycopy(le32(54), 0, out, 10, 4)
+      System.arraycopy(le32(40), 0, out, 14, 4)
+      System.arraycopy(le32(newW), 0, out, 18, 4)
+      System.arraycopy(le32(newH), 0, out, 22, 4)
+      System.arraycopy(le16(1), 0, out, 26, 2)
+      System.arraycopy(le16(24), 0, out, 28, 2)
+      System.arraycopy(le32(dstRow * newH), 0, out, 34, 4)
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * srcH / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * srcW / newW).toInt
+          val sp = pixelOff + sy * srcRow + sx * 3
+          val dp = 54 + y * dstRow + x * 3
+          out(dp) = payload(sp)
+          out(dp + 1) = payload(sp + 1)
+          out(dp + 2) = payload(sp + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Payload-to-payload transform stage: resize image payloads to w × h
+    * (other kinds pass through untouched) — the pre-featurize normalization
+    * step of an image pipeline, with the same `mapPartitions` batch shape as
+    * [[extractFeatures]] so a real resampler initializes once per task.
+    * Output schema == input schema, so stages chain:
+    * `extractFeatures(resizeImages(media, 64, 64))`. */
+  def resizeImages(media: DataFrame, w: Int, h: Int,
+                   resize: (Array[Byte], Int, Int) => Array[Byte] =
+                     Decoders.resizeBmp24): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        if (r.kind == "image") MediaRecord(r.media_id, r.kind,
+          resize(r.payload, w, h))
+        else r
+      }
+    }.toDF()
   }
 
   /** Frame/segment sampling stub: deterministic every-nth-byte "frames" of a

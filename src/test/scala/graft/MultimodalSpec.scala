@@ -104,6 +104,35 @@ class MultimodalSpec extends SparkSpec {
       Array(bmpBytes.length.toLong, wavBytes.length.toLong, 8L)
   }
 
+  test("Decoders.resizeBmp24: NN downscale/upscale round-trips the decoder") {
+    // 2×2 → 1×1 keeps the NN source pixel (0,0): bottom-left BGR(10,20,30)
+    Multimodal.Decoders.bmp24(
+      Multimodal.Decoders.resizeBmp24(bmpBytes, 1, 1)).toSeq shouldBe
+      Seq(1.0, 1.0, 30.0, 20.0, 10.0)
+    // 2×2 → 4×4 replicates each pixel 4×: channel means are unchanged
+    Multimodal.Decoders.bmp24(
+      Multimodal.Decoders.resizeBmp24(bmpBytes, 4, 4)).toSeq shouldBe
+      Seq(4.0, 4.0, 75.0, 65.0, 55.0)
+    // resize of a resize still parses (payload transforms compose)
+    Multimodal.Decoders.bmp24(Multimodal.Decoders.resizeBmp24(
+      Multimodal.Decoders.resizeBmp24(bmpBytes, 4, 4), 3, 2))(0) shouldBe 3.0
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.resizeBmp24("junk".getBytes, 2, 2)
+    }
+  }
+
+  test("resizeImages: images resized in place, other kinds untouched") {
+    val media = Seq(
+      (1L, "image", bmpBytes),
+      (2L, "audio", wavBytes)
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(
+        Multimodal.resizeImages(media, 4, 4), Multimodal.Decoders.media)
+      .orderBy("media_id").collect()
+    out(0).getSeq[Double](3) shouldBe Seq(4.0, 4.0, 75.0, 65.0, 55.0)
+    out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5) // untouched
+  }
+
   test("sampleFrames: every-nth-byte rows") {
     val frames = Multimodal.sampleFrames(
         Multimodal.asMedia(docs, col("doc_id"), col("text")), everyN = 4)

@@ -360,6 +360,18 @@ object SparkEntry {
       Similarity.ivfCosineTopK(embeddings(s, d), col("vec_id"),
         col("embedding"), Seq(0L, 1L, 2L), 5)),
 
+    // PII redaction: emails/URLs/digit runs → typed placeholders. The PII is
+    // synthesized from doc_id on BOTH sides so the oracle checks real
+    // replacements, not a no-op pass over PII-free synthetic text (oracled)
+    "q_redact_pii" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail-"), col("doc_id"),
+          lit(".example.com via https://ex.io/d/"), col("doc_id"),
+          lit(" ref 1234567"), col("doc_id"))).as("clean_text"))),
+    // context-window chunking: 64-token windows, 16-token overlap (oracled)
+    "q_chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocs(documents(s, d), col("doc_id"), col("text"), 64, 16)),
     // end-to-end corpus clean: exact dedup → minhash clusters → quality
     // floor (rows-only — iterative clustering inside; composition spec'd
     // in FlowsSpec with the exact-jaccard detector injected)
@@ -642,6 +654,29 @@ object SparkEntry {
                JOIN sizes s1 ON s1.doc_id = id1
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    "q_redact_pii" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id::VARCHAR || '@mail-' ||
+                   doc_id::VARCHAR || '.example.com via https://ex.io/d/' ||
+                   doc_id::VARCHAR || ' ref 1234567' || doc_id::VARCHAR,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+         FROM documents""",
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 1, 48)) AS s
+               FROM t)
+         SELECT doc_id, (s // 48)::BIGINT AS chunk_ix,
+                array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text,
+                least(64, len(toks) - s)::BIGINT AS n_tokens
+         FROM c""",
     "q_contamination" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
                        FROM documents),

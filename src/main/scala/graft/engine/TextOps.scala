@@ -202,4 +202,50 @@ object TextOps {
 
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), explode(shingleArray(text, n)).as("shingle"))
+
+  /** PII scrubbing: emails, URLs and long digit runs (phone numbers, account
+    * ids) replaced by typed placeholder tokens — the standard pre-training
+    * redaction pass. Patterns are deliberately RE2-compatible (no
+    * backrefs/lookarounds) so the same regexes run in Spark (Java regex) and
+    * RE2-based engines identically; order matters — emails before URLs
+    * (an email's domain must not half-match as a URL), digits last so
+    * placeholder text is never re-scanned. Pure `regexp_replace` chain:
+    * codegen'd, map-side, no UDF. */
+  def redactPii(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{7,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        url, "<URL>"),
+      num, "<NUM>")
+  }
+
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-length chunking step of a training/RAG pipeline. Chunk i covers
+    * tokens [i·stride, i·stride + size) with stride = size − overlap; the
+    * final window may be shorter (never empty), and a doc shorter than
+    * `size` yields exactly one chunk. `sequence`+`slice` stay inside
+    * codegen; the explode is the only row multiplier, so the op is
+    * corpus-linear with output ≈ input × size/stride.
+    * Output: (doc_id, chunk_ix, chunk_text, n_tokens). */
+  def chunkDocs(docs: DataFrame, id: Column, text: Column, chunkSize: Int = 64,
+                overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // starts 0, stride, 2·stride, … < n (sequence is inclusive and safe
+    // here: n >= 1 because split("") = [""] — no reversal hazard)
+    val starts = sequence(lit(0), n - 1, lit(stride))
+    docs.select(id.as("doc_id"), explode(transform(starts, s =>
+        struct((s / stride).cast("long").as("chunk_ix"),
+          concat_ws(" ", slice(toks, s + 1, lit(chunkSize))).as("chunk_text"),
+          least(lit(chunkSize), n - s).cast("long").as("n_tokens"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_ix"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
 }

@@ -477,6 +477,10 @@ object SparkEntry {
     "q_delta_lag" -> ((s, d) =>
       Analytics.deltaVsPrev(events(s, d), col("event_type"), col("ts"),
         col("event_id"), col("value"))),
+    // gap-based sessionization per user, 30-minute timeout (oracled)
+    "q_sessionize" -> ((s, d) =>
+      Analytics.sessionize(events(s, d), col("user_id"), col("ts"),
+        col("value"), 30)),
     // W7 conditional suffix by group property (namdong_merge_pv_data.py:93-104)
     "q_suffix_multi_unit" -> ((s, d) =>
       Analytics.suffixWhenMultiUnit(
@@ -903,6 +907,23 @@ object SparkEntry {
          round(value - LAG(value, 1) OVER (PARTITION BY event_type
            ORDER BY ts, event_id), 2) AS delta
          FROM events""",
+    "q_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM events),
+         m AS (SELECT user_id, ts, value,
+                 CASE WHEN prev IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                      THEN 1 ELSE 0 END AS brk
+               FROM l),
+         s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS six
+               FROM m)
+         SELECT user_id AS key, six::BIGINT AS session_ix,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY 1, 2""",
     "q_suffix_multi_unit" ->
       """SELECT p.p_partkey,
          CASE WHEN b.n_units > 1

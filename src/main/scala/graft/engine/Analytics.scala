@@ -204,6 +204,37 @@ object Analytics {
         round(col("v") - lag(col("v"), 1).over(w), 2).as("delta"))
   }
 
+  /** Gap-based batch sessionization: per key, a new session starts when the
+    * time since the previous event exceeds `gapMinutes` (the batch twin of
+    * `streaming.Streams.sessionSumStream`'s `session_window`). Two stacked
+    * window passes over one (key, ts) sort — lag for the break flag, running
+    * sum for the session index — then the per-session rollup; the groupBy's
+    * required clustering on (key, session_ix) is satisfied by the window's
+    * hash partitioning on key, so the whole operator is ONE shuffle.
+    *
+    * Tie-safe: events sharing (key, ts) get gap 0 whichever engine-specific
+    * tie order the sort picks, so session membership and the per-session
+    * aggregates are deterministic even though row order under ties is not.
+    * Output: (key, session_ix, session_start, session_end, n_events,
+    * sum_value). */
+  def sessionize(events: DataFrame, key: Column, ts: Column, value: Column,
+                 gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"))
+    val gapMs = gapMinutes * 60000L
+    events.select(key.as("key"), ts.as("ts"), value.as("v"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_brk", when(col("_prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("_prev")) > gapMs, 1L)
+        .otherwise(0L))
+      .withColumn("session_ix", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("session_ix"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("v")), 2).as("sum_value"))
+  }
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

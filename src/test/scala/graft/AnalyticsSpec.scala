@@ -22,6 +22,30 @@ class AnalyticsSpec extends SparkSpec {
         ("2024-01-05", 4.0, 1L))
   }
 
+  test("sessionize: gap splits, per-key independence, boundary inclusive") {
+    val df = Seq(
+      // key a: three events in one session (gaps 10 and 29 min), then a
+      // 31-min gap opens a second session
+      ("a".hashCode.toLong, t("2024-01-01 08:00:00"), 1.0),
+      ("a".hashCode.toLong, t("2024-01-01 08:10:00"), 2.0),
+      ("a".hashCode.toLong, t("2024-01-01 08:39:00"), 3.0),
+      ("a".hashCode.toLong, t("2024-01-01 09:10:00"), 4.0),
+      // key b: a gap of EXACTLY 30 min stays one session (strict >)
+      ("b".hashCode.toLong, t("2024-01-01 08:00:00"), 5.0),
+      ("b".hashCode.toLong, t("2024-01-01 08:30:00"), 6.0)
+    ).toDF("k", "ts", "v")
+    val out = Analytics.sessionize(df, col("k"), col("ts"), col("v"), 30)
+      .orderBy("key", "session_ix").collect()
+    val a = out.filter(_.getLong(0) == "a".hashCode.toLong)
+    a.map(_.getLong(1)) shouldBe Array(1L, 2L)
+    a.map(_.getLong(4)) shouldBe Array(3L, 1L) // n_events per session
+    a(0).getTimestamp(2) shouldBe t("2024-01-01 08:00:00") // session_start
+    a(0).getTimestamp(3) shouldBe t("2024-01-01 08:39:00") // session_end
+    a(0).getDouble(5) shouldBe 6.0
+    val b = out.filter(_.getLong(0) == "b".hashCode.toLong)
+    b.map(_.getLong(4)) shouldBe Array(2L) // 30:00 gap is NOT a break
+  }
+
   test("deltaVsPrev: first row null delta, deterministic order") {
     val df = Seq(("a", t("2024-01-01 00:00:00"), 1L, 10.0),
       ("a", t("2024-01-01 01:00:00"), 2L, 13.5),

@@ -49,6 +49,30 @@ class TextPrepSpec extends SparkSpec {
     d2.map(_.getLong(3)) shouldBe Array(2L)
   }
 
+  test("redactPii is idempotent on real documents (placeholders never re-match)") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(col("text"), lit(" x@y.io https://z.a 123456789"))
+        .as("text"))
+    val once = docs.select(TextOps.redactPii(col("text")).as("t"))
+    val twice = once.select(TextOps.redactPii(col("t")).as("t"))
+    once.collect().map(_.getString(0)).toSeq shouldBe
+      twice.collect().map(_.getString(0)).toSeq
+  }
+
+  test("chunkDocs covers every token of every real document") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reconstructed = TextOps.chunkDocs(docs, col("doc_id"), col("text"),
+        chunkSize = 16, overlap = 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_ix"), col("chunk_text"))))
+        .getField("chunk_text")).as("r"))
+    // zero-overlap chunks concatenated in chunk_ix order == original text
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(reconstructed, "doc_id")
+    joined.filter(col("text") =!= col("r")).count() shouldBe 0
+  }
+
   test("chunkDocs: zero overlap partitions the token stream exactly") {
     val docs = Seq((1L, (1 to 9).map("w" + _).mkString(" ")))
       .toDF("doc_id", "text")

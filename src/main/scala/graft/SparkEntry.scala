@@ -360,6 +360,17 @@ object SparkEntry {
       Similarity.ivfCosineTopK(embeddings(s, d), col("vec_id"),
         col("embedding"), Seq(0L, 1L, 2L), 5)),
 
+    // top-k corpus vocabulary (tokenizer-training prep; oracled)
+    "q_vocab_topk" -> ((s, d) =>
+      TextOps.vocabulary(documents(s, d), col("text"), 500)),
+    // embedding-space decontamination: bench = vec_id < 20, exact cosine
+    // cross-check against the rest of the corpus (oracled)
+    "q_embed_contamination" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.crossCosinePairs(
+        emb.filter(col("vec_id") >= 20), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 0.4)
+    }),
     // PII redaction: emails/URLs/digit runs → typed placeholders. The PII is
     // synthesized from doc_id on BOTH sides so the oracle checks real
     // replacements, not a no-op pass over PII-free synthetic text (oracled)
@@ -481,6 +492,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       Analytics.sessionize(events(s, d), col("user_id"), col("ts"),
         col("value"), 30)),
+    // robust per-key anomalies: > 3 MADs from the key median, integer cents
+    // (oracled — exact arithmetic, no float boundary)
+    "q_anomalies" -> ((s, d) =>
+      Analytics.robustAnomalies(events(s, d), col("user_id"),
+        col("event_id"), col("value"), 3)),
     // W7 conditional suffix by group property (namdong_merge_pv_data.py:93-104)
     "q_suffix_multi_unit" -> ((s, d) =>
       Analytics.suffixWhenMultiUnit(
@@ -658,6 +674,33 @@ object SparkEntry {
                JOIN sizes s1 ON s1.doc_id = id1
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+         SELECT token, count(*)::BIGINT AS n FROM t
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 500""",
+    "q_embed_contamination" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+                round(list_cosine_similarity(c.v, b.v), 6) AS cos
+         FROM (SELECT * FROM e WHERE vec_id >= 20) c,
+              (SELECT * FROM e WHERE vec_id < 20) b
+         WHERE round(list_cosine_similarity(c.v, b.v), 6) >= 0.4""",
+    "q_anomalies" ->
+      """WITH c AS (SELECT user_id AS key, event_id,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+                    FROM events),
+         m AS (SELECT key, median(v_cents) AS med FROM c GROUP BY 1),
+         d AS (SELECT c.key, c.event_id, c.v_cents,
+                 abs(c.v_cents - m.med) AS dev_cents
+               FROM c JOIN m USING (key)),
+         md AS (SELECT key, median(dev_cents) AS mad_c FROM d GROUP BY 1)
+         SELECT d.key, d.event_id, d.v_cents,
+                d.dev_cents::DOUBLE AS dev_cents, md.mad_c::DOUBLE AS mad_cents
+         FROM d JOIN md USING (key)
+         WHERE md.mad_c > 0 AND d.dev_cents > md.mad_c * 3""",
     "q_redact_pii" ->
       """SELECT doc_id,
            regexp_replace(

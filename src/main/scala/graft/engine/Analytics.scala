@@ -204,6 +204,39 @@ object Analytics {
         round(col("v") - lag(col("v"), 1).over(w), 2).as("delta"))
   }
 
+  /** Robust per-key anomaly detection: flag readings more than k MADs from
+    * the key's median (median/MAD, not mean/σ — a meter stuck at a spike
+    * drags the mean but not the median). Two aggregation passes over the
+    * same key partitioning (median, then median absolute deviation) and a
+    * broadcast-friendly per-key stats join; the fact stream never shuffles
+    * more than once per pass.
+    *
+    * ALL-INTEGER arithmetic: values are quantized to cents up front
+    * (`round(v·100)` — exact in doubles below 2^53), so medians are whole-
+    * or half-cents (exact), deviations exact, and the `> k·mad` cut is
+    * bit-identical across engines — no float-boundary flake (the measured
+    * failure class from round 1; see the verify skill notes). Keys with
+    * MAD = 0 (constant series) flag nothing: deviation > 0 = anomaly would
+    * fire on ANY noise, which is the caller's call, not a default.
+    * Output: (key, event_id, v_cents, dev_cents, mad_cents) for flagged
+    * rows. */
+  def robustAnomalies(df: DataFrame, key: Column, id: Column, value: Column,
+                      k: Int = 3): DataFrame = {
+    val cents = df.select(key.as("key"), id.as("event_id"),
+      round(value * 100, 0).cast("long").as("v_cents"))
+    val med = cents.groupBy(col("key"))
+      .agg(median(col("v_cents")).as("med"))
+    val dev = cents.join(med, "key")
+      .withColumn("dev_cents", abs(col("v_cents") - col("med")))
+    val mad = dev.groupBy(col("key"))
+      .agg(median(col("dev_cents")).as("mad_c"))
+    dev.join(mad, "key")
+      .filter(col("mad_c") > 0 && col("dev_cents") > col("mad_c") * k)
+      .select(col("key"), col("event_id"), col("v_cents"),
+        col("dev_cents").cast("double").as("dev_cents"),
+        col("mad_c").cast("double").as("mad_cents"))
+  }
+
   /** Gap-based batch sessionization: per key, a new session starts when the
     * time since the previous event exceeds `gapMinutes` (the batch twin of
     * `streaming.Streams.sessionSumStream`'s `session_window`). Two stacked

@@ -73,6 +73,26 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Cross-corpus embedding decontamination, exact: every (corpus, bench)
+    * pair with cosine >= tau — the embedding-space twin of
+    * [[graft.engine.NearDup.contaminationPairs]] (catches paraphrased eval
+    * items that shingle overlap misses). The bench side broadcasts (it is
+    * orders of magnitude smaller than the corpus; the corpus never
+    * shuffles). At corpus scale with a LARGE bench side, tag both frames
+    * and run [[lshCosinePairs]] over the union instead — banded, never
+    * quadratic. Output: (corpus_id, bench_id, cos). */
+  def crossCosinePairs(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       bench: DataFrame, benchId: Column, benchVec: Column,
+                       tau: Double): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"),
+      asDouble(corpusVec).as("cv"))
+    val b = bench.select(benchId.as("bench_id"), asDouble(benchVec).as("bv"))
+    c.crossJoin(broadcast(b))
+      .select(col("corpus_id"), col("bench_id"),
+        round(cosine(col("cv"), col("bv")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Packed SRP signature (ceil(bits/64) longs) via the native codegen'd
     * expression [[graft.engine.expressions.SrpSignature]] — one fused
     * bits×dim loop, computed ONCE per corpus vector. */

@@ -203,6 +203,18 @@ object TextOps {
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), explode(shingleArray(text, n)).as("shingle"))
 
+  /** Top-k corpus vocabulary by token frequency — the input to tokenizer/BPE
+    * training and stopword induction. One shuffle (map-side partial counts);
+    * the top-k compiles to TakeOrderedAndProject (per-partition heap, no
+    * global sort). Deterministic under count ties via the token tiebreak.
+    * Output: (token, n), highest-count first. */
+  def vocabulary(docs: DataFrame, text: Column, k: Int = 1000): DataFrame =
+    docs.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** PII scrubbing: emails, URLs and long digit runs (phone numbers, account
     * ids) replaced by typed placeholder tokens — the standard pre-training
     * redaction pass. Patterns are deliberately RE2-compatible (no

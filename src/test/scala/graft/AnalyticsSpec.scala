@@ -46,6 +46,20 @@ class AnalyticsSpec extends SparkSpec {
     b.map(_.getLong(4)) shouldBe Array(2L) // 30:00 gap is NOT a break
   }
 
+  test("robustAnomalies: median/MAD flags the spike, not the stuck mean") {
+    // key 1: values cluster at ~10 with one 100.0 spike. mean-based z would
+    // be dragged by the spike itself; median 10.10, MAD in cents stays small
+    val df = Seq(
+      (1L, 1L, 10.00), (1L, 2L, 10.10), (1L, 3L, 10.20), (1L, 4L, 9.90),
+      (1L, 5L, 100.0), // the anomaly
+      (2L, 6L, 5.0), (2L, 7L, 5.0), (2L, 8L, 5.0) // MAD = 0 → flags nothing
+    ).toDF("k", "id", "v")
+    val out = Analytics.robustAnomalies(df, col("k"), col("id"), col("v"), 3)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 5L))
+    out(0).getLong(2) shouldBe 10000L // v_cents
+  }
+
   test("deltaVsPrev: first row null delta, deterministic order") {
     val df = Seq(("a", t("2024-01-01 00:00:00"), 1L, 10.0),
       ("a", t("2024-01-01 01:00:00"), 2L, 13.5),

@@ -127,6 +127,20 @@ class SimilaritySpec extends SparkSpec {
     (lsh diff exact) shouldBe empty
   }
 
+  test("crossCosinePairs: bench vectors matched against a disjoint corpus") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.crossCosinePairs(
+        corpus, col("vec_id"), col("embedding"),
+        bench, col("vec_id"), col("embedding"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((10L, 1L)) // only the near-parallel pair clears tau
+  }
+
   test("hammingCut: tracks the expected fraction with slack") {
     // tau=0.4, 256 bits: E[ham] ≈ 94.5, std ≈ 7.7 → cut ≈ 114
     val cut = Similarity.hammingCut(0.4, 256)

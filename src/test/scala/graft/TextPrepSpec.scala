@@ -49,6 +49,14 @@ class TextPrepSpec extends SparkSpec {
     d2.map(_.getLong(3)) shouldBe Array(2L)
   }
 
+  test("vocabulary: counts with deterministic tie-break at the k boundary") {
+    val docs = Seq("b b b a c", "c a", "d").toDF("text")
+    val out = TextOps.vocabulary(docs, col("text"), k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a and c tie at 2 → both precede d (count 1) via the token tiebreak
+    out shouldBe Array(("b", 3L), ("a", 2L), ("c", 2L))
+  }
+
   test("redactPii is idempotent on real documents (placeholders never re-match)") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(concat(col("text"), lit(" x@y.io https://z.a 123456789"))

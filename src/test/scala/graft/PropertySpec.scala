@@ -115,4 +115,47 @@ class PropertySpec extends SparkSpec {
         out.filter(col("v_filled").isNull).count() shouldBe 0
     }
   }
+
+  test("property: sessionize partitions each key's events; gaps define the cut") {
+    import graft.engine.Analytics
+    val evGen = for {
+      nKeys <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, nKeys)
+        // minute offsets up to 4h so both sides of a 30-min gap occur
+        m <- Gen.choose(0, 240)
+        v <- Gen.choose(0.0, 10.0)
+      } yield (k.toLong, m, v))
+    } yield rows
+    forAll(evGen, n = 15) { rows =>
+      val df = rows.map { case (k, m, v) =>
+        (k, new Timestamp(1704067200000L + m * 60000L), v)
+      }.toDF("k", "ts", "v")
+      val sessions = Analytics.sessionize(df, col("k"), col("ts"), col("v"), 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4)))
+      // 1. partition law: session row counts per key sum to the key's events
+      val perKey = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      sessions.groupBy(_._1).foreach { case (k, ss) =>
+        ss.map(_._4).sum shouldBe perKey(k)
+      }
+      // 2. ordering/gap law: consecutive sessions of a key are separated by
+      // MORE than the timeout, and sessions never overlap
+      sessions.groupBy(_._1).values.foreach { ss =>
+        ss.sortBy(_._2.getTime).sliding(2).foreach {
+          case Array(a, b) =>
+            (b._2.getTime - a._3.getTime) should be > 30L * 60000L
+          case _ => ()
+        }
+      }
+      // 3. within a session, start <= end and the span is gap-bounded per
+      // event count (n events can span at most (n-1) * timeout)
+      sessions.foreach { case (_, start, end, n) =>
+        start.getTime should be <= end.getTime
+        (end.getTime - start.getTime) should be <= (n - 1).max(0) * 30L * 60000L
+      }
+    }
+  }
 }

@@ -230,8 +230,13 @@ object Similarity {
         .collect()
         .map(_.getSeq[Double](0).toArray)
       require(cents.length > 0, "ivfTrainCentroids: empty corpus")
+      // early exit on convergence: the per-iteration sums are already on the
+      // driver, so comparing new centroids to old is free — Lloyd's on
+      // clusterable data typically converges in 2-3 rounds and the remaining
+      // `iters` jobs would recompute an identical model
       var it = 0
-      while (it < iters) {
+      var moved = true
+      while (it < iters && moved) {
         val sums = nv
           .select(element_at(nearestCentroids(col("nv"), cents, 1), 1)
             .as("cl"), posexplode(col("nv")).as(Seq("pos", "x")))
@@ -245,7 +250,7 @@ object Similarity {
           acc(cl)(r.getInt(1)) = r.getDouble(2)
           seen(cl) = true
         }
-        cents = cents.indices.map { c =>
+        val next = cents.indices.map { c =>
           if (!seen(c)) cents(c)
           else {
             val s = acc(c)
@@ -253,6 +258,11 @@ object Similarity {
             if (n == 0) cents(c) else s.map(_ / n)
           }
         }.toArray
+        moved = cents.indices.exists { c =>
+          cents(c).indices.exists(j =>
+            math.abs(next(c)(j) - cents(c)(j)) > 1e-12)
+        }
+        cents = next
         it += 1
       }
       cents

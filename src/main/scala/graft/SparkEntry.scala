@@ -407,6 +407,19 @@ object SparkEntry {
         Multimodal.asMedia(documents(s, d), col("doc_id"), col("text")))
         .select(col("media_id"), col("kind"), col("n_bytes"))),
 
+    // full image path on real pixel data: synthesize a valid BMP per doc,
+    // resize through the NN resampler, decode with the real parser
+    // (rows-only — binary payloads aren't SQL-expressible)
+    "q_media_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        Multimodal.MediaRecord(id, "image", Multimodal.Decoders.syntheticBmp(id))
+      }.toDF()
+      Multimodal.extractFeatures(
+          Multimodal.resizeImages(media, 4, 4), Multimodal.Decoders.media)
+        .select(col("media_id"), col("n_bytes"), col("feature"))
+    }),
+
     // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
     // S13 idempotent date-partition overwrite: initial load days <20, then a
     // corrected re-delivery of days >=15 (doubled) — only those partitions
@@ -446,11 +459,17 @@ object SparkEntry {
     "q_stream_hourly" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the streaming file source wants a directory: symlink the single
-      // parquet file into a temp dir (zero-copy)
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+      // parquet file into a STABLE per-sfDir temp dir (zero-copy; a fresh
+      // createTempDirectory per run would accumulate dirs in /tmp for every
+      // bench/verify run — the disk twin of the memory-sink leak below)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$d/events.parquet"))
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(schema).parquet(dir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -465,12 +484,14 @@ object SparkEntry {
       // spill the sink to parquet and DROP the memory table: memory sinks
       // hold every output row on the driver for the session lifetime, and a
       // long-lived session (or the 54-query bench JVM) accumulates one
-      // resident table per run — the result must outlive the sink, not pin it
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_out_").toString + "/res"
+      // resident table per run — the result must outlive the sink, not pin
+      // it. The spill path is stable and OVERWRITTEN per run (one copy on
+      // disk, not one per run).
+      val outDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_out", d.replaceAll("[^a-zA-Z0-9]", "_")).toString
       s.table(qname).select(col("bucket"), col("grp"),
           round(col("total"), 2).as("total"))
-        .write.parquet(outDir)
+        .write.mode("overwrite").parquet(outDir)
       s.catalog.dropTempView(qname)
       s.read.parquet(outDir)
     }),

@@ -99,13 +99,16 @@ object Multimodal {
       require(bpp == 24 && compression == 0,
         s"only 24-bit uncompressed BMP supported (bpp=$bpp comp=$compression)")
       require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-      val rowSize = ((24 * width + 31) / 32) * 4
-      require(payload.length >= pixelOff + rowSize * height, "truncated pixels")
+      val rowSize = ((24L * width + 31) / 32) * 4
+      // Long arithmetic: a corrupt header with huge dims must fail THIS
+      // check, not wrap through Int and pass it (fail-loudly contract)
+      require(pixelOff >= 0 &&
+        payload.length >= pixelOff + rowSize * height, "truncated pixels")
       var (sumB, sumG, sumR) = (0.0, 0.0, 0.0)
       var y = 0
       while (y < height) {
         var x = 0
-        var p = pixelOff + y * rowSize
+        var p = pixelOff + y * rowSize.toInt
         while (x < width) {
           sumB += (payload(p) & 0xff)
           sumG += (payload(p + 1) & 0xff)
@@ -133,7 +136,8 @@ object Multimodal {
       while (off + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
         val id = new String(payload, off, 4, "US-ASCII")
         val size = i32(payload, off + 4)
-        require(size >= 0 && off + 8 + size <= payload.length,
+        // Long arithmetic: size near Int.MaxValue must fail here, not wrap
+        require(size >= 0 && off + 8L + size <= payload.length,
           s"bad RIFF chunk $id size=$size")
         id match {
           case "fmt " =>
@@ -164,16 +168,34 @@ object Multimodal {
     /** Kind-dispatching media decoder over the real format parsers: BMP for
       * images, WAV for audio; video payloads fall back to the byte-histogram
       * fingerprint (no dependency-free video container is worth hand-rolling
-      * — frame sampling is [[sampleFrames]]'s job). */
+      * — frame sampling is [[sampleFrames]]'s job). Any OTHER kind fails
+      * loudly: a typo'd kind silently getting histogram "features" is
+      * exactly the degradation this decoder's contract forbids. */
     val media: Decoder = {
       case ("image", bytes) => bmp24(bytes)
       case ("audio", bytes) => wavPcm16(bytes)
-      case (_, bytes) => decodeStub("video", bytes)
+      case ("video", bytes) => decodeStub("video", bytes)
+      case (kind, _) => throw new IllegalArgumentException(
+        s"unknown media kind '$kind' (expected image/audio/video)")
     }
 
     private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
     private def le32(v: Int): Array[Byte] =
       Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    /** Deterministic 2×2 24-bit BMP with pixels derived from `seed` — a
+      * VALID payload generator so the image path (resize → decode) can run
+      * end-to-end on real pixel data against tables that carry no actual
+      * image bytes. Pure function of the seed: same payload everywhere. */
+    def syntheticBmp(seed: Long): Array[Byte] = {
+      val px = Array.tabulate(12)(i =>
+        (java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L, i) & 0xff).toByte)
+      "BM".getBytes("US-ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        px.slice(0, 6) ++ Array[Byte](0, 0) ++ // bottom row + pad
+        px.slice(6, 12) ++ Array[Byte](0, 0)   // top row + pad
+    }
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
       * newW × newH — source pixel for output (x, y) is
@@ -194,9 +216,14 @@ object Multimodal {
       require(bpp == 24 && compression == 0,
         s"only 24-bit uncompressed BMP supported (bpp=$bpp comp=$compression)")
       require(srcW > 0 && srcH > 0, s"bad dimensions ${srcW}x$srcH")
-      val srcRow = ((24 * srcW + 31) / 32) * 4
-      require(payload.length >= pixelOff + srcRow * srcH, "truncated pixels")
-      val dstRow = ((24 * newW + 31) / 32) * 4
+      val srcRow = (((24L * srcW + 31) / 32) * 4).toInt
+      require(pixelOff >= 0 &&
+        payload.length >= pixelOff + ((24L * srcW + 31) / 32) * 4 * srcH,
+        "truncated pixels")
+      val dstRowL = ((24L * newW + 31) / 32) * 4
+      require(54 + dstRowL * newH <= Int.MaxValue,
+        s"target too large: ${newW}x$newH")
+      val dstRow = dstRowL.toInt
       val out = new Array[Byte](54 + dstRow * newH)
       // file header + 40-byte DIB header
       System.arraycopy("BM".getBytes("US-ASCII"), 0, out, 0, 2)

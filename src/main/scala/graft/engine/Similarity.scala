@@ -247,7 +247,14 @@ object Similarity {
         val seen = new Array[Boolean](cents.length)
         sums.foreach { r =>
           val cl = r.getInt(0)
-          acc(cl)(r.getInt(1)) = r.getDouble(2)
+          val pos = r.getInt(1)
+          // same fail-loudly policy as SrpSignature/NearestCentroids: a
+          // dim narrower than the embedding must not surface as a bare
+          // ArrayIndexOutOfBoundsException from the accumulator
+          if (pos >= dim) throw new IllegalArgumentException(
+            s"ivfTrainCentroids: embedding has >= ${pos + 1} dims but " +
+              s"dim=$dim — dim must be >= the embedding width")
+          acc(cl)(pos) = r.getDouble(2)
           seen(cl) = true
         }
         val next = cents.indices.map { c =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.engine.expressions.CosineSimilarity
+import graft.engine.expressions.{ArrayDot, ArrayNormSq}
 
 /** Optimizer rule: rewrite the higher-order-function cosine formulation
   *
@@ -15,21 +15,18 @@ import graft.engine.expressions.CosineSimilarity
   *      * sqrt(aggregate(transform(b, x -> x * x), 0.0D, (acc, x) -> acc + x)))
   * }}}
   *
-  * into the native codegen'd [[CosineSimilarity]]. The HOF tree evaluates
-  * INTERPRETED — per-element lambda dispatch, three passes over each vector,
-  * outside whole-stage codegen — while the native expression is one fused
-  * loop inside the codegen span. Users (and SQL authors porting from engines
-  * with `list_cosine_similarity`) write the declarative form; this rule makes
-  * it run at native speed without them knowing the expression exists.
-  *
-  * Semantics-preserving, exactly: same left-to-right accumulation order
-  * (bit-equal results), null vector → null, null element → null. The one
-  * divergence — [[CosineSimilarity]] uses the common prefix on mismatched
-  * lengths where the HOF form yields null (zip_with pads with null) — is
-  * closed by guarding the rewrite with `size(a) = size(b)`, which also
-  * yields null for null inputs, matching HOF propagation. Equal-length
-  * vectors (every real embedding corpus) pay two `numElements` calls for a
-  * ~dim× fewer virtual-call evaluation.
+  * into fused native kernels: the dot and sum-of-squares aggregates become
+  * the codegen'd [[ArrayDot]] / [[ArrayNormSq]] (the HOF tree evaluates
+  * INTERPRETED — per-element lambda dispatch outside whole-stage codegen),
+  * while the `/`, `*` and `sqrt` NODES OF THE ORIGINAL TREE ARE KEPT —
+  * `withNewChildren` on the matched operators, so their evalMode rides
+  * along. That last point is what makes the rewrite exactly semantics-
+  * preserving: a zero-norm vector makes the HOF form raise DIVIDE_BY_ZERO
+  * under ANSI (the Spark 4 default) or return null under legacy, and only
+  * Spark's own `Divide` reproduces that — a fully fused cosine would return
+  * NaN, which sorts ABOVE every threshold in a `cos >= tau` filter.
+  * [[ArrayDot]] itself matches zip_with's null-padding on mismatched
+  * lengths (→ null), so no extra guard is needed.
   *
   * Matches structurally on the ANALYZED shapes the DataFrame/SQL HOF
   * builders produce (lambda-variable identity by exprId, zero literal,
@@ -83,13 +80,14 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
     }
   }
 
-  /** sqrt(aggregate(transform(a, x -> x * x), 0.0, sum)) → a. */
+  /** aggregate(transform(a, x -> x * x), 0.0, sum) → a (the Sqrt above it
+    * is matched — and kept — by the caller). */
   private object NormSqrt {
     def unapply(e: Expression): Option[Expression] = e match {
-      case Sqrt(ArrayAggregate(
+      case ArrayAggregate(
           ArrayTransform(a, LambdaFunction(Multiply(mx, my, _),
             Seq(x: NamedLambdaVariable), _)),
-          zero, merge: LambdaFunction, finish: LambdaFunction))
+          zero, merge: LambdaFunction, finish: LambdaFunction)
           if isZero(zero) && isSumMerge(merge) && isIdentityFinish(finish) &&
             sameVar(mx, x) && sameVar(my, x) =>
         Some(a)
@@ -99,11 +97,16 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(DotAgg(a, b), Multiply(NormSqrt(a2), NormSqrt(b2), _), _)
+      case div @ Divide(DotAgg(a, b),
+          mul @ Multiply(sqA @ Sqrt(NormSqrt(a2)), sqB @ Sqrt(NormSqrt(b2)), _), _)
           if (a.semanticEquals(a2) && b.semanticEquals(b2)) ||
             (a.semanticEquals(b2) && b.semanticEquals(a2)) =>
-        If(EqualTo(Size(a, legacySizeOfNull = false),
-            Size(b, legacySizeOfNull = false)),
-          CosineSimilarity(a, b), Literal(null, DoubleType))
+        // keep the original Divide/Multiply/Sqrt nodes (evalMode and all);
+        // only the interpreted aggregates are replaced by fused kernels
+        div.withNewChildren(Seq(
+          ArrayDot(a, b),
+          mul.withNewChildren(Seq(
+            sqA.withNewChildren(Seq(ArrayNormSq(a2))),
+            sqB.withNewChildren(Seq(ArrayNormSq(b2)))))))
     }
 }

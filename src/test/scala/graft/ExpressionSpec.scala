@@ -63,9 +63,11 @@ class ExpressionSpec extends SparkSpec {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
     try {
-      // the optimized plan carries the native expression, not the HOF tree
+      // the optimized plan carries the fused kernels, not the HOF tree —
+      // and KEEPS the original division (zero-divisor semantics intact)
       val planStr = hof.queryExecution.optimizedPlan.toString
-      planStr should include("graft_cosine")
+      planStr should include("graft_dot")
+      planStr should include("graft_norm_sq")
       planStr should not include "aggregate(zip_with"
       // bit-equal: same accumulation order in both formulations
       hof.collect().foreach { r =>
@@ -73,7 +75,7 @@ class ExpressionSpec extends SparkSpec {
       }
 
       // mismatched lengths: HOF yields null (zip_with pads with null);
-      // the rewrite's size guard preserves that exactly
+      // ArrayDot reproduces that exactly — no size guard needed
       val mixed = Seq(
         (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))),
         (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0))),
@@ -85,10 +87,22 @@ class ExpressionSpec extends SparkSpec {
       out(1).isNullAt(0) shouldBe true
       out(2).isNullAt(0) shouldBe true
 
+      // ZERO-NORM parity — the case a fully fused cosine gets wrong (NaN,
+      // which passes any >= tau filter). Rewritten form must match the HOF
+      // form in BOTH modes: ANSI (session default) raises DIVIDE_BY_ZERO...
+      def zeroCase = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+        .select(Similarity.cosineHof(col("a"), col("b")).as("c"))
+      val ansiErr = intercept[Exception] { zeroCase.collect() }
+      ansiErr.getMessage should include("DIVIDE_BY_ZERO")
+      // ...and legacy mode yields null, not NaN
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try zeroCase.collect()(0).isNullAt(0) shouldBe true
+      finally spark.conf.set("spark.sql.ansi.enabled", "true")
+
       // a bare dot product (no norm denominator) is NOT rewritten
       val dotOnly = mixed.select(Similarity.dot(col("a"), col("b")).as("d"))
       dotOnly.queryExecution.optimizedPlan.toString should not
-        .include("graft_cosine")
+        .include("graft_dot")
     } finally spark.experimental.extraOptimizations = prev
   }
 

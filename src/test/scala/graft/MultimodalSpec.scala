@@ -121,6 +121,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("syntheticBmp: valid, deterministic, survives resize+decode") {
+    val b1 = Multimodal.Decoders.syntheticBmp(42L)
+    b1.toSeq shouldBe Multimodal.Decoders.syntheticBmp(42L).toSeq
+    Multimodal.Decoders.bmp24(b1)(0) shouldBe 2.0
+    Multimodal.Decoders.bmp24(
+      Multimodal.Decoders.resizeBmp24(b1, 3, 5)).take(2).toSeq shouldBe
+      Seq(3.0, 5.0)
+    // different seeds → different pixels
+    b1.toSeq should not be Multimodal.Decoders.syntheticBmp(43L).toSeq
+  }
+
+  test("Decoders.media: unknown kinds fail loudly, not silently stubbed") {
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.media("img", "abc".getBytes) // typo'd kind
+    }.getMessage should include("unknown media kind")
+  }
+
+  test("decoders reject overflow-crafted headers (no Int wraparound)") {
+    // BMP header claiming 65536x65536: rowSize*height wraps to 0 in Int —
+    // the Long-arithmetic bound must reject it as truncated
+    val huge = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(65536) ++ le32(65536) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](16)
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.bmp24(huge)
+    }.getMessage should include("truncated")
+    // WAV chunk size near Int.MaxValue: off + 8 + size must not wrap
+    val wav = "RIFF".getBytes ++ le32(Int.MaxValue - 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(Int.MaxValue - 30) ++ new Array[Byte](40)
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.wavPcm16(wav)
+    }.getMessage should include("bad RIFF chunk")
+  }
+
   test("resizeImages: images resized in place, other kinds untouched") {
     val media = Seq(
       (1L, "image", bmpBytes),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.engine.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SrpSignature}
+import graft.engine.expressions.{ArrayDot, ArrayNormSq, CosineSimilarity, HammingDistance, MinHashSignature, SrpSignature}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are usable from SQL and `call_function`.
@@ -46,6 +46,10 @@ object GraftExtensions {
       exprs => HammingDistance(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
     bridge.registerFunction(spark, "graft_minhash", buildMinhash)
+    bridge.registerFunction(spark, "graft_dot",
+      exprs => ArrayDot(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "graft_norm_sq",
+      exprs => ArrayNormSq(exprs.head))
     if (!spark.experimental.extraOptimizations
         .contains(graft.engine.rules.RewriteHofCosine))
       spark.experimental.extraOptimizations ++=
@@ -77,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       GraftExtensions.buildMinhash _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes two double arrays")
+        ArrayDot(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_sq"),
+      new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_norm_sq(a) takes one double array")
+        ArrayNormSq(exprs.head)
+      }))
     // declarative HOF cosine → native codegen'd expression (see the rule's
     // Scaladoc for the exact pattern and the semantics-preservation guard)
     ext.injectOptimizerRule(_ => graft.engine.rules.RewriteHofCosine)

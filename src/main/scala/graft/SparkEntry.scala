@@ -363,6 +363,13 @@ object SparkEntry {
     // top-k corpus vocabulary (tokenizer-training prep; oracled)
     "q_vocab_topk" -> ((s, d) =>
       TextOps.vocabulary(documents(s, d), col("text"), 500)),
+    // token-budget accounting: per (source, lang) doc/token/char
+    // contribution — the mix dashboard behind Sampling.mixToShares (oracled)
+    "q_token_budget" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))),
     // embedding-space decontamination: bench = vec_id < 20, exact cosine
     // cross-check against the rest of the corpus (oracled)
     "q_embed_contamination" -> ((s, d) => {
@@ -700,6 +707,11 @@ object SparkEntry {
                     FROM documents)
          SELECT token, count(*)::BIGINT AS n FROM t
          GROUP BY 1 ORDER BY n DESC, token LIMIT 500""",
+    "q_token_budget" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+                sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                sum(length(text))::BIGINT AS n_chars
+         FROM documents GROUP BY 1, 2""",
     "q_embed_contamination" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

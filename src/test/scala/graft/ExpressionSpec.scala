@@ -50,6 +50,21 @@ class ExpressionSpec extends SparkSpec {
       .head().getDouble(0) shouldBe (1.0 +- 1e-12)
   }
 
+  test("graft_dot / graft_norm_sq callable from SQL; HOF-parity edge cases") {
+    GraftExtensions.registerOn(spark)
+    spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+    spark.sql("SELECT graft_norm_sq(array(3.0d, 4.0d)) AS n")
+      .head().getDouble(0) shouldBe 25.0
+    // mismatched lengths → null (zip_with padding semantics)
+    spark.sql("SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+      .head().isNullAt(0) shouldBe true
+    // empty arrays → 0.0 (aggregate over empty with 0.0 seed)
+    spark.sql("SELECT graft_dot(cast(array() as array<double>), " +
+        "cast(array() as array<double>)) AS d")
+      .head().getDouble(0) shouldBe 0.0
+  }
+
   test("RewriteHofCosine: HOF formulation optimizes to graft_cosine, " +
     "bit-equal results, null/mismatch semantics preserved") {
     import graft.engine.rules.RewriteHofCosine

@@ -46,10 +46,14 @@ object GraftExtensions {
       exprs => HammingDistance(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
     bridge.registerFunction(spark, "graft_minhash", buildMinhash)
-    bridge.registerFunction(spark, "graft_dot",
-      exprs => ArrayDot(exprs.head, exprs(1)))
-    bridge.registerFunction(spark, "graft_norm_sq",
-      exprs => ArrayNormSq(exprs.head))
+    bridge.registerFunction(spark, "graft_dot", exprs => {
+      require(exprs.length == 2, "graft_dot(a, b) takes two double arrays")
+      ArrayDot(exprs.head, exprs(1))
+    })
+    bridge.registerFunction(spark, "graft_norm_sq", exprs => {
+      require(exprs.length == 1, "graft_norm_sq(a) takes one double array")
+      ArrayNormSq(exprs.head)
+    })
     if (!spark.experimental.extraOptimizations
         .contains(graft.engine.rules.RewriteHofCosine))
       spark.experimental.extraOptimizations ++=

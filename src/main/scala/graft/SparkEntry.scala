@@ -473,10 +473,18 @@ object SparkEntry {
         "graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve("events.parquet")
+      // repair a dangling link (target moved since a previous session)
+      if (java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.exists(link))
+        java.nio.file.Files.delete(link)
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.createSymbolicLink(link,
+        try java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$d/events.parquet"))
+        catch { // concurrent Bench/Verify both saw it absent — loser is fine
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(schema).parquet(dir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -54,6 +54,11 @@ object NearDup {
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("jaccard"))
 
+  /** Observation names must be unique per query plan — two jaccardPairs
+    * results combined into ONE plan (e.g. a union over two corpora) would
+    * fail analysis with duplicated observed metrics under a fixed name. */
+  private val observeCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact n-gram (shingle) Jaccard pairs with similarity >= tau.
     * Pairs only form between docs sharing >= 1 shingle (the shingle join is
     * the blocker). `maxDf` caps the document frequency of a shingle: a
@@ -62,14 +67,9 @@ object NearDup {
     * dropped (hot shingles carry no near-dup signal — they're corpus
     * boilerplate); the drop count is published as the observable metric
     * `jaccard_df_cap_<n>.n_dropped_shingles` (suffix unique per call; read it
-    * via a QueryExecutionListener or `Observation`). With the cap this is corpus-safe; results stay EXACT
-    * whenever maxDf exceeds the corpus's true max shingle df (the testdata
-    * oracle case). */
-  /** Observation names must be unique per query plan — two jaccardPairs
-    * results combined into ONE plan (e.g. a union over two corpora) would
-    * fail analysis with duplicated observed metrics under a fixed name. */
-  private val observeCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
+    * via a QueryExecutionListener or `Observation`). With the cap this is
+    * corpus-safe; results stay EXACT whenever maxDf exceeds the corpus's
+    * true max shingle df (the testdata oracle case). */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
                    n: Int = 3, maxDf: Int = 100000): DataFrame = {
     // join/shuffle on the 8-byte shingle hash, not the shingle string — the

@@ -32,7 +32,10 @@ object Sampling {
                        defaultFraction: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction))
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    val frac = coalesce(element_at(typedlit(fractions), stratum),
+    // stratum is cast to string so non-string stratum columns (int source
+    // ids, bucketed doubles) work against the string-keyed fraction map
+    val frac = coalesce(
+      element_at(typedlit(fractions), stratum.cast("string")),
       lit(defaultFraction))
     df.filter(pmod(xxhash64(id, lit(salt)), lit(Buckets)).cast("double") <
       frac * Buckets.toDouble)
@@ -61,7 +64,7 @@ object Sampling {
     * noise as the underlying hash sample. */
   def mixToShares(df: DataFrame, id: Column, stratum: Column,
                   shares: Map[String, Double], salt: Long = 0L): DataFrame = {
-    val counts = df.groupBy(stratum.as("_s")).count().collect()
+    val counts = df.groupBy(stratum.cast("string").as("_s")).count().collect()
       .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1) }
       .toMap
     stratifiedSample(df, id, stratum, mixFractions(counts, shares), salt)

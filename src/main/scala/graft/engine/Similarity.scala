@@ -214,8 +214,7 @@ object Similarity {
     * probed). Zero-norm vectors are excluded from training; at search time
     * they score 0 against every centroid and land in list 0. */
   def ivfTrainCentroids(emb: DataFrame, id: Column, vec: Column,
-                        nlist: Int = 16, iters: Int = 5,
-                        dim: Int = 64): Array[Array[Double]] = {
+                        nlist: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     import org.apache.spark.storage.StorageLevel
     val nv = emb.select(id.as("cid"), asDouble(vec).as("cv"))
       .withColumn("nrm", norm(col("cv")))
@@ -230,6 +229,13 @@ object Similarity {
         .collect()
         .map(_.getSeq[Double](0).toArray)
       require(cents.length > 0, "ivfTrainCentroids: empty corpus")
+      // the model's width IS the embedding width (taken from the seeds) —
+      // no separate dim parameter to mismatch; a mixed-width corpus fails
+      // loudly in the accumulation below
+      val width = cents.head.length
+      require(cents.forall(_.length == width),
+        s"ivfTrainCentroids: seed vectors have mixed widths " +
+          s"(${cents.map(_.length).distinct.mkString(",")})")
       // early exit on convergence: the per-iteration sums are already on the
       // driver, so comparing new centroids to old is free — Lloyd's on
       // clusterable data typically converges in 2-3 rounds and the remaining
@@ -243,17 +249,17 @@ object Similarity {
           .groupBy(col("cl"), col("pos"))
           .agg(sum(col("x")).as("s"))
           .collect()
-        val acc = Array.fill(cents.length)(new Array[Double](dim))
+        val acc = Array.fill(cents.length)(new Array[Double](width))
         val seen = new Array[Boolean](cents.length)
         sums.foreach { r =>
           val cl = r.getInt(0)
           val pos = r.getInt(1)
           // same fail-loudly policy as SrpSignature/NearestCentroids: a
-          // dim narrower than the embedding must not surface as a bare
+          // corpus vector wider than the seeds must not surface as a bare
           // ArrayIndexOutOfBoundsException from the accumulator
-          if (pos >= dim) throw new IllegalArgumentException(
-            s"ivfTrainCentroids: embedding has >= ${pos + 1} dims but " +
-              s"dim=$dim — dim must be >= the embedding width")
+          if (pos >= width) throw new IllegalArgumentException(
+            s"ivfTrainCentroids: corpus vector has >= ${pos + 1} dims but " +
+              s"the model width is $width — the corpus mixes embedding widths")
           acc(cl)(pos) = r.getDouble(2)
           seen(cl) = true
         }
@@ -326,9 +332,8 @@ object Similarity {
     * ([[ivfCosineTopKWith]]). */
   def ivfCosineTopK(emb: DataFrame, id: Column, vec: Column,
                     queryIds: Seq[Long], k: Int, nlist: Int = 16,
-                    nprobe: Int = 4, iters: Int = 5,
-                    dim: Int = 64): DataFrame = {
-    val cents = ivfTrainCentroids(emb, id, vec, nlist, iters, dim)
+                    nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val cents = ivfTrainCentroids(emb, id, vec, nlist, iters)
     ivfCosineTopKWith(ivfAssign(emb, id, vec, cents), cents, queryIds, k,
       nprobe)
   }

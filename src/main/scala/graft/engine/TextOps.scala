@@ -32,7 +32,13 @@ object TextOps {
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(par) * maxPartBytes) df.repartition(par) else df
+    // UNKNOWN stats (RDD-backed frames report defaultSizeInBytes =
+    // Long.MaxValue) must spread, not skip: treating "unknown" as "huge"
+    // would reintroduce the single-core serialization this helper prevents
+    val unknown = estBytes >= BigInt(Long.MaxValue)
+    if (unknown || estBytes < BigInt(par) * maxPartBytes)
+      df.repartition(par)
+    else df
   }
 
   /** Whitespace tokens (single-space corpus → plain split). */

@@ -52,7 +52,10 @@ case class NearestCentroids(child: Expression,
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      if (n > cent.length) throw new IllegalArgumentException(
+      // STRICT width match: a narrower vector would silently compute a
+      // prefix dot (wrong list assignments, no error) — the same silent
+      // degradation the wider-vector case fails loudly on
+      if (n != cent.length) throw new IllegalArgumentException(
         s"graft_nearest_centroids: vector has $n dims but centroids have " +
           s"${cent.length} — the index was trained on a different embedding")
       var dot = 0.0

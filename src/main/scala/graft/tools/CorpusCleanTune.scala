@@ -41,8 +41,9 @@ object CorpusCleanTune {
       }
       NearDup.releaseCheckpoint(clusters)
       t("full_corpus_clean") {
-        Flows.corpusClean(docs, col("doc_id"), col("text"), en)
-          .write.format("noop").mode("overwrite").save()
+        val cleaned = Flows.corpusClean(docs, col("doc_id"), col("text"), en)
+        cleaned.write.format("noop").mode("overwrite").save()
+        NearDup.releaseCheckpoint(cleaned) // don't skew later rounds
       }
     }
     spark.stop()

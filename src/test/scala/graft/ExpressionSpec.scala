@@ -68,15 +68,30 @@ class ExpressionSpec extends SparkSpec {
   test("RewriteHofCosine: HOF formulation optimizes to graft_cosine, " +
     "bit-equal results, null/mismatch semantics preserved") {
     import graft.engine.rules.RewriteHofCosine
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val q = emb.limit(1).select(col("v").as("qv"))
-    val hof = emb.crossJoin(q)
-      .select(col("vec_id"), Similarity.cosineHof(col("v"), col("qv")).as("c"))
-    val baseline = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-
+    // QueryExecution caches the optimized plan on first access, and earlier
+    // tests may have injected the rule session-wide via registerOn — so the
+    // frames are built FRESH under each explicit rule configuration, and
+    // the baseline asserts it really is the un-rewritten plan (otherwise
+    // the bit-equality check would compare the rewrite to itself)
+    def build() = {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val q = emb.limit(1).select(col("v").as("qv"))
+      emb.crossJoin(q)
+        .select(col("vec_id"), Similarity.cosineHof(col("v"), col("qv")).as("c"))
+    }
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
+    val without = prev.filterNot(_ == RewriteHofCosine)
+
+    spark.experimental.extraOptimizations = without
+    val baselineDf = build()
+    baselineDf.queryExecution.optimizedPlan.toString should
+      not include "graft_dot" // guard: baseline must be the interpreted plan
+    val baseline = baselineDf.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    spark.experimental.extraOptimizations = without :+ RewriteHofCosine
+    val hof = build()
     try {
       // the optimized plan carries the fused kernels, not the HOF tree —
       // and KEEPS the original division (zero-divisor semantics intact)

@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfCosineTopK(emb, col("vec_id"), col("embedding"),
-      qs, 5, dim = 32).select("qid", "cid").collect()
+      qs, 5).select("qid", "cid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // deterministic seeds + deterministic ties → deterministic model, so
     // this floor is stable run-to-run (measured: 1.0)

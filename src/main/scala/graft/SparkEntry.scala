@@ -491,11 +491,22 @@ object SparkEntry {
       val out = graft.streaming.Streams.hourlySumStream(src, "ts",
         col("event_type"), col("value"))
       val qname = s"graft_stream_hourly_${streamRunCounter.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode(graft.streaming.Streams.hourlySumMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state-store partitioning is fixed at stream START from the session's
+      // shuffle partitions; 32 stores for this stream's few-KB state means
+      // 32× the per-batch commit/snapshot file churn. Size state partitions
+      // to stream volume (a per-stream knob on a real cluster) and restore
+      // the session default for the batch queries that follow.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // restore only after termination: the stream thread reads the conf
+      // when it plans batch 0, which happens after start() returns
+      try {
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode(graft.streaming.Streams.hourlySumMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // spill the sink to parquet and DROP the memory table: memory sinks
       // hold every output row on the driver for the session lifetime, and a
       // long-lived session (or the 54-query bench JVM) accumulates one

@@ -96,6 +96,28 @@ class SimilaritySpec extends SparkSpec {
     reused shouldBe approx
   }
 
+  test("NearestCentroids expression: ordering, ties, nulls, strict width") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    def probe(v: Option[Seq[Double]], nprobe: Int) =
+      Seq(Tuple1(v)).toDF("v")
+        .select(Similarity.nearestCentroids(col("v"), cents, nprobe).as("p"))
+        .head()
+    // best-first by dot; tie between centroids 0 and 2 breaks to the LOWER
+    // index (deterministic cluster-wide)
+    probe(Some(Seq(2.0, 1.0)), 3).getSeq[Int](0) shouldBe Seq(0, 2, 1)
+    // null vector → null result
+    probe(None, 2).isNullAt(0) shouldBe true
+    // null ELEMENT → null result (HOF propagation)
+    Seq(Tuple1(Seq(Option(1.0), Option.empty[Double]))).toDF("v")
+      .select(Similarity.nearestCentroids(col("v"), cents, 1).as("p"))
+      .head().isNullAt(0) shouldBe true
+    // width mismatch (both directions) fails loudly, not a prefix dot
+    val e = intercept[Exception] { probe(Some(Seq(1.0)), 1) }
+    e.getMessage should include("dims")
+    intercept[Exception] { probe(Some(Seq(1.0, 2.0, 3.0)), 1) }
+      .getMessage should include("dims")
+  }
+
   test("IVF assignment: every vector lands in its dot-argmax list") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Similarity.ivfTrainCentroids(emb, col("vec_id"),

@@ -37,23 +37,39 @@ object GraftExtensions {
     MinHashSignature(exprs.head, litInt(exprs(1), "k"))
   }
 
+  private[graft] def buildCosine(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): CosineSimilarity = {
+    require(exprs.length == 2, "graft_cosine(a, b) takes two double arrays")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  private[graft] def buildHamming(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): HammingDistance = {
+    require(exprs.length == 2, "graft_hamming(a, b) takes two long arrays")
+    HammingDistance(exprs.head, exprs(1))
+  }
+
+  private[graft] def buildDot(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): ArrayDot = {
+    require(exprs.length == 2, "graft_dot(a, b) takes two double arrays")
+    ArrayDot(exprs.head, exprs(1))
+  }
+
+  private[graft] def buildNormSq(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): ArrayNormSq = {
+    require(exprs.length == 1, "graft_norm_sq(a) takes one double array")
+    ArrayNormSq(exprs.head)
+  }
+
   /** Runtime registration for sessions built without the extension. */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
-    bridge.registerFunction(spark, "graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)))
-    bridge.registerFunction(spark, "graft_hamming",
-      exprs => HammingDistance(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "graft_cosine", buildCosine)
+    bridge.registerFunction(spark, "graft_hamming", buildHamming)
     bridge.registerFunction(spark, "graft_srp_signature", buildSrp)
     bridge.registerFunction(spark, "graft_minhash", buildMinhash)
-    bridge.registerFunction(spark, "graft_dot", exprs => {
-      require(exprs.length == 2, "graft_dot(a, b) takes two double arrays")
-      ArrayDot(exprs.head, exprs(1))
-    })
-    bridge.registerFunction(spark, "graft_norm_sq", exprs => {
-      require(exprs.length == 1, "graft_norm_sq(a) takes one double array")
-      ArrayNormSq(exprs.head)
-    })
+    bridge.registerFunction(spark, "graft_dot", buildDot)
+    bridge.registerFunction(spark, "graft_norm_sq", buildNormSq)
     if (!spark.experimental.extraOptimizations
         .contains(graft.engine.rules.RewriteHofCosine))
       spark.experimental.extraOptimizations ++=
@@ -63,20 +79,16 @@ object GraftExtensions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // one builder per function, shared with registerOn — the two
+    // registration paths must not diverge in validation or messages
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "graft_cosine(a, b) takes two arrays")
-        CosineSimilarity(exprs.head, exprs(1))
-      }))
+      GraftExtensions.buildCosine _))
     ext.injectFunction((
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "graft_hamming(a, b) takes two long arrays")
-        HammingDistance(exprs.head, exprs(1))
-      }))
+      GraftExtensions.buildHamming _))
     ext.injectFunction((
       FunctionIdentifier("graft_srp_signature"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
@@ -88,17 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "graft_dot(a, b) takes two double arrays")
-        ArrayDot(exprs.head, exprs(1))
-      }))
+      GraftExtensions.buildDot _))
     ext.injectFunction((
       FunctionIdentifier("graft_norm_sq"),
       new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "graft_norm_sq(a) takes one double array")
-        ArrayNormSq(exprs.head)
-      }))
+      GraftExtensions.buildNormSq _))
     // declarative HOF cosine → native codegen'd expression (see the rule's
     // Scaladoc for the exact pattern and the semantics-preservation guard)
     ext.injectOptimizerRule(_ => graft.engine.rules.RewriteHofCosine)

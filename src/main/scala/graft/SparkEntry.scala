@@ -473,11 +473,12 @@ object SparkEntry {
         "graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve("events.parquet")
-      // repair a dangling link (target moved since a previous session)
+      // repair a dangling link (target moved since a previous session);
+      // a concurrent repairer may win the delete — that's fine
       if (java.nio.file.Files.exists(link,
             java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
           !java.nio.file.Files.exists(link))
-        java.nio.file.Files.delete(link)
+        java.nio.file.Files.deleteIfExists(link)
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         try java.nio.file.Files.createSymbolicLink(link,

@@ -254,12 +254,13 @@ object Similarity {
         sums.foreach { r =>
           val cl = r.getInt(0)
           val pos = r.getInt(1)
-          // same fail-loudly policy as SrpSignature/NearestCentroids: a
-          // corpus vector wider than the seeds must not surface as a bare
-          // ArrayIndexOutOfBoundsException from the accumulator
-          if (pos >= width) throw new IllegalArgumentException(
-            s"ivfTrainCentroids: corpus vector has >= ${pos + 1} dims but " +
-              s"the model width is $width — the corpus mixes embedding widths")
+          // defensive invariant: mixed corpus widths already fail loudly
+          // inside NearestCentroids (strict width check) during the
+          // assignment this aggregation computes — this guard only protects
+          // against a future refactor decoupling the two
+          if (pos >= width) throw new IllegalStateException(
+            s"ivfTrainCentroids: aggregation saw dim $pos beyond model " +
+              s"width $width despite the assignment width check")
           acc(cl)(pos) = r.getDouble(2)
           seen(cl) = true
         }

@@ -32,10 +32,12 @@ object TextOps {
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // UNKNOWN stats (RDD-backed frames report defaultSizeInBytes =
-    // Long.MaxValue) must spread, not skip: treating "unknown" as "huge"
-    // would reintroduce the single-core serialization this helper prevents
-    val unknown = estBytes >= BigInt(Long.MaxValue)
+    // UNKNOWN stats (RDD-backed frames report the defaultSizeInBytes
+    // sentinel, exactly Long.MaxValue) must spread, not skip — treating
+    // "unknown" as "huge" would reintroduce the single-core serialization
+    // this helper prevents. Estimates ABOVE the sentinel are real (BigInt
+    // join-product estimates): genuinely huge inputs stay untouched.
+    val unknown = estBytes == BigInt(Long.MaxValue)
     if (unknown || estBytes < BigInt(par) * maxPartBytes)
       df.repartition(par)
     else df

@@ -17,6 +17,7 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // 1. clean: exact dedup + near-dup clusters + quality floor
     val cleaned = Flows.corpusClean(docs, col("doc_id"), col("text"), en)
+    try {
     val nCleaned = cleaned.count()
     nCleaned should be > 0L
     nCleaned should be < total // the planted dups + low-quality docs fall
@@ -59,7 +60,8 @@ class CorpusPipelineSpec extends SparkSpec {
     vocab.map(_._2).toSeq shouldBe vocab.map(_._2).sortBy(-_).toSeq // ranked
     val vocabTotal = vocab.map(_._2).sum
     vocabTotal should be <= chunkTokens
-
-    NearDup.releaseCheckpoint(cleaned)
+    // release even on assertion failure — a leaked checkpoint taxes every
+    // later suite in the shared JVM-wide session
+    } finally NearDup.releaseCheckpoint(cleaned)
   }
 }

@@ -82,17 +82,16 @@ class ExpressionSpec extends SparkSpec {
     }
     val prev = spark.experimental.extraOptimizations
     val without = prev.filterNot(_ == RewriteHofCosine)
-
-    spark.experimental.extraOptimizations = without
-    val baselineDf = build()
-    baselineDf.queryExecution.optimizedPlan.toString should
-      not include "graft_dot" // guard: baseline must be the interpreted plan
-    val baseline = baselineDf.collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-
-    spark.experimental.extraOptimizations = without :+ RewriteHofCosine
-    val hof = build()
     try {
+      spark.experimental.extraOptimizations = without
+      val baselineDf = build()
+      baselineDf.queryExecution.optimizedPlan.toString should
+        not include "graft_dot" // guard: baseline must be the interpreted plan
+      val baseline = baselineDf.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      spark.experimental.extraOptimizations = without :+ RewriteHofCosine
+      val hof = build()
       // the optimized plan carries the fused kernels, not the HOF tree —
       // and KEEPS the original division (zero-divisor semantics intact)
       val planStr = hof.queryExecution.optimizedPlan.toString

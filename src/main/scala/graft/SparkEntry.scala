@@ -39,6 +39,70 @@ object SparkEntry {
       (cents, assigned)
     })
 
+  /** Streaming events source for the §2.8 entries. The streaming file source
+    * wants a directory: symlink the single parquet file into a STABLE
+    * per-sfDir temp dir (zero-copy; a fresh createTempDirectory per run would
+    * accumulate dirs in /tmp for every bench/verify run — the disk twin of
+    * the memory-sink leak handled in [[runAvailableNow]]). */
+  private def streamingEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    // repair a dangling link (target moved since a previous session);
+    // a concurrent repairer may win the delete — that's fine
+    if (java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !java.nio.file.Files.exists(link))
+      java.nio.file.Files.deleteIfExists(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      try java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      catch { // concurrent Bench/Verify both saw it absent — loser is fine
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion under AvailableNow (append mode)
+    * through a memory sink, spill the result to a stable per-(tag, sfDir)
+    * parquet dir, DROP the sink table, and return the spilled frame.
+    * Memory sinks hold every output row on the driver for the session
+    * lifetime — a long-lived session (or the bench JVM) would accumulate one
+    * resident table per run; the result must outlive the sink, not pin it.
+    * The spill path is stable and OVERWRITTEN per run. */
+  private def runAvailableNow(s: SparkSession, out: DataFrame, tag: String,
+                              d: String,
+                              project: DataFrame => DataFrame): DataFrame = {
+    val qname = s"graft_stream_${tag}_${streamRunCounter.incrementAndGet()}"
+    // state-store partitioning is fixed at stream START from the session's
+    // shuffle partitions; 32 stores for these streams' few-KB state means
+    // 32× the per-batch commit/snapshot file churn. Size state partitions
+    // to stream volume (a per-stream knob on a real cluster) and restore
+    // the session default for the batch queries that follow.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // restore only after termination: the stream thread reads the conf
+    // when it plans batch 0, which happens after start() returns
+    try {
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(graft.streaming.Streams.hourlySumMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val outDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_out", tag + "_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+      .toString
+    project(s.table(qname)).write.mode("overwrite").parquet(outDir)
+    s.catalog.dropTempView(qname)
+    s.read.parquet(outDir)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A9 top-K revenue (piechart panel, pv_dashboard.json). */
   def entry(spark: SparkSession): DataFrame =
@@ -461,6 +525,18 @@ object SparkEntry {
           element_at(col("feature"), 5).as("mean_b"))
     }),
 
+    // full video path on real frame data: synthesize a 4-frame GIF87a per
+    // doc, LZW-decode, sample every 2nd frame with per-frame pixel means
+    // (rows-only — binary payloads aren't SQL-expressible)
+    "q_media_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        Multimodal.MediaRecord(id, "video",
+          Multimodal.Decoders.syntheticGif87(id, nFrames = 4))
+      }.toDF()
+      Multimodal.sampleFrames(media, everyN = 2)
+    }),
+
     // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
     // S13 idempotent date-partition overwrite: initial load days <20, then a
     // corrected re-delivery of days >=15 (doubled) — only those partitions
@@ -498,63 +574,22 @@ object SparkEntry {
     // final watermark (max ts - 2h) are emitted — that closed-form is the
     // oracle.
     "q_stream_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the streaming file source wants a directory: symlink the single
-      // parquet file into a STABLE per-sfDir temp dir (zero-copy; a fresh
-      // createTempDirectory per run would accumulate dirs in /tmp for every
-      // bench/verify run — the disk twin of the memory-sink leak below)
-      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-      java.nio.file.Files.createDirectories(dir)
-      val link = dir.resolve("events.parquet")
-      // repair a dangling link (target moved since a previous session);
-      // a concurrent repairer may win the delete — that's fine
-      if (java.nio.file.Files.exists(link,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-          !java.nio.file.Files.exists(link))
-        java.nio.file.Files.deleteIfExists(link)
-      if (!java.nio.file.Files.exists(link,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        try java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$d/events.parquet"))
-        catch { // concurrent Bench/Verify both saw it absent — loser is fine
-          case _: java.nio.file.FileAlreadyExistsException => ()
-        }
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val src = s.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val out = graft.streaming.Streams.hourlySumStream(src, "ts",
-        col("event_type"), col("value"))
-      val qname = s"graft_stream_hourly_${streamRunCounter.incrementAndGet()}"
-      // state-store partitioning is fixed at stream START from the session's
-      // shuffle partitions; 32 stores for this stream's few-KB state means
-      // 32× the per-batch commit/snapshot file churn. Size state partitions
-      // to stream volume (a per-stream knob on a real cluster) and restore
-      // the session default for the batch queries that follow.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // restore only after termination: the stream thread reads the conf
-      // when it plans batch 0, which happens after start() returns
-      try {
-        val q = out.writeStream.format("memory").queryName(qname)
-          .outputMode(graft.streaming.Streams.hourlySumMode)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      // spill the sink to parquet and DROP the memory table: memory sinks
-      // hold every output row on the driver for the session lifetime, and a
-      // long-lived session (or the 54-query bench JVM) accumulates one
-      // resident table per run — the result must outlive the sink, not pin
-      // it. The spill path is stable and OVERWRITTEN per run (one copy on
-      // disk, not one per run).
-      val outDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_out", d.replaceAll("[^a-zA-Z0-9]", "_")).toString
-      s.table(qname).select(col("bucket"), col("grp"),
-          round(col("total"), 2).as("total"))
-        .write.mode("overwrite").parquet(outDir)
-      s.catalog.dropTempView(qname)
-      s.read.parquet(outDir)
+      val out = graft.streaming.Streams.hourlySumStream(
+        streamingEvents(s, d), "ts", col("event_type"), col("value"))
+      runAvailableNow(s, out, "hourly", d,
+        _.select(col("bucket"), col("grp"), round(col("total"), 2).as("total")))
+    }),
+    // Session windows as a stream: gap-closed per-key sessions, append mode —
+    // sessions whose end (last event + gap) precedes the final watermark are
+    // emitted. Oracle = the closed-form batch sessionization (gaps-and-
+    // islands with session_window's STRICT merge rule: a gap exactly equal
+    // to 30 min splits) with the watermark cutoff applied.
+    "q_stream_sessions" -> ((s, d) => {
+      val out = graft.streaming.Streams.sessionSumStream(
+        streamingEvents(s, d), "ts", col("event_type"), col("value"))
+      runAvailableNow(s, out, "sessions", d,
+        _.select(col("session_start"), col("session_end"), col("grp"),
+          round(col("total"), 2).as("total"), col("n")))
     }),
 
     // ---- Windows (SURVEY §2.5) ----
@@ -910,6 +945,29 @@ object SparkEntry {
          FROM events, mx
          GROUP BY 1, 2, mx.m
          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
+    // closed-form batch sessionization with session_window's STRICT merge
+    // rule (gap == 30 min splits → break on >=), session_end = last event +
+    // gap, emitted once the final watermark (max ts - 2h) passes the end
+    "q_stream_sessions" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         l AS (SELECT event_type, ts, value,
+                 lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+               FROM events),
+         b AS (SELECT event_type, ts, value,
+                 CASE WHEN prev IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                      THEN 1 ELSE 0 END AS brk
+               FROM l),
+         s AS (SELECT event_type, ts, value,
+                 sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS six
+               FROM b),
+         g AS (SELECT event_type AS grp, min(ts) AS session_start,
+                 max(ts) + INTERVAL 30 MINUTE AS session_end,
+                 round(sum(value), 2) AS total, count(*)::BIGINT AS n
+               FROM s GROUP BY event_type, six)
+         SELECT session_start, session_end, grp, total, n FROM g, mx
+         WHERE session_end <= m - INTERVAL 2 HOUR""",
     "q_melt_roundtrip" ->
       """SELECT event_type AS grp, date_trunc('hour', ts) AS ts,
          round(SUM(value), 2) AS total FROM events GROUP BY 1, 2""",

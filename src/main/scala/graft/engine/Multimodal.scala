@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, decoded/featurized per partition.
   *
-  * The decode itself is a CLEARLY-MARKED DETERMINISTIC STUB (no media libs in
-  * this container — builder prompt): real deployments swap [[decodeStub]] for
-  * an actual image/audio decoder. Everything around it is real and load-
-  * bearing: the schema, the typed Dataset boundary, `mapPartitions` batching
-  * (one decoder init per partition, not per row — the same shape a JNI/FFI
-  * decoder needs), and the partition-size story (payloads stream through one
-  * partition at a time; nothing collects to the driver).
+  * All three kinds decode REAL containers, dependency-free: 24-bit BMP
+  * (images, including an NN resize stage), 16-bit PCM WAV (audio), and
+  * multi-frame GIF87a with full LZW decompression (video — feeds
+  * [[sampleFrames]]). [[decodeStub]] (byte histogram) remains only as the
+  * default of [[extractFeatures]] for payloads with no container at all.
+  * The surrounding plumbing is the load-bearing part at scale: the schema,
+  * the typed Dataset boundary, `mapPartitions` batching (one decoder init
+  * per partition, not per row — the same shape a JNI/FFI decoder needs), and
+  * the partition-size story (payloads stream through one partition at a
+  * time; nothing collects to the driver).
   */
 object Multimodal {
 
@@ -166,15 +169,28 @@ object Multimodal {
     }
 
     /** Kind-dispatching media decoder over the real format parsers: BMP for
-      * images, WAV for audio; video payloads fall back to the byte-histogram
-      * fingerprint (no dependency-free video container is worth hand-rolling
-      * — frame sampling is [[sampleFrames]]'s job). Any OTHER kind fails
-      * loudly: a typo'd kind silently getting histogram "features" is
-      * exactly the degradation this decoder's contract forbids. */
+      * images, WAV for audio, GIF87a for video (first-frame channel means +
+      * frame count: [nFrames, width, height, meanR, meanG, meanB]) — all
+      * three kinds now decode real containers; the byte-histogram stub is no
+      * longer reachable from this dispatcher. Any OTHER kind fails loudly: a
+      * typo'd kind silently getting histogram "features" is exactly the
+      * degradation this decoder's contract forbids. */
     val media: Decoder = {
       case ("image", bytes) => bmp24(bytes)
       case ("audio", bytes) => wavPcm16(bytes)
-      case ("video", bytes) => decodeStub("video", bytes)
+      case ("video", bytes) =>
+        val frames = gif87Frames(bytes)
+        val f = frames.head
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < f.rgb.length) {
+          sr += (f.rgb(i) & 0xff); sg += (f.rgb(i + 1) & 0xff)
+          sb += (f.rgb(i + 2) & 0xff)
+          i += 3
+        }
+        val n = f.width.toDouble * f.height
+        Array(frames.length.toDouble, f.width.toDouble, f.height.toDouble,
+          round6(sr / n), round6(sg / n), round6(sb / n))
       case (kind, _) => throw new IllegalArgumentException(
         s"unknown media kind '$kind' (expected image/audio/video)")
     }
@@ -195,6 +211,230 @@ object Multimodal {
         le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
         px.slice(0, 6) ++ Array[Byte](0, 0) ++ // bottom row + pad
         px.slice(6, 12) ++ Array[Byte](0, 0)   // top row + pad
+    }
+
+    /** One decoded GIF frame: dimensions + interleaved RGB bytes. */
+    case class GifFrame(width: Int, height: Int, rgb: Array[Byte])
+
+    /** REAL dependency-free GIF87a decoder: logical screen descriptor,
+      * global/local color tables, per-frame LZW decompression (variable-width
+      * codes, clear/end codes, 4096-entry dictionary with the KwKwK case),
+      * palette lookup to interleaved RGB. Multi-image streams decode to one
+      * [[GifFrame]] per image descriptor — the real substrate for
+      * [[Multimodal.sampleFrames]]. GIF89a streams parse too (their extension
+      * blocks are skipped per the block-size grammar). Same loud-failure
+      * contract as [[bmp24]]: truncation, interlacing, bad codes, and
+      * missing palettes throw, never degrade. */
+    def gif87Frames(payload: Array[Byte]): Seq[GifFrame] = {
+      require(payload.length >= 14, "not a GIF payload (too short)")
+      val sig = new String(payload, 0, 6, "US-ASCII")
+      require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF payload ($sig)")
+      val packed = payload(10) & 0xff
+      var off = 13
+      val gct: Array[Byte] =
+        if ((packed & 0x80) != 0) {
+          val n = 3 * (2 << (packed & 7))
+          require(off + n <= payload.length, "truncated global color table")
+          val t = java.util.Arrays.copyOfRange(payload, off, off + n)
+          off += n
+          t
+        } else null
+      val frames = Seq.newBuilder[GifFrame]
+      var done = false
+      while (!done) {
+        require(off < payload.length, "truncated GIF (no trailer)")
+        (payload(off) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: label byte, then length-prefixed blocks
+            off += 2
+            while ({
+              require(off < payload.length, "truncated extension")
+              (payload(off) & 0xff) != 0
+            }) off += 1 + (payload(off) & 0xff)
+            off += 1
+          case 0x2c =>
+            require(off + 10 <= payload.length, "truncated image descriptor")
+            val fw = u16(payload, off + 5)
+            val fh = u16(payload, off + 7)
+            val p2 = payload(off + 9) & 0xff
+            require((p2 & 0x40) == 0, "interlaced GIF not supported")
+            require(fw > 0 && fh > 0, s"bad frame dimensions ${fw}x$fh")
+            off += 10
+            val palette: Array[Byte] =
+              if ((p2 & 0x80) != 0) {
+                val n = 3 * (2 << (p2 & 7))
+                require(off + n <= payload.length, "truncated local color table")
+                val t = java.util.Arrays.copyOfRange(payload, off, off + n)
+                off += n
+                t
+              } else {
+                require(gct != null, "frame has no color table")
+                gct
+              }
+            require(off < payload.length, "truncated LZW header")
+            val minCode = payload(off) & 0xff
+            require(minCode >= 1 && minCode <= 11, s"bad LZW min code $minCode")
+            off += 1
+            // concatenate the length-prefixed data sub-blocks
+            val data = Array.newBuilder[Byte]
+            while ({
+              require(off < payload.length, "truncated image data")
+              (payload(off) & 0xff) != 0
+            }) {
+              val len = payload(off) & 0xff
+              require(off + 1 + len <= payload.length, "truncated data block")
+              data ++= java.util.Arrays.copyOfRange(payload, off + 1,
+                off + 1 + len)
+              off += 1 + len
+            }
+            off += 1
+            val idx = lzwDecode(data.result(), minCode, fw * fh)
+            val rgb = new Array[Byte](3 * fw * fh)
+            var i = 0
+            while (i < idx.length) {
+              val c = idx(i)
+              require(3 * c + 2 < palette.length,
+                s"pixel index $c outside the ${palette.length / 3}-color table")
+              rgb(3 * i) = palette(3 * c)
+              rgb(3 * i + 1) = palette(3 * c + 1)
+              rgb(3 * i + 2) = palette(3 * c + 2)
+              i += 1
+            }
+            frames += GifFrame(fw, fh, rgb)
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02x at offset $off")
+        }
+      }
+      val out = frames.result()
+      require(out.nonEmpty, "GIF contains no image")
+      out
+    }
+
+    /** GIF-flavor LZW: variable-width codes read LSB-first, starting at
+      * minCode+1 bits; `clear` resets the dictionary, `end` terminates.
+      * Decodes exactly `expected` pixel indices (short streams throw). */
+    private def lzwDecode(data: Array[Byte], minCode: Int,
+                          expected: Int): Array[Int] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val out = new Array[Int](expected)
+      var outPos = 0
+      var dictSize = end + 1
+      var codeSize = minCode + 1
+      var bitPos = 0
+      var prev = -1
+      def readCode(): Int = {
+        require(bitPos + codeSize <= 8 * data.length, "truncated LZW stream")
+        var v = 0
+        var i = 0
+        while (i < codeSize) {
+          val p = bitPos + i
+          if ((data(p >> 3) >> (p & 7) & 1) != 0) v |= 1 << i
+          i += 1
+        }
+        bitPos += codeSize
+        v
+      }
+      // root literal of a code's expansion (follow the prefix chain down)
+      def firstOf(code: Int): Int = {
+        var c = code
+        while (c >= end + 1) c = prefix(c)
+        c
+      }
+      def emit(code: Int): Unit = {
+        // expansion length = chain depth; write back-to-front
+        var n = 1
+        var c = code
+        while (c >= end + 1) { c = prefix(c); n += 1 }
+        require(outPos + n <= expected,
+          s"LZW produced more than $expected pixels")
+        var p = outPos + n - 1
+        c = code
+        while (c >= end + 1) { out(p) = suffix(c); c = prefix(c); p -= 1 }
+        out(p) = c
+        outPos += n
+      }
+      var running = true
+      while (running) {
+        val code = readCode()
+        if (code == clear) { dictSize = end + 1; codeSize = minCode + 1; prev = -1 }
+        else if (code == end) running = false
+        else if (prev == -1) {
+          require(code < clear, s"first LZW code $code is not a literal")
+          emit(code)
+          prev = code
+        } else {
+          require(code < dictSize || (code == dictSize && dictSize < 4096),
+            s"LZW code $code beyond dictionary ($dictSize entries)")
+          val first = if (code == dictSize) firstOf(prev) else firstOf(code)
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          emit(code) // safe: code == old dictSize now expands via the new entry
+          prev = code
+        }
+      }
+      require(outPos == expected,
+        s"LZW stream decoded $outPos of $expected pixels")
+      out
+    }
+
+    /** Fixed 4-color palette for [[syntheticGif87]]: index 0 black, 1 red,
+      * 2 green, 3 blue — easy to assert against in specs. */
+    private val gifPalette: Array[Byte] = Array[Byte](
+      0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1)
+
+    /** Deterministic multi-frame GIF87a generator: `nFrames` 4×4 frames over
+      * the fixed 4-color table, pixel indices seeded — a VALID payload so the
+      * video path (decode → frame-sample) runs end-to-end on real frames.
+      * The LZW stream interleaves a clear code before every literal, which
+      * keeps the dictionary empty and the code width fixed — legal LZW that
+      * any conforming decoder (including [[gif87Frames]]) must accept. */
+    def syntheticGif87(seed: Long, nFrames: Int = 4): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames must be >= 1: $nFrames")
+      val out = Array.newBuilder[Byte]
+      out ++= "GIF87a".getBytes("US-ASCII")
+      out ++= le16(4) ++= le16(4)     // logical screen 4×4
+      out += 0x91.toByte              // GCT present, 4 entries (2 << 1)
+      out += 0 += 0                   // background index, aspect
+      out ++= gifPalette
+      for (f <- 0 until nFrames) {
+        out += 0x2c.toByte
+        out ++= le16(0) ++= le16(0) ++= le16(4) ++= le16(4)
+        out += 0                      // no LCT, not interlaced
+        out += 2                      // LZW min code size (4-color)
+        // 16 pixels as (clear, literal) pairs + end, 3-bit codes LSB-first
+        val codes = (0 until 16).flatMap { i =>
+          val px = (java.lang.Long.rotateLeft(
+            seed * 0x9e3779b97f4a7c15L + f, i) & 3).toInt
+          Seq(4, px)                  // clear, literal
+        } :+ 5                        // end
+        var acc = 0L
+        var nbits = 0
+        val packed = Array.newBuilder[Byte]
+        codes.foreach { c =>
+          acc |= c.toLong << nbits
+          nbits += 3
+          while (nbits >= 8) {
+            packed += (acc & 0xff).toByte
+            acc >>= 8
+            nbits -= 8
+          }
+        }
+        if (nbits > 0) packed += (acc & 0xff).toByte
+        val bytes = packed.result()
+        require(bytes.length <= 255, "synthetic LZW block too large")
+        out += bytes.length.toByte
+        out ++= bytes
+        out += 0                      // data terminator
+      }
+      out += 0x3b.toByte              // trailer
+      out.result()
     }
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
@@ -274,16 +514,36 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Frame/segment sampling stub: deterministic every-nth-byte "frames" of a
-    * payload — the unpivot-like row multiplier a video pipeline needs (one
-    * row per sampled frame), with real Spark semantics. */
-  def sampleFrames(media: DataFrame, everyN: Int = 64): DataFrame = {
+  /** REAL frame sampling: decode a multi-frame GIF payload
+    * ([[Decoders.gif87Frames]]) and keep every `everyN`th frame, emitting one
+    * row per sampled frame with per-frame pixel statistics — the unpivot-like
+    * row multiplier a video pipeline needs, now fed by an actual container
+    * decode (round-3 byte-stride stub retired). Same `flatMap` batch shape;
+    * non-GIF payloads fail loudly per the decoder contract.
+    * Output: (media_id, kind, frame_ix, width, height, mean_r, mean_g,
+    * mean_b) — means over the frame's pixels, 0-255, 6 dp. */
+  def sampleFrames(media: DataFrame, everyN: Int = 1): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
     media.as[MediaRecord].flatMap { r =>
-      r.payload.indices.by(everyN).map { off =>
-        (r.media_id, r.kind, off.toLong, r.payload(off) & 0xff)
+      val frames = Decoders.gif87Frames(r.payload)
+      frames.indices.by(everyN).map { ix =>
+        val f = frames(ix)
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < f.rgb.length) {
+          sr += (f.rgb(i) & 0xff); sg += (f.rgb(i + 1) & 0xff)
+          sb += (f.rgb(i + 2) & 0xff)
+          i += 3
+        }
+        val n = (f.width.toDouble * f.height).max(1)
+        def r6(x: Double) = BigDecimal(x / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.media_id, r.kind, ix.toLong, f.width, f.height,
+          r6(sr), r6(sg), r6(sb))
       }
-    }.toDF("media_id", "kind", "frame_offset", "frame_value")
+    }.toDF("media_id", "kind", "frame_ix", "width", "height",
+      "mean_r", "mean_g", "mean_b")
   }
 }

@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -41,6 +40,29 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Per-group bounded top-k aggregate column: the k best (id, score) pairs,
+    * best first (score desc, ties to the lower id) — the partial-aggregation
+    * replacement for the `row_number().over(partitionBy(g))` rerank idiom;
+    * see [[graft.engine.expressions.BoundedTopK]]. */
+  def boundedTopK(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.BoundedTopK(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+  }
+
+  /** (qid, cid, cos) candidates → per-query top-k as (qid, cid, cos, rn).
+    * Bounded partial aggregation: each task reduces to ≤ k entries per query
+    * BEFORE the shuffle, so no single task ever assembles a query's full
+    * candidate set (the window-rerank hotspot at corpus scale). Bit-exact vs
+    * `row_number().over(orderBy(cos.desc, cid.asc))` — same tie-breaks. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(boundedTopK(col("cos"), col("cid"), k).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")).as(Seq("_p", "_s")))
+      .select(col("qid"), col("_s.id").as("cid"), col("_s.score").as("cos"),
+        (col("_p") + 1).cast("long").as("rn"))
+
   /** Exact top-k by cosine for each query vector (query ids from the same
     * table). Queries are broadcast; one pass over the corpus. */
   def cosineTopK(emb: DataFrame, id: Column, vec: Column,
@@ -52,11 +74,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("cv"), col("qv")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs, exact: every (id1 < id2) pair with
@@ -317,14 +335,68 @@ object Similarity {
     val queries = indexed.filter(col("cid").isin(queryIds: _*))
       .select(col("cid").as("qid"), col("cv").as("qv"),
         explode(nearestCentroids(col("cv"), cents, nprobe)).as("cl"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid").asc)
-    indexed.join(broadcast(queries), Seq("cl"))
+    val scored = indexed.join(broadcast(queries), Seq("cl"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("cv"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k)
+  }
+
+  /** Driver-side probe-list computation for ONE query vector — same scoring
+    * and tie-break (dot product, ties to the lower index) as the
+    * [[graft.engine.expressions.NearestCentroids]] expression, so the two
+    * paths probe identical lists. Model-scale work: nlist×dim flops. */
+  private[graft] def probeLists(cents: Array[Array[Double]], qv: Array[Double],
+                                nprobe: Int): Seq[Int] = {
+    val dots = cents.map { c =>
+      require(c.length == qv.length,
+        s"probeLists: query has ${qv.length} dims, centroids ${c.length}")
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * qv(i); i += 1 }
+      s
+    }
+    val taken = new Array[Boolean](cents.length)
+    Seq.tabulate(nprobe) { _ =>
+      var best = -1; var bd = Double.NegativeInfinity; var j = 0
+      while (j < dots.length) {
+        if (!taken(j) && dots(j) > bd) { best = j; bd = dots(j) }
+        j += 1
+      }
+      taken(best) = true
+      best
+    }
+  }
+
+  /** IVF search over an ON-DISK index sunk with `partitionBy("cl")` — the
+    * 100 TB layout promised in [[ivfAssign]]'s doc, demonstrated: the query
+    * set is driver-held (query batches are model-scale), so its probe lists
+    * are computed up front and the reader gets a LITERAL `cl IN (...)`
+    * predicate — list pruning IS partition pruning. The scan plans only the
+    * probed lists' directories (`FileSourceScanExec.selectedPartitions` ==
+    * union of probe lists — asserted in SimilaritySpec); unprobed lists are
+    * never listed, opened, or read. Rerank is the same bounded top-k
+    * aggregation as the in-memory path; results are identical to
+    * [[ivfCosineTopKWith]] on the same index. */
+  def ivfCosineTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               cents: Array[Array[Double]],
+                               queries: Seq[(Long, Array[Double])], k: Int,
+                               nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probed = queries.map { case (qid, qv) =>
+      (qid, qv, probeLists(cents, qv, nprobe))
+    }
+    val lists = probed.flatMap(_._3).distinct.sorted
+    val qdf = probed
+      .flatMap { case (qid, qv, ls) => ls.map(cl => (qid, qv, cl)) }
+      .toDF("qid", "qv", "cl")
+    val scored = spark.read.parquet(indexPath)
+      .filter(col("cl").isin(lists: _*)) // static partition pruning
+      .join(broadcast(qdf), Seq("cl"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 6).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Train + index + search in one call — the small-corpus convenience
@@ -396,28 +468,30 @@ object Similarity {
         math.max(40L * k, estimatedRows(emb, dim) / 5L), 10000L).toInt
     val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands,
       rowsPerBand, dim)
-    // query side is tiny: carry its vector in the broadcast; corpus vectors
-    // join back only for Hamming-ranked survivors
     val queries = banded.filter(col("cid").isin(queryIds: _*))
-      .join(vecs, "cid")
-      .select(col("cid").as("qid"), col("cv").as("qv"),
-        col("sig").as("qsig"), col("band"), col("chunk"))
-    val wHam = Window.partitionBy(col("qid"))
-      .orderBy(col("ham").asc, col("cid").asc)
-    val candidates = banded.join(broadcast(queries), Seq("band", "chunk"))
+      .select(col("cid").as("qid"), col("sig").as("qsig"),
+        col("band"), col("chunk"))
+    val queryVecs = vecs.filter(col("cid").isin(queryIds: _*))
+      .select(col("cid").as("qid"), col("cv").as("qv"))
+    // Hamming ranking as a bounded top-k aggregation (lowest distance =
+    // highest -ham, ties to the lower cid — identical selection to the old
+    // row_number window, but partial-aggregated: no single task ever holds
+    // all of a query's bucket collisions)
+    val candidateIds = banded.join(broadcast(queries), Seq("band", "chunk"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("cid"),
+      .select(col("qid"), col("cid"),
         hamming(col("sig"), col("qsig")).as("ham"))
       .dropDuplicates("qid", "cid")
-      .withColumn("_hr", row_number().over(wHam))
-      .filter(col("_hr") <= cpq)
+      .groupBy(col("qid"))
+      .agg(boundedTopK(-col("ham").cast("double"), col("cid"), cpq).as("_tk"))
+      .select(col("qid"), explode(col("_tk.id")).as("cid"))
+    // corpus vectors re-attach only for the ≤ cpq survivors per query; the
+    // (tiny) query vectors ride a broadcast
+    val scored = candidateIds
       .join(vecs, "cid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid").asc)
-    candidates
+      .join(broadcast(queryVecs), "qid")
       .select(col("qid"), col("cid"),
         round(cosine(col("cv"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Sink {
 
+  /** How a rewritten table becomes visible to readers. */
+  sealed trait CommitStrategy
+  /** Directory rename swap ([[swapStaged]]) — atomic on one POSIX FS / HDFS;
+    * WRONG on object stores (rename = per-object copy+delete). */
+  case object StagedSwap extends CommitStrategy
+  /** Versioned directories + atomic pointer-file flip
+    * ([[commitVersioned]]) — the object-store-safe commit. */
+  case object PointerCommit extends CommitStrategy
+
   /** S13: write `df` partitioned by the date of `ts`, dynamically overwriting
     * ONLY the partitions the frame contains — the delete+insert-range
     * equivalent. Re-running the same day is a no-op-identical rewrite
@@ -43,24 +52,36 @@ object Sink {
   }
 
   /** S14: keyed upsert into a parquet table — read-merge-rewrite with the
-    * incoming side winning on key conflict. Writes to a temp path first, then
-    * swaps via [[swapStaged]], so a failed job never truncates the table.
-    *
-    * COMMIT CONTRACT: single POSIX filesystem (or HDFS) ONLY — see
-    * [[swapStaged]]. On S3/GCS at 100 TB, commit through a metastore/table-
-    * format pointer flip (Hive location swap, Iceberg/Delta commit) instead;
-    * directory rename there is non-atomic copy+delete. */
+    * incoming side winning on key conflict. The commit is pluggable:
+    *  - [[StagedSwap]] (default): write to a temp path, swap directories via
+    *    [[swapStaged]] — single POSIX filesystem (or HDFS) ONLY.
+    *  - [[PointerCommit]]: the table at `path` is a versioned root
+    *    ([[commitVersioned]]) — the S3/GCS-safe commit; the merge reads the
+    *    current version while the new one is written, so no temp dir and no
+    *    rename of data at all.
+    * Either way a failed job never truncates the table. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame, path: String,
-                    keys: Seq[String], tieBreak: Seq[Column]): Unit = {
-    val target = new java.io.File(path)
-    val merged = if (target.exists()) {
-      val existing = spark.read.parquet(path)
-      Dedup.upsert(existing, incoming.select(existing.columns.map(col): _*),
-        keys, tieBreak)
-    } else incoming
-    val tmp = path + "._staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapStaged(new java.io.File(tmp), target)
+                    keys: Seq[String], tieBreak: Seq[Column],
+                    commit: CommitStrategy = StagedSwap): Unit = commit match {
+    case StagedSwap =>
+      val target = new java.io.File(path)
+      val merged = if (target.exists()) {
+        val existing = spark.read.parquet(path)
+        Dedup.upsert(existing, incoming.select(existing.columns.map(col): _*),
+          keys, tieBreak)
+      } else incoming
+      val tmp = path + "._staged"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      swapStaged(new java.io.File(tmp), target)
+    case PointerCommit =>
+      val merged = resolveVersioned(path) match {
+        case Some(dir) =>
+          val existing = spark.read.parquet(dir)
+          Dedup.upsert(existing,
+            incoming.select(existing.columns.map(col): _*), keys, tieBreak)
+        case None => incoming
+      }
+      commitVersioned(merged, path): Unit
   }
 
   /** Staged swap of a freshly-written table directory into place:
@@ -94,6 +115,90 @@ object Sink {
   def replaceTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  // ---- Pointer-file commit (object-store-safe table rewrites) ----
+  //
+  // Layout: <table>/_v<N>/ immutable version directories plus ONE small
+  // `_current` pointer file naming the active version. Writers write a brand
+  // new version dir, then publish it by replacing the pointer; readers
+  // resolve the pointer first and only ever see fully-written versions.
+  // This is the commit shape that survives object stores: the data "move"
+  // is no move at all (each version is written in place, once), and the
+  // publish step is a single-object replace — one atomic PUT on S3/GCS; the
+  // local-FS implementation below uses write-tmp + ATOMIC_MOVE as the same
+  // primitive. A crash mid-write leaves an orphan _v dir the pointer never
+  // names (invisible to readers, GC'd later); a crash between write and
+  // publish is identical. Version numbers only grow — an orphan's number is
+  // never reused. Single-writer contract: concurrent committers need a CAS
+  // on the pointer (metastore/table-format territory), same as the
+  // reference's txn-guarded delete+insert (daily_pv_automation.py:201-224).
+
+  private val VersionName = """_v(\d+)""".r
+
+  private def listVersions(root: java.io.File): Seq[(Long, java.io.File)] =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap { f =>
+        if (!f.isDirectory) None
+        else f.getName match {
+          case VersionName(n) => Some((n.toLong, f))
+          case _ => None
+        }
+      }
+
+  /** The active version name (e.g. "_v3") from the pointer file, if any. */
+  def currentVersion(path: String): Option[String] = {
+    val cur = new java.io.File(path, "_current")
+    if (!cur.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim)
+  }
+
+  /** Absolute path of the active version directory, if published. */
+  def resolveVersioned(path: String): Option[String] =
+    currentVersion(path).map(v => new java.io.File(path, v).getPath)
+
+  /** Read the table as of its current pointer. Fails loudly when nothing has
+    * been committed yet. */
+  def readVersioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(resolveVersioned(path).getOrElse(throw
+      new java.io.FileNotFoundException(s"no committed version under $path")))
+
+  /** Write `df` as the table's next version and atomically publish it.
+    * Returns the new version directory. `retain` bounds retention GC: after
+    * publish, all but the `retain` highest-numbered versions (always
+    * including the current one) are deleted — stale readers that resolved
+    * the pointer just before the flip keep a readable directory for
+    * `retain - 1` further commits. */
+  def commitVersioned(df: DataFrame, path: String, retain: Int = 2): String = {
+    require(retain >= 1, s"retain must be >= 1: $retain")
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val next = (listVersions(root).map(_._1) :+ 0L).max + 1
+    val vname = s"_v$next"
+    val vdir = new java.io.File(root, vname)
+    df.write.mode(SaveMode.Overwrite).parquet(vdir.getPath)
+    publishPointer(root, vname)
+    gcVersions(root, retain)
+    vdir.getPath
+  }
+
+  /** Atomic pointer replace — the local-FS stand-in for an object store's
+    * single-object PUT. */
+  private def publishPointer(root: java.io.File, vname: String): Unit = {
+    val tmp = new java.io.File(root, "_current._tmp")
+    java.nio.file.Files.write(tmp.toPath, vname.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "_current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def gcVersions(root: java.io.File, retain: Int): Unit = {
+    val all = listVersions(root)
+    val keep = all.sortBy(-_._1).take(retain).map(_._2.getName).toSet ++
+      currentVersion(root.getPath)
+    all.filterNot(v => keep(v._2.getName)).foreach(v => delete(v._2))
+  }
+
   /** Bucketed managed table: pre-shuffles once at write time so that every
     * subsequent equi-join/aggregation on `keys` between co-bucketed tables
     * runs with NO exchange (the 100 TB co-location strategy for repeatedly
@@ -109,15 +214,23 @@ object Sink {
   /** Small-file compaction: rewrite a parquet table to ~targetFileMB files.
     * Daily S13 runs produce one file per day per run; long-lived tables need
     * periodic compaction to keep scan task counts sane at 100 TB.
-    * Same single-FS commit contract as [[swapStaged]]. */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
-    val df = spark.read.parquet(path)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1,
-      (bytes / (targetFileMB.toLong << 20)).toInt)
-    val tmp = path + "._compact"
-    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapStaged(new java.io.File(tmp), new java.io.File(path))
+    * Commit via [[StagedSwap]] (single-FS) or [[PointerCommit]]
+    * (object-store-safe versioned root). */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256,
+              commit: CommitStrategy = StagedSwap): Unit = {
+    def repartitioned(df: DataFrame): DataFrame = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      df.repartition(math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt))
+    }
+    commit match {
+      case StagedSwap =>
+        val df = repartitioned(spark.read.parquet(path))
+        val tmp = path + "._compact"
+        df.write.mode(SaveMode.Overwrite).parquet(tmp)
+        swapStaged(new java.io.File(tmp), new java.io.File(path))
+      case PointerCommit =>
+        commitVersioned(repartitioned(readVersioned(spark, path)), path): Unit
+    }
   }
 
   /** S11: CSV sink (utf-8, header), append or overwrite. */

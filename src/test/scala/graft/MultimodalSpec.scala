@@ -90,18 +90,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures end-to-end with the REAL media decoder") {
+    val gif = Multimodal.Decoders.syntheticGif87(7L, nFrames = 3)
     val media = Seq(
       (1L, "image", bmpBytes),
       (2L, "audio", wavBytes),
-      (3L, "video", "abcdefgh".getBytes)
+      (3L, "video", gif)
     ).toDF("media_id", "kind", "payload")
     val out = Multimodal.extractFeatures(media, Multimodal.Decoders.media)
       .orderBy("media_id").collect()
     out(0).getSeq[Double](3) shouldBe Seq(2.0, 2.0, 75.0, 65.0, 55.0)
     out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5)
-    out(2).getSeq[Double](3).sum shouldBe (1.0 +- 1e-4) // histogram fallback
+    // video decodes the REAL GIF: [nFrames, w, h, first-frame means]
+    val vf = out(2).getSeq[Double](3)
+    vf.take(3) shouldBe Seq(3.0, 4.0, 4.0)
+    val f0 = Multimodal.Decoders.gif87Frames(gif).head
+    val means = Seq(0, 1, 2).map(c =>
+      BigDecimal(f0.rgb.indices.filter(_ % 3 == c)
+          .map(i => (f0.rgb(i) & 0xff).toDouble).sum / 16)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    vf.drop(3) shouldBe means
     out.map(_.getLong(2)) shouldBe
-      Array(bmpBytes.length.toLong, wavBytes.length.toLong, 8L)
+      Array(bmpBytes.length.toLong, wavBytes.length.toLong, gif.length.toLong)
   }
 
   test("Decoders.resizeBmp24: NN downscale/upscale round-trips the decoder") {
@@ -168,11 +177,79 @@ class MultimodalSpec extends SparkSpec {
     out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5) // untouched
   }
 
-  test("sampleFrames: every-nth-byte rows") {
-    val frames = Multimodal.sampleFrames(
-        Multimodal.asMedia(docs, col("doc_id"), col("text")), everyN = 4)
-      .filter(col("media_id") === 0L).orderBy("frame_offset").collect()
-    frames.map(_.getLong(2)) shouldBe Array(0L, 4L)
-    frames(0).getInt(3) shouldBe 'a'.toInt
+  test("gif87Frames: LZW decode of the synthetic stream matches the " +
+    "seeded pixels exactly; deterministic; loud failures") {
+    val gif = Multimodal.Decoders.syntheticGif87(42L, nFrames = 2)
+    gif.toSeq shouldBe Multimodal.Decoders.syntheticGif87(42L, 2).toSeq
+    val frames = Multimodal.Decoders.gif87Frames(gif)
+    frames.length shouldBe 2
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    for (f <- 0 until 2) {
+      val fr = frames(f)
+      (fr.width, fr.height) shouldBe ((4, 4))
+      // the generator's pixel law, re-derived independently
+      val want = (0 until 16).map { i =>
+        palette((java.lang.Long.rotateLeft(
+          42L * 0x9e3779b97f4a7c15L + f, i) & 3).toInt)
+      }
+      val got = (0 until 16).map(i => ((fr.rgb(3 * i) & 0xff),
+        (fr.rgb(3 * i + 1) & 0xff), (fr.rgb(3 * i + 2) & 0xff)))
+      got shouldBe want
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.gif87Frames("NOTAGIF-------".getBytes)
+    }.getMessage should include("not a GIF")
+    intercept[IllegalArgumentException] { // trailer chopped off
+      Multimodal.Decoders.gif87Frames(gif.dropRight(2))
+    }
+  }
+
+  test("gif87Frames: dictionary-growth LZW path (incl. the KwKwK case)") {
+    // hand-built GIF: one 2×2 frame, pixels [1,1,1,1], encoded the way a
+    // real compressor would — clear once, then grow the dictionary:
+    // codes [clear=4, 1, 6(KwKwK: "11"), 1, end=5] at 3 bits
+    def pack3(codes: Seq[Int]): Array[Byte] = {
+      var acc = 0L; var nbits = 0
+      val out = Array.newBuilder[Byte]
+      codes.foreach { c =>
+        acc |= c.toLong << nbits; nbits += 3
+        while (nbits >= 8) { out += (acc & 0xff).toByte; acc >>= 8; nbits -= 8 }
+      }
+      if (nbits > 0) out += (acc & 0xff).toByte
+      out.result()
+    }
+    val data = pack3(Seq(4, 1, 6, 1, 5))
+    val gif = "GIF87a".getBytes ++ le16(2) ++ le16(2) ++
+      Array[Byte](0x91.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1) ++ // 4-color GCT
+      Array[Byte](0x2c, 0, 0, 0, 0) ++ le16(2) ++ le16(2) ++
+      Array[Byte](0, 2, data.length.toByte) ++ data ++
+      Array[Byte](0, 0x3b)
+    val f = Multimodal.Decoders.gif87Frames(gif).head
+    (f.width, f.height) shouldBe ((2, 2))
+    // all four pixels are palette index 1 = red
+    (0 until 4).map(i => ((f.rgb(3 * i) & 0xff), (f.rgb(3 * i + 1) & 0xff),
+      (f.rgb(3 * i + 2) & 0xff))) shouldBe Seq.fill(4)((255, 0, 0))
+  }
+
+  test("sampleFrames: real GIF frames, every-nth sampling, pixel means") {
+    val gif = Multimodal.Decoders.syntheticGif87(42L, nFrames = 5)
+    val media = Seq((1L, "video", gif)).toDF("media_id", "kind", "payload")
+    val rows = Multimodal.sampleFrames(media, everyN = 2)
+      .orderBy("frame_ix").collect()
+    rows.map(_.getLong(2)) shouldBe Array(0L, 2L, 4L)
+    rows.foreach { r => r.getInt(3) shouldBe 4; r.getInt(4) shouldBe 4 }
+    // frame-2 means match a direct decode
+    val f2 = Multimodal.Decoders.gif87Frames(gif)(2)
+    val meanR = BigDecimal(f2.rgb.indices.filter(_ % 3 == 0)
+        .map(i => (f2.rgb(i) & 0xff).toDouble).sum / 16)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows(1).getDouble(5) shouldBe meanR
+    // non-GIF payloads fail loudly — no silent byte-stride fallback
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(
+        Seq((2L, "video", "plain text".getBytes))
+          .toDF("media_id", "kind", "payload")).collect()
+    }
   }
 }

@@ -96,6 +96,87 @@ class SimilaritySpec extends SparkSpec {
     reused shouldBe approx
   }
 
+  test("boundedTopK aggregate: ordering, ties, null skip, cross-partition merge") {
+    val rows = Seq(
+      (1L, 10L, Option(0.5)), (1L, 12L, Option(0.9)), (1L, 11L, Option(0.9)),
+      (1L, 13L, Option(0.1)), (1L, 14L, Option.empty[Double]),
+      (2L, 20L, Option(0.3)), (2L, 21L, Option(0.2))
+    ).toDF("qid", "cid", "cos").repartition(8) // force partial buffers + merge
+    val out = rows.groupBy(col("qid"))
+      .agg(Similarity.boundedTopK(col("cos"), col("cid"), 3).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getDouble(1)))).toMap
+    // score desc, tie 0.9 breaks to LOWER cid; null score skipped; k caps
+    out(1L) shouldBe Seq((11L, 0.9), (12L, 0.9), (10L, 0.5))
+    out(2L) shouldBe Seq((20L, 0.3), (21L, 0.2)) // fewer than k → all, sorted
+  }
+
+  test("bounded top-k rerank: bit-exact vs row_number window at sf0.1; " +
+    "partial aggregation plan, no window sort") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val qs = Seq(0L, 1L, 2L)
+    val res = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
+    // the window formulation this rerank replaced, over the same candidates
+    val corpus = emb.select(col("vec_id").as("cid"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val queries = corpus.filter(col("cid").isin(qs: _*))
+      .select(col("cid").as("qid"), col("cv").as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(Similarity.cosine(col("cv"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val ref = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    asSet(res) shouldBe asSet(ref)
+    // plan shape: partial-then-final typed aggregate instead of a window sort
+    val plan = res.queryExecution.executedPlan.toString
+    plan should include("graft_bounded_topk")
+    (plan should not).include("Window")
+  }
+
+  test("IVF partitioned index: list pruning IS partition pruning; " +
+    "results match the in-memory path") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = clusteredCorpus
+    val cents = Similarity.ivfTrainCentroids(emb, col("vec_id"), col("embedding"))
+    val indexed = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_").toString + "/idx"
+    indexed.write.partitionBy("cl").parquet(dir)
+    val qs = Seq(0L, 101L, 202L)
+    val queries = indexed.filter(col("cid").isin(qs: _*))
+      .select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val res = Similarity.ivfCosineTopKPartitioned(spark, dir, cents, queries, 5)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    asSet(res.collect()) shouldBe
+      asSet(Similarity.ivfCosineTopKWith(indexed, cents, qs, 5).collect())
+    // the scan plans ONLY the probed lists' partitions — a literal
+    // partition filter, visible before any file is read
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val probedLists = queries.flatMap(q =>
+      Similarity.probeLists(cents, q._2, 4)).distinct
+    val scan = scans(res.queryExecution.executedPlan).head
+    scan.partitionFilters should not be empty
+    scan.selectedPartitions.partitionCount shouldBe probedLists.size
+  }
+
   test("NearestCentroids expression: ordering, ties, nulls, strict width") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
     def probe(v: Option[Seq[Double]], nprobe: Int) =

@@ -66,6 +66,68 @@ class SinkIngestSpec extends SparkSpec {
     spark.read.parquet(longTbl.toString).head().getLong(0) shouldBe 9L
   }
 
+  test("pointer commit: versions, atomic flip, retention GC") {
+    val path = tmpDir() + "/vtbl"
+    Sink.commitVersioned(Seq((1L, "a")).toDF("id", "v"), path)
+    Sink.currentVersion(path) shouldBe Some("_v1")
+    Sink.readVersioned(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "a"))
+    Sink.commitVersioned(Seq((1L, "b")).toDF("id", "v"), path)
+    Sink.currentVersion(path) shouldBe Some("_v2")
+    // retain=2: the stale version stays readable for one more commit
+    new java.io.File(path, "_v1").exists() shouldBe true
+    Sink.commitVersioned(Seq((1L, "c")).toDF("id", "v"), path)
+    Sink.currentVersion(path) shouldBe Some("_v3")
+    new java.io.File(path, "_v1").exists() shouldBe false // GC'd
+    new java.io.File(path, "_v2").exists() shouldBe true
+    Sink.readVersioned(spark, path).head().getString(1) shouldBe "c"
+  }
+
+  test("pointer commit: crash between version write and pointer flip is " +
+    "invisible to readers; the orphan's number is never reused") {
+    val path = tmpDir() + "/vcrash"
+    Sink.commitVersioned(Seq((1L, "a")).toDF("id", "v"), path)
+    // simulate the crash: a fully-written version dir that was never
+    // published (the writer died before the pointer flip)
+    Seq((1L, "ORPHAN")).toDF("id", "v")
+      .write.parquet(new java.io.File(path, "_v2").getPath)
+    // readers still resolve the last published version
+    Sink.currentVersion(path) shouldBe Some("_v1")
+    Sink.readVersioned(spark, path).head().getString(1) shouldBe "a"
+    // the next commit numbers ABOVE the orphan (never adopts or reuses it),
+    // publishes atomically, and retention GC sweeps the orphan away
+    Sink.commitVersioned(Seq((1L, "b")).toDF("id", "v"), path, retain = 1)
+    Sink.currentVersion(path) shouldBe Some("_v3")
+    Sink.readVersioned(spark, path).head().getString(1) shouldBe "b"
+    new java.io.File(path, "_v2").exists() shouldBe false
+  }
+
+  test("S14 upsertParquet with PointerCommit merges across versions") {
+    val path = tmpDir() + "/vkeyed"
+    Sink.upsertParquet(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path,
+      Seq("id"), Seq(col("id")), Sink.PointerCommit)
+    Sink.upsertParquet(spark, Seq((2L, "B"), (3L, "C")).toDF("id", "v"), path,
+      Seq("id"), Seq(col("id")), Sink.PointerCommit)
+    Sink.readVersioned(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "a"), (2L, "B"), (3L, "C"))
+    // the merge read v1 while writing v2 — both exist, pointer names v2
+    Sink.currentVersion(path) shouldBe Some("_v2")
+    new java.io.File(path, "_v1").exists() shouldBe true
+  }
+
+  test("compact with PointerCommit defragments into a new version") {
+    val path = tmpDir() + "/vfrag"
+    val df = (1 to 500).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    Sink.commitVersioned(df.repartition(50), path)
+    Sink.compact(spark, path, commit = Sink.PointerCommit)
+    val vdir = Sink.resolveVersioned(path).get
+    new java.io.File(vdir).listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 1
+    Sink.readVersioned(spark, path).agg(sum("v")).head().getDouble(0) shouldBe
+      (1 to 500).map(_ * 1.5).sum
+  }
+
   test("bucketed co-located join plans with NO shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -453,6 +453,21 @@ object SparkEntry {
     // top-k corpus vocabulary (tokenizer-training prep; oracled)
     "q_vocab_topk" -> ((s, d) =>
       TextOps.vocabulary(documents(s, d), col("text"), 500)),
+    // Gopher-style repetition quality filters: top-token dominance +
+    // duplicate bi/tri-gram fractions (oracled)
+    "q_repetition_filter" -> ((s, d) =>
+      TextOps.repetitionStats(documents(s, d), col("doc_id"), col("text"))),
+    // deterministic 90/5/5 train/val/test assignment by md5 bucket (oracled —
+    // md5 is cross-engine, unlike xxhash64)
+    "q_train_val_split" -> ((s, d) =>
+      Sampling.assignSplit(documents(s, d), col("doc_id"),
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select(col("doc_id"), col("source"), col("split"))),
+    // greedy sequence packing: per-source token streams split into 512-token
+    // training sequences, all integer arithmetic (oracled)
+    "q_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(documents(s, d), col("doc_id"), col("doc_id"),
+        col("source"), col("text"), 512)),
     // token-budget accounting: per (source, lang) doc/token/char
     // contribution — the mix dashboard behind Sampling.mixToShares (oracled)
     "q_token_budget" -> ((s, d) =>
@@ -828,6 +843,58 @@ object SparkEntry {
                     FROM documents)
          SELECT token, count(*)::BIGINT AS n FROM t
          GROUP BY 1 ORDER BY n DESC, token LIMIT 500""",
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(c) AS mxc, sum(c) AS tot FROM tc
+                GROUP BY 1),
+         b AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+               FROM t),
+         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM b),
+         bs AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst
+                FROM bg GROUP BY 1),
+         tr AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+               FROM t),
+         tg AS (SELECT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM tr),
+         ts AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst
+                FROM tg GROUP BY 1)
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           round(mx.mxc::DOUBLE / mx.tot, 6) AS top_token_frac,
+           coalesce(round(1 - bs.dst::DOUBLE / bs.tot, 6), 0.0)
+             AS dup_bigram_frac,
+           coalesce(round(1 - ts.dst::DOUBLE / ts.tot, 6), 0.0)
+             AS dup_trigram_frac
+         FROM t
+         JOIN mx USING (doc_id)
+         LEFT JOIN bs USING (doc_id)
+         LEFT JOIN ts USING (doc_id)""",
+    "q_train_val_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN u < 0.9 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)
+                   ::DOUBLE / 4294967296.0 AS u
+               FROM documents)""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source AS grp,
+                      len(string_split(text, ' '))::BIGINT AS n_tokens
+                    FROM documents),
+         c AS (SELECT *,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cum
+               FROM t)
+         SELECT doc_id, grp, n_tokens, (cum // 512)::BIGINT AS seq_ix,
+                (cum % 512)::BIGINT AS seq_offset
+         FROM c""",
     "q_token_budget" ->
       """SELECT source, lang, count(*)::BIGINT AS n_docs,
                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,

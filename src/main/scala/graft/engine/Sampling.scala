@@ -69,4 +69,28 @@ object Sampling {
       .toMap
     stratifiedSample(df, id, stratum, mixFractions(counts, shares), salt)
   }
+
+  /** Deterministic train/val/test split assignment: bucket =
+    * first-32-bits-of-md5(id) / 2³², assigned to the first split whose
+    * cumulative fraction exceeds it. A pure function of the id — stable
+    * across runs, partitionings and engines (md5 is cross-engine, unlike
+    * xxhash64, so the assignment is DuckDB-oracle-checkable), disjoint and
+    * exhaustive by construction, and a doc never migrates between splits
+    * when fractions are only appended to. Map-side only: no shuffle, no RNG.
+    * `splits` = ordered (name, fraction) with fractions summing to 1. */
+  def assignSplit(df: DataFrame, id: Column,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: ${splits.map(_._2).sum}")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cuts.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cut), acc) =>
+        when(bucket < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

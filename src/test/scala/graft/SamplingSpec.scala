@@ -61,4 +61,34 @@ class SamplingSpec extends SparkSpec {
     counts("src1") should be >= counts("src2")
     counts("src1") should be >= counts("src3")
   }
+
+  test("assignSplit: disjoint-exhaustive, deterministic, proportions, " +
+    "stable under fraction refinement") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val splits = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    val out = Sampling.assignSplit(docs, col("doc_id"), splits)
+      .select("doc_id", "split")
+    val n = docs.count()
+    out.count() shouldBe n // every doc assigned exactly once
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byName.keySet shouldBe Set("train", "val", "test")
+    byName("train").toDouble / n shouldBe 0.9 +- 0.03
+    byName("val").toDouble / n shouldBe 0.05 +- 0.02
+    // deterministic: identical on a re-run
+    val again = Sampling.assignSplit(docs, col("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().foreach(r => again(r.getLong(0)) shouldBe r.getString(1))
+    // splitting val into (val, test) never moves a train doc: same cut
+    val coarse = Sampling.assignSplit(docs, col("doc_id"),
+      Seq(("train", 0.9), ("rest", 0.1))).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().foreach { r =>
+      if (r.getString(1) == "train") coarse(r.getLong(0)) shouldBe "train"
+      else coarse(r.getLong(0)) shouldBe "rest"
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, col("doc_id"), Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
 }

@@ -90,4 +90,46 @@ class TextPrepSpec extends SparkSpec {
     out.flatMap(_.getString(2).split(" ")) shouldBe
       (1 to 9).map("w" + _).toArray // lossless, no duplication
   }
+
+  test("packSequences: greedy packing laws on a hand fixture") {
+    val docs = Seq(
+      (1L, "g1", (1 to 5).map(i => s"t$i").mkString(" ")),   // 5 tokens
+      (2L, "g1", (1 to 4).map(i => s"u$i").mkString(" ")),   // 4 tokens
+      (3L, "g1", (1 to 3).map(i => s"v$i").mkString(" ")),   // 3 tokens
+      (4L, "g2", "a b")
+    ).toDF("doc_id", "src", "text")
+    val out = TextOps.packSequences(docs, col("doc_id"), col("doc_id"),
+        col("src"), col("text"), budgetTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // g1 stream: doc1 starts at 0 (seq 0), doc2 at 5 (seq 0, offset 5 —
+    // straddles into seq 1), doc3 at 9 (seq 1, offset 1); g2 independent
+    out(0) shouldBe ((1L, "g1", 5L, 0L, 0L))
+    out(1) shouldBe ((2L, "g1", 4L, 0L, 5L))
+    out(2) shouldBe ((3L, "g1", 3L, 1L, 1L))
+    out(3) shouldBe ((4L, "g2", 2L, 0L, 0L))
+    // law: within a group, offset/seq_ix are the running token count
+    // (cum = seq_ix * budget + seq_offset is non-decreasing in order)
+    val cums = out.filter(_._2 == "g1").map(t => t._4 * 8 + t._5)
+    cums shouldBe cums.sorted
+    cums shouldBe Array(0L, 5L, 9L)
+  }
+
+  test("repetitionStats: hand-computed Gopher-rule fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),       // top=a×3/4; bigrams [a a, a a, a b]; tris ×2
+      (2L, "x"),             // single token: no n-grams → fracs 0
+      (3L, "u v w x"),       // all distinct → every frac is 0 except top 1/4
+      (4L, "s s s s")        // pure repetition → everything saturated
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    out(0) shouldBe ((1L, 4L, 0.75, 0.333333, 0.0))
+    out(1) shouldBe ((2L, 1L, 1.0, 0.0, 0.0))
+    out(2) shouldBe ((3L, 4L, 0.25, 0.0, 0.0))
+    out(3) shouldBe ((4L, 4L, 1.0, 0.666667, 0.5))
+  }
 }

@@ -468,6 +468,20 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) =>
       TextOps.packSequences(documents(s, d), col("doc_id"), col("doc_id"),
         col("source"), col("text"), 512)),
+    // CCNet-style unigram-LM quality score, micro-nat quantized (oracled)
+    "q_lm_score" -> ((s, d) =>
+      TextOps.lmQualityScore(documents(s, d), col("doc_id"), col("text"))),
+    // int8 embedding quantization (corpus-scale ANN storage), exploded to
+    // scalar rows for the gate comparator (oracled)
+    "q_quantize_int8" -> ((s, d) => {
+      val (codes, scale) = Similarity.quantizeInt8(col("embedding"))
+      embeddings(s, d)
+        .select(col("vec_id"), codes.as("q"), round(scale, 6).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("q")).as(Seq("pos", "code")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("code"), col("scale"))
+    }),
     // token-budget accounting: per (source, lang) doc/token/char
     // contribution — the mix dashboard behind Sampling.mixToShares (oracled)
     "q_token_budget" -> ((s, d) =>
@@ -895,6 +909,36 @@ object SparkEntry {
          SELECT doc_id, grp, n_tokens, (cum // 512)::BIGINT AS seq_ix,
                 (cum % 512)::BIGINT AS seq_offset
          FROM c""",
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         v AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         t AS (SELECT sum(c) AS total, count(*) AS vsz FROM v),
+         p AS (SELECT tok,
+                 round(-ln((c + 1.0) / (total + 1.0 * vsz)) * 1000000)::BIGINT
+                   AS nll
+               FROM v, t)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                round(avg(nll), 2) AS mean_nll_micro
+         FROM tok JOIN p USING (tok) GROUP BY 1""",
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+               FROM e),
+         q AS (SELECT vec_id,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v,
+                        x -> CAST(floor(x * 127.0 / mx) AS INT)) END AS codes,
+                 round(mx / 127.0, 6) AS scale
+               FROM m),
+         x AS (SELECT vec_id, codes, scale,
+                 unnest(generate_series(1, len(codes))) AS i
+               FROM q)
+         SELECT vec_id, CAST(i AS BIGINT) AS pos, codes[i] AS code, scale
+         FROM x""",
     "q_token_budget" ->
       """SELECT source, lang, count(*)::BIGINT AS n_docs,
                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,

@@ -411,6 +411,25 @@ object Similarity {
       nprobe)
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * storage layout for corpus-scale ANN (4× smaller than float32; IVF lists
+    * of int8 codes + one scale per vector). `q[i] = floor(v[i]·127/maxabs)`,
+    * reconstructed as `q[i]·maxabs/127` ([[dequantizeInt8]]). `floor` (not
+    * round) so the mapping has no .5-tie anywhere — bit-identical across
+    * engines, oracle-checkable. Zero vectors quantize to all-zero codes.
+    * Output columns: (codes: array<int>, scale: double). */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val v = asDouble(vec)
+    val m = array_max(transform(v, x => abs(x)))
+    val codes = when(m === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x * 127.0 / m).cast("int")))
+    (codes, m / 127.0)
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale back to array<double>. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, q => q.cast("double") * scale)
+
   /** Deterministic ±1 hyperplane matrix (bits × dim), seeded by index — the
     * same on every JVM, so signatures are reproducible cluster-wide. */
   private[graft] def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =

@@ -275,6 +275,34 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** CCNet-style unigram-LM quality score: train token log-probabilities on
+    * the corpus itself (ONE aggregate + a broadcast 1-row totals frame;
+    * Laplace-smoothed), then score each document by its mean token negative
+    * log-likelihood — low-perplexity ≈ fluent/common text, high ≈ noise and
+    * gibberish (the filtering signal of CCNet, Wenzek et al. 2020, with the
+    * KenLM stage approximated by the corpus unigram model). Per-token NLL is
+    * quantized to integer MICRO-NATS before the per-doc average, so the
+    * cross-engine 1-ulp `ln` difference can never move an aggregate (the
+    * float-boundary discipline of the verify gate). Two shuffles total
+    * (vocab count, doc rollup); the token→NLL join is a broadcast at small
+    * vocab and a plain shuffle join at corpus scale.
+    * Output: (doc_id, n_tokens, mean_nll_micro). */
+  def lmQualityScore(docs: DataFrame, id: Column, text: Column,
+                     alpha: Double = 1.0): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("vsz"))
+    val probs = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(-log((col("c") + alpha) /
+          (col("total") + lit(alpha) * col("vsz"))) * 1e6)
+          .cast("long").as("nll"))
+    toks.join(probs, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 2).as("mean_nll_micro"))
+  }
+
   /** Greedy sequence packing for pretraining batches: concatenate documents
     * per group in a deterministic total order and split the token stream
     * into fixed-budget training sequences — a document belongs to the

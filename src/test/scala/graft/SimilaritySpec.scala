@@ -230,6 +230,31 @@ class SimilaritySpec extends SparkSpec {
     (lsh diff exact) shouldBe empty
   }
 
+  test("int8 quantization: codes in range, zero-vector safe, dequantized " +
+    "cosine within quantization error") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (codes, scale) = Similarity.quantizeInt8(col("embedding"))
+    val q = emb.select(col("vec_id"), codes.as("q"), scale.as("s"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      cs.foreach { c => c should be >= -127; c should be <= 127 }
+    }
+    // dequantized vectors preserve cosine to within the int8 error budget
+    val deq = q.select(col("vec_id"),
+      Similarity.cosine(Similarity.dequantizeInt8(col("q"), col("s")),
+        col("v")).as("cos"))
+    deq.collect().foreach(_.getDouble(1) should be > 0.999)
+    // zero vector → all-zero codes, scale 0 (no div-by-zero, no NaN)
+    import spark.implicits._
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (zc, zs) = Similarity.quantizeInt8(col("embedding"))
+    val zr = z.select(zc.as("q"), zs.as("s")).head()
+    zr.getSeq[Int](0) shouldBe Seq(0, 0)
+    zr.getDouble(1) shouldBe 0.0
+  }
+
   test("crossCosinePairs: bench vectors matched against a disjoint corpus") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))

@@ -91,6 +91,22 @@ class TextPrepSpec extends SparkSpec {
       (1 to 9).map("w" + _).toArray // lossless, no duplication
   }
 
+  test("lmQualityScore: rare-token docs score higher NLL; common-token " +
+    "docs lower; smoothing bounds") {
+    val docs = Seq(
+      (1L, "the the the the"),   // most common token, repeated
+      (2L, "the cat sat here"),  // mixed
+      (3L, "zyx qwv jkl pqr")    // singletons — maximum surprisal
+    ) ++ (4L to 23L).map(i => (i, "the and of to")) // make those tokens common
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.lmQualityScore(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out(1) should be < out(2)
+    out(2) should be < out(3)
+    // every NLL is positive and below the singleton ceiling -ln(smoothed min)
+    out.values.foreach { v => v should be > 0.0 }
+  }
+
   test("packSequences: greedy packing laws on a hand fixture") {
     val docs = Seq(
       (1L, "g1", (1 to 5).map(i => s"t$i").mkString(" ")),   // 5 tokens

@@ -39,6 +39,11 @@ object SparkEntry {
       (cents, assigned)
     })
 
+  /** BPE merge tables, trained once per dataset dir (train-once/segment-many
+    * — same contract as [[ivfIndexes]]; the merge list is model-scale). */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   /** Streaming events source for the §2.8 entries. The streaming file source
     * wants a directory: symlink the single parquet file into a STABLE
     * per-sfDir temp dir (zero-copy; a fresh createTempDirectory per run would
@@ -392,6 +397,16 @@ object SparkEntry {
     // exact n-gram (3-shingle) Jaccard near-dup pairs
     "q_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // incremental dedup: the doc_id%10==0 batch arrives against the rest of
+    // the corpus — pairs touching an incoming doc only, existing↔existing
+    // never re-formed (oracled: full-pairs SQL restricted to the batch)
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      NearDup.jaccardPairsIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), 0.1)
+    }),
     // benchmark decontamination: src0 docs as the "eval set", the rest as
     // the training corpus; containment >= 0.5 (oracled)
     "q_contamination" -> ((s, d) => {
@@ -471,6 +486,15 @@ object SparkEntry {
     // CCNet-style unigram-LM quality score, micro-nat quantized (oracled)
     "q_lm_score" -> ((s, d) =>
       TextOps.lmQualityScore(documents(s, d), col("doc_id"), col("text"))),
+    // BPE tokenizer: train 200 merges on the corpus word table (once per
+    // dataset — model-scale driver loop), segment every doc (rows-only —
+    // the iterative trainer isn't SQL-expressible; laws in TextPrepSpec)
+    "q_bpe_segment" -> ((s, d) => {
+      val merges = bpeModels.computeIfAbsent(d, dir =>
+        TextOps.bpeTrain(documents(s, dir), col("text"), 200))
+      TextOps.bpeSegmentStats(documents(s, d), col("doc_id"), col("text"),
+        merges)
+    }),
     // int8 embedding quantization (corpus-scale ANN storage), exploded to
     // scalar rows for the gate comparator (oracled)
     "q_quantize_int8" -> ((s, d) => {
@@ -820,6 +844,28 @@ object SparkEntry {
                JOIN sizes s1 ON s1.doc_id = id1
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    // incremental = the full pair set restricted to pairs touching the
+    // incoming batch (doc_id % 10 = 0)
+    "q_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id1, id2,
+                 round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2)
+         SELECT id1, id2, jaccard FROM j
+         WHERE jaccard >= 0.1 AND (id1 % 10 = 0 OR id2 % 10 = 0)""",
     // connected components = min reachable node per doc, as a recursive
     // reachability fixpoint over the symmetric jaccard edge set (same CTE
     // chain as q_jaccard_pairs); UNION dedup bounds the recursion

@@ -96,6 +96,69 @@ object NearDup {
     jaccardFromInter(inter, sizes, tau)
   }
 
+  /** INCREMENTAL near-dup detection — the production daily-increment shape:
+    * a batch of `incoming` docs is deduplicated against the `existing`
+    * corpus AND itself, without ever re-forming existing↔existing pairs
+    * (which a naive full re-run recomputes every day; at corpus scale that
+    * re-pairing dominates the whole job while producing nothing new).
+    *
+    * Blocking discipline follows [[contaminationPairs]]: ONE shuffle builds
+    * df-capped posting lists of the UNION's hashed shingles, tagged with an
+    * is-new flag; only the (small) incoming side's shingles probe them, so
+    * a shared shingle with e existing and i incoming occurrences emits
+    * i·e + i·(i−1)/2 candidate rows — never e². Survivors are exact-verified
+    * (same [[jaccardFromInter]] as the batch paths). Id spaces must be
+    * disjoint. Output: (id1 < id2, jaccard ≥ tau), exactly the full-corpus
+    * [[jaccardPairs]] result RESTRICTED to pairs touching an incoming doc
+    * (spec'd equal). */
+  def jaccardPairsIncremental(existing: DataFrame, incoming: DataFrame,
+                              id: Column, text: Column, tau: Double,
+                              n: Int = 3, maxDf: Int = 100000): DataFrame = {
+    val union = existing.select(id.as("doc_id"), text.as("_t"),
+        lit(false).as("_new"))
+      .unionByName(incoming.select(id.as("doc_id"), text.as("_t"),
+        lit(true).as("_new")))
+    // the is-new flag rides the explode (a join back onto the shingle stream
+    // would shuffle every shingle row a second time for one boolean); each
+    // posting row splits into new/existing id lists, lists with NO incoming
+    // doc are dropped before any pair work (the common case — increments are
+    // small), and pairs are emitted per grouped row exactly like
+    // [[jaccardPairs]]: new×existing plus new-choose-2, i·e + i(i−1)/2 rows,
+    // never e². (A join-then-explode first cut replicated each posting array
+    // per matching incoming shingle row — 4.4 s vs 1.5 s at sf0.1.)
+    // ONE spread source shared by the posting and sizes subtrees (same
+    // exchange → ReuseExchange computes it once, as in hashedShinglesAndSizes)
+    val u = TextOps.spreadForCpu(union)
+    val post = u
+      .select(col("doc_id"), col("_new"),
+        explode(TextOps.shingleArray(col("_t"), n)).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh"), col("doc_id"), col("_new"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(when(col("_new"), col("doc_id"))))
+          .as("nids"),
+        sort_array(collect_list(when(!col("_new"), col("doc_id"))))
+          .as("oids"))
+      .filter(size(col("nids")) > 0)
+      .observe(s"incdedup_df_cap_${observeCounter.incrementAndGet()}",
+        sum(when(size(col("nids")) + size(col("oids")) > maxDf, 1L)
+          .otherwise(0L)).as("n_dropped_shingles"))
+      .filter(size(col("nids")) + size(col("oids")) <= maxDf)
+    val inter = post.select(explode(concat(
+        flatten(transform(col("nids"), (x, i) =>
+          transform(slice(col("nids"), i + lit(2), size(col("nids"))),
+            y => struct(x.as("id1"), y.as("id2"))))),
+        flatten(transform(col("nids"), x =>
+          transform(col("oids"), y =>
+            struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
+      )).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = u.select(col("doc_id"),
+      size(TextOps.shingleArray(col("_t"), n)).as("n_sh"))
+    jaccardFromInter(inter, sizes, tau)
+  }
+
   /** Cross-corpus contamination scan (benchmark decontamination): for each
     * benchmark/eval item, the corpus docs whose shingle CONTAINMENT
     * `|corpus ∩ bench| / |bench shingles|` is >= tau. Containment, not

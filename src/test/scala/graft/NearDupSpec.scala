@@ -84,6 +84,24 @@ class NearDupSpec extends SparkSpec {
     pairs.keySet should not contain ((1L, 4L))
   }
 
+  test("jaccardPairsIncremental == full pairs restricted to the batch; " +
+    "no existing-existing pairs ever form") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val existing = d.filter(col("doc_id") % 10 =!= 0)
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = asMap(NearDup.jaccardPairsIncremental(existing, incoming,
+      col("doc_id"), col("text"), 0.1))
+    val full = asMap(NearDup.jaccardPairs(d, col("doc_id"), col("text"), 0.1))
+    val restricted = full.filter { case ((a, b), _) =>
+      a % 10 == 0 || b % 10 == 0 }
+    inc shouldBe restricted // same pairs, bit-identical similarities
+    inc.keys.foreach { case (a, b) =>
+      (a % 10 == 0 || b % 10 == 0) shouldBe true
+    }
+  }
+
   test("minhash LSH pairs: no false positives; finds planted dups (recall)") {
     val exact = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -263,6 +263,111 @@ object TextOps {
       dupFrac(3).as("dup_trigram_frac"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): the corpus-scale step
+    * is ONE word-count aggregation; merge selection then iterates over the
+    * word-frequency table, which is MODEL-scale (like the IVF centroid
+    * matrix it lives on the driver — vocab entries, not corpus rows).
+    * Deterministic: pair-frequency ties break to the lexicographically
+    * smaller pair. Returns merges in rank order (best first). */
+  def bpeTrain(docs: DataFrame, text: Column,
+               numMerges: Int): Seq[(String, String)] = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    bpeTrainFromCounts(words, numMerges)
+  }
+
+  /** Driver-side merge loop over the (model-scale) word-frequency table —
+    * pure, unit-testable without Spark. */
+  private[graft] def bpeTrainFromCounts(words: Array[(String, Long)],
+                                        numMerges: Int): Seq[(String, String)] = {
+    var vocab = words.filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var iter = 0
+    while (iter < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
+        iter += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def mergePair(syms: Vector[String],
+                        p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += (p._1 + p._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Greedy BPE segmentation of one word: repeatedly apply the
+    * lowest-ranked applicable merge — the standard inference algorithm;
+    * pure per-word kernel (runs inside tasks, merges ship once per task in
+    * the closure). */
+  private[graft] def bpeSegmentWord(word: String,
+                                    rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = mergePair(syms, bestPair)
+      if (syms.length < 2) continue = false
+    }
+    syms
+  }
+
+  /** Segment every document with a trained merge list: per-doc token →
+    * subword pieces, summarized as sortable scalars (n_tokens, n_pieces,
+    * pieces_per_token). Corpus-linear typed kernel (same shape as the
+    * winnowing kernel); the merge table is model-scale and rides the task
+    * closure. */
+  def bpeSegmentStats(docs: DataFrame, id: Column, text: Column,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    spreadForCpu(docs)
+      .select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
+      .as[(Long, String)]
+      .map { case (docId, t) =>
+        val toks = t.split(" ")
+        var pieces = 0L
+        toks.foreach { w => pieces += bpeSegmentWord(w, rank).length }
+        val ppt = BigDecimal(pieces.toDouble / math.max(toks.length, 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (docId, toks.length.toLong, pieces, ppt)
+      }
+      .toDF("doc_id", "n_tokens", "n_pieces", "pieces_per_token")
+  }
+
   /** Top-k corpus vocabulary by token frequency — the input to tokenizer/BPE
     * training and stopword induction. One shuffle (map-side partial counts);
     * the top-k compiles to TakeOrderedAndProject (per-partition heap, no

@@ -158,4 +158,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: boundedTopK == row_number window on arbitrary groups, " +
+    "scores (with ties and duplicates), and k") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      k <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(1L, 4L)
+        id <- Gen.choose(0L, 30L) // small domain → frequent score/id ties
+        s <- Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble / 2), Gen.const(1.0))
+      } yield (g, id, s))
+    } yield (k, rows)
+    forAll(gen, n = 8) { case (k, rows) =>
+      val df = rows.toDF("qid", "cid", "cos")
+        .dropDuplicates("qid", "cid").repartition(7)
+      val agg = df.groupBy(col("qid"))
+        .agg(graft.engine.Similarity.boundedTopK(col("cos"), col("cid"), k)
+          .as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("p", "s")))
+        .select(col("qid"), col("s.id").as("cid"), col("s.score").as("cos"),
+          (col("p") + 1).cast("long").as("rn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      val win = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+      def s(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      s(agg) shouldBe s(win)
+    }
+  }
 }

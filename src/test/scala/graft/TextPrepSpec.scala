@@ -91,6 +91,34 @@ class TextPrepSpec extends SparkSpec {
       (1 to 9).map("w" + _).toArray // lossless, no duplication
   }
 
+  test("bpeTrain: the classic low/lower example, deterministic ties") {
+    // words: low ×2, lower ×1 → pairs (l,o)=3 (o,w)=3 (w,e)=1 (e,r)=1;
+    // the 3-3 tie breaks lexicographically to (l,o)
+    val counts = Array(("low", 2L), ("lower", 1L))
+    val merges = TextOps.bpeTrainFromCounts(counts, 10)
+    merges shouldBe Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    // merge list is exhausted after 4 — no spurious extra merges
+    // greedy segmentation with the trained table
+    val rank = merges.zipWithIndex.toMap
+    TextOps.bpeSegmentWord("low", rank) shouldBe Vector("low")
+    TextOps.bpeSegmentWord("lower", rank) shouldBe Vector("lower")
+    TextOps.bpeSegmentWord("lowest", rank) shouldBe
+      Vector("low", "e", "s", "t")
+    TextOps.bpeSegmentWord("x", rank) shouldBe Vector("x")
+  }
+
+  test("bpeSegmentStats: training words compress to single pieces; " +
+    "unseen vocabulary stays near character level") {
+    val docs = Seq((1L, "low low lower"), (2L, "qzjx")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainFromCounts(
+      Array(("low", 2L), ("lower", 1L)), 10)
+    val out = TextOps.bpeSegmentStats(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(1L) shouldBe ((3L, 3L, 1.0))   // every training word → one piece
+    out(2L) shouldBe ((1L, 4L, 4.0))   // no merges apply → characters
+  }
+
   test("lmQualityScore: rare-token docs score higher NLL; common-token " +
     "docs lower; smoothing bounds") {
     val docs = Seq(

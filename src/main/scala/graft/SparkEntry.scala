@@ -82,7 +82,9 @@ object SparkEntry {
     * The spill path is stable and OVERWRITTEN per run. */
   private def runAvailableNow(s: SparkSession, out: DataFrame, tag: String,
                               d: String,
-                              project: DataFrame => DataFrame): DataFrame = {
+                              project: DataFrame => DataFrame,
+                              mode: org.apache.spark.sql.streaming.OutputMode =
+                                graft.streaming.Streams.hourlySumMode): DataFrame = {
     val qname = s"graft_stream_${tag}_${streamRunCounter.incrementAndGet()}"
     // state-store partitioning is fixed at stream START from the session's
     // shuffle partitions; 32 stores for these streams' few-KB state means
@@ -95,7 +97,7 @@ object SparkEntry {
     // when it plans batch 0, which happens after start() returns
     try {
       val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode(graft.streaming.Streams.hourlySumMode)
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -632,6 +634,47 @@ object SparkEntry {
       runAvailableNow(s, out, "hourly", d,
         _.select(col("bucket"), col("grp"), round(col("total"), 2).as("total")))
     }),
+    // Stream-stream interval join: click events enriched with same-user view
+    // events up to 1 h earlier. AvailableNow over one file = one micro-batch,
+    // so the inner join emits every match — the closed-form oracle is the
+    // plain interval join. Joined timestamps compare at MICROsecond
+    // precision on both sides (the stream source truncates nanos → micros;
+    // the oracle floor-divides raw nanos the same way).
+    "q_stream_interval_join" -> ((s, d) => {
+      val left = streamingEvents(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+          col("event_id").as("l_id"))
+      val right = streamingEvents(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_id"))
+      val joined = graft.streaming.Streams.intervalJoinStreams(
+        left, "l_user", "l_ts", right, "r_user", "r_ts")
+      runAvailableNow(s, joined, "ivjoin", d,
+        _.select(col("l_id"), col("r_id")))
+    }),
+    // Streaming idempotent re-delivery: dropDuplicates within the watermark
+    // horizon. One AvailableNow batch → plain DISTINCT is the closed form
+    // (µs-integer timestamps on both sides).
+    "q_stream_dedup" -> ((s, d) => {
+      val out = graft.streaming.Streams.dedupStream(
+        streamingEvents(s, d), "ts", Seq("user_id", "event_type"))
+      runAvailableNow(s, out, "dedup", d,
+        _.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
+    }),
+    // Typed stateful resume tracker as a stream (Update mode): per-key
+    // high-watermark + hour coverage of the most recent day. One batch →
+    // one update per key; the closed-form batch rollup is the oracle
+    // (epoch-millis integers on both sides — the tracker is ms-precision).
+    "q_stream_resume" -> ((s, d) => {
+      val out = graft.streaming.Streams.resumeTracker(
+        streamingEvents(s, d), "ts", "user_id")
+      runAvailableNow(s, out, "resume", d,
+        _.select(col("grp"), unix_millis(col("lastTs")).as("last_ts_ms"),
+          col("hoursSeen").cast("long").as("hours_seen"),
+          col("lastDay").as("last_day")),
+        graft.streaming.Streams.resumeTrackerMode)
+    }),
     // Session windows as a stream: gap-closed per-key sessions, append mode —
     // sessions whose end (last event + gap) precedes the final watermark are
     // emitted. Oracle = the closed-form batch sessionization (gaps-and-
@@ -1102,6 +1145,32 @@ object SparkEntry {
          FROM events, mx
          GROUP BY 1, 2, mx.m
          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
+    "q_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000 AS us
+                    FROM events)
+         SELECT l.event_id AS l_id, r.event_id AS r_id
+         FROM e l JOIN e r ON l.user_id = r.user_id
+          AND l.event_type = 'click' AND r.event_type = 'view'
+          AND r.us BETWEEN l.us - 3600000000 AND l.us""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+           (epoch_ns(ts) // 1000)::BIGINT AS ts_us
+         FROM events""",
+    "q_stream_resume" ->
+      """WITH mx AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+                       (epoch_ns(max(ts)) // 1000000)::BIGINT AS last_ts_ms,
+                       CAST(max(ts) AS DATE) AS last_day_d
+                     FROM events GROUP BY 1),
+         hs AS (SELECT CAST(e.user_id AS VARCHAR) AS grp,
+                  count(DISTINCT extract(hour FROM e.ts))::BIGINT AS hours_seen
+                FROM events e
+                JOIN mx ON CAST(e.user_id AS VARCHAR) = mx.grp
+                       AND CAST(e.ts AS DATE) = mx.last_day_d
+                GROUP BY 1)
+         SELECT grp, last_ts_ms, hours_seen,
+                strftime(last_day_d, '%Y-%m-%d') AS last_day
+         FROM mx JOIN hs USING (grp)""",
     // closed-form batch sessionization with session_window's STRICT merge
     // rule (gap == 30 min splits → break on >=), session_end = last event +
     // gap, emitted once the final watermark (max ts - 2h) passes the end

@@ -409,6 +409,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), 0.1)
     }),
+    // daily corpus increment, end to end: the doc_id%10==0 batch admitted
+    // against the rest (exact anti-dedup → incremental near-dup with
+    // cluster-wide drop on existing contact → quality floor). Fully
+    // oracled — every stage is SQL-expressible, clustering via the same
+    // recursive CTE as q_dedup_clusters.
+    "q_daily_increment" -> ((s, d) => {
+      val docs = documents(s, d)
+      val en = TextOps.langMarkers.toMap.apply("en")
+      Flows.dailyCorpusIncrement(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), en)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
     // benchmark decontamination: src0 docs as the "eval set", the rest as
     // the training corpus; containment >= 0.5 (oracled)
     "q_contamination" -> ((s, d) => {
@@ -909,6 +923,84 @@ object SparkEntry {
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j
          WHERE jaccard >= 0.1 AND (id1 % 10 = 0 OR id2 % 10 = 0)""",
+    // the full daily-increment composition in SQL: exact anti-dedup, the
+    // restricted pair set, recursive-CTE clustering of batch↔batch pairs,
+    // cluster-wide drop on existing contact, quality floor
+    "q_daily_increment" ->
+      """WITH RECURSIVE
+         exh AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % 10 <> 0),
+         kex AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM documents
+                 WHERE doc_id % 10 = 0 GROUP BY 1),
+         batch AS (SELECT d.* FROM documents d
+                   JOIN kex ON d.doc_id = kex.kid
+                   WHERE kex.h NOT IN (SELECT h FROM exh)),
+         u AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+               UNION ALL SELECT doc_id, text FROM batch),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM u),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id1, id2
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2
+               WHERE round(c::DOUBLE / (s1.n + s2.n - c), 6) >= 0.1
+                 AND (id1 IN (SELECT doc_id FROM batch)
+                   OR id2 IN (SELECT doc_id FROM batch))),
+         bothnew AS (SELECT id1, id2 FROM p
+                     WHERE id1 IN (SELECT doc_id FROM batch)
+                       AND id2 IN (SELECT doc_id FROM batch)),
+         mixdrop AS (SELECT CASE WHEN id1 IN (SELECT doc_id FROM batch)
+                                 THEN id1 ELSE id2 END AS d
+                     FROM p
+                     WHERE NOT (id1 IN (SELECT doc_id FROM batch)
+                            AND id2 IN (SELECT doc_id FROM batch))),
+         e AS (SELECT id1, id2 FROM bothnew
+               UNION ALL
+               SELECT id2 AS id1, id1 AS id2 FROM bothnew),
+         reach(idv, r) AS (
+           SELECT id1, id2 FROM e
+           UNION
+           SELECT e.id1, reach.r FROM e JOIN reach ON reach.idv = e.id2),
+         lbl AS (SELECT idv, least(min(r), idv) AS cluster
+                 FROM reach GROUP BY idv),
+         clusters AS (SELECT b.doc_id,
+                        coalesce(l.cluster, b.doc_id) AS cluster
+                      FROM batch b LEFT JOIN lbl l ON l.idv = b.doc_id),
+         bad AS (SELECT DISTINCT cluster FROM clusters
+                 WHERE doc_id IN (SELECT d FROM mixdrop)),
+         keep AS (SELECT doc_id FROM clusters
+                  WHERE cluster NOT IN (SELECT cluster FROM bad)
+                    AND doc_id = cluster),
+         q AS (SELECT b.doc_id, b.source,
+                 CAST(least(1000, greatest(0,
+                   200 + least(length(b.text), 500)
+                   + ((len(list_filter(string_split(b.text, ' '),
+                          x -> x = 'the'))
+                     + len(list_filter(string_split(b.text, ' '),
+                          x -> x = 'a'))
+                     + len(list_filter(string_split(b.text, ' '),
+                          x -> x = 'of'))
+                     + len(list_filter(string_split(b.text, ' '),
+                          x -> x = 'and'))
+                     + len(list_filter(string_split(b.text, ' '),
+                          x -> x = 'is'))) * 1500)
+                     // len(string_split(b.text, ' '))
+                   - (abs(length(b.text)
+                       - (len(string_split(b.text, ' ')) - 1)
+                       - 5 * len(string_split(b.text, ' '))) * 50)
+                     // len(string_split(b.text, ' ')))) AS BIGINT) AS quality
+               FROM batch b
+               WHERE b.doc_id IN (SELECT doc_id FROM keep))
+         SELECT doc_id, source, quality FROM q WHERE quality >= 300""",
     // connected components = min reachable node per doc, as a recursive
     // reachability fixpoint over the symmetric jaccard edge set (same CTE
     // chain as q_jaccard_pairs); UNION dedup bounds the recursion

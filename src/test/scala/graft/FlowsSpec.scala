@@ -103,4 +103,36 @@ class FlowsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     floored shouldBe expected
   }
+
+  test("dailyCorpusIncrement: exact-vs-corpus, cluster-wide drop on " +
+    "existing contact, within-batch canonical keep, quality floor") {
+    import graft.engine.TextOps
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val existing = Seq(
+      (1L, prose),
+      (2L, "a measured essay about the craft of writing is presented here today")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, prose),                                                       // exact dup of corpus → dropped
+      (11L, prose.replace("dog", "cat")),                                 // near-dup of corpus doc 1 → dropped
+      (12L, prose.replace("dog", "cat").replace("quick", "swift")),       // near-dup of 11 → same cluster, dropped WITH it
+      (13L, "a completely fresh report about spark catalyst and the optimizer is here"),
+      (14L, "a completely fresh report about spark catalyst and the planner is here"), // near-dup of 13, batch-internal
+      (15L, "zzz qqq xxx vvv kkk mmm nnn ppp rrr ttt")                    // junk → quality floor
+    ).toDF("doc_id", "text")
+    val admitted = Flows.dailyCorpusIncrement(existing, incoming,
+        col("doc_id"), col("text"), en, tau = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 exact-dropped; 11 pairs with corpus → its cluster {11,12} dropped
+    // whole; {13,14} is a clean batch cluster → canonical 13 kept; 15
+    // fails the quality floor
+    admitted shouldBe Set(13L)
+    // idempotence: re-offering the same batch against the grown corpus
+    // admits nothing new
+    val corpus2 = existing.unionByName(
+      incoming.filter(col("doc_id") === 13L))
+    Flows.dailyCorpusIncrement(corpus2, incoming, col("doc_id"), col("text"),
+      en, tau = 0.3).count() shouldBe 0L
+  }
 }

@@ -164,6 +164,11 @@ object SparkEntry {
     // A8/A11 global count-distinct + distinct values
     "q_distinct_types" -> ((s, d) =>
       events(s, d).select(col("event_type").as("t")).distinct()),
+    // A10-family: exact per-group percentiles (dashboard latency panels);
+    // the mergeable-sketch twin is spec'd vs this exact form (oracled)
+    "q_percentiles" -> ((s, d) =>
+      Analytics.percentilesByGroup(events(s, d), col("event_type"),
+        col("value"))),
 
     // ---- Filter/predicate suite (SURVEY §2.2: P5, P8, P9, P10) ----
     "q_filter_suite" -> ((s, d) =>
@@ -787,6 +792,12 @@ object SparkEntry {
            AND ts <  TIMESTAMP '2024-01-20 00:00:00'""",
     "q_distinct_types" ->
       "SELECT DISTINCT event_type AS t FROM events",
+    "q_percentiles" ->
+      """SELECT event_type AS grp,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1""",
     "q_dim_activity_range" ->
       """SELECT s.s_suppkey AS grp,
          round(COALESCE(SUM(l.l_extendedprice), 0), 2) AS total

@@ -268,6 +268,27 @@ object Analytics {
         round(sum(col("v")), 2).as("sum_value"))
   }
 
+  /** Exact per-group percentiles (p50/p95/p99) — the dashboard latency/
+    * value-distribution panel family. Exact `percentile` sorts within the
+    * aggregation buffer — right for grouped dashboards (bounded group
+    * cardinality); at corpus scale with huge groups use
+    * [[percentilesApproxByGroup]]. */
+  def percentilesByGroup(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("grp")).agg(
+      round(percentile(value, lit(0.5)), 6).as("p50"),
+      round(percentile(value, lit(0.95)), 6).as("p95"),
+      round(percentile(value, lit(0.99)), 6).as("p99"))
+
+  /** Sketch twin of [[percentilesByGroup]]: `percentile_approx`
+    * (KLL-family, mergeable partial buffers, bounded memory — the single-
+    * pass 100 TB path; rank error ≈ 1/accuracy). Spec'd against the exact
+    * aggregate in AnalyticsSpec. */
+  def percentilesApproxByGroup(df: DataFrame, key: Column, value: Column,
+                               accuracy: Int = 10000): DataFrame =
+    df.groupBy(key.as("grp")).agg(
+      percentile_approx(value,
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("ps"))
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

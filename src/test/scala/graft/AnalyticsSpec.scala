@@ -82,4 +82,23 @@ class AnalyticsSpec extends SparkSpec {
       math.abs(approx(k) - n).toDouble / n should be <= 0.05
     }
   }
+
+  test("percentile sketch tracks the exact per-group percentiles") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Analytics.percentilesByGroup(ev, col("event_type"),
+        col("value")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Analytics.percentilesApproxByGroup(ev, col("event_type"),
+        col("value")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, (p50, p95, p99)) =>
+      val Seq(a50, a95, a99) = approx(k).toSeq
+      // rank error 1/accuracy=1e-4 on ~2000-row groups → within a hair of
+      // the exact value; assert a conservative relative envelope
+      a50 shouldBe p50 +- math.max(0.5, p50 * 0.02)
+      a95 shouldBe p95 +- math.max(0.5, p95 * 0.02)
+      a99 shouldBe p99 +- math.max(1.0, p99 * 0.03)
+    }
+  }
 }

@@ -571,6 +571,13 @@ object SparkEntry {
       Sampling.mixToShares(documents(s, d), col("doc_id"), col("source"),
         Map("src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.3))),
 
+    // exact-k deterministic sample per stratum (eval-set construction;
+    // rows-only: xxhash64 ranking isn't reproducible in the oracle engine —
+    // exactness/determinism/disjointness laws in SamplingSpec)
+    "q_exact_k_sample" -> ((s, d) =>
+      Sampling.exactKPerStratum(documents(s, d), col("doc_id"),
+        col("source"), 10)),
+
     // ---- Training-data pipeline: multimodal plumbing ----
     // binary payload + stubbed decode via mapPartitions (schema/batching real)
     "q_media_features" -> ((s, d) =>

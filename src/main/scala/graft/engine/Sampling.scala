@@ -70,6 +70,26 @@ object Sampling {
     stratifiedSample(df, id, stratum, mixFractions(counts, shares), salt)
   }
 
+  /** Deterministic EXACT-k sample per stratum (eval-set construction: "pick
+    * exactly 100 docs per source"): rank rows by xxhash64(id, salt) within
+    * the stratum and keep the k smallest — a pure function of (id, salt)
+    * like [[stratifiedSample]], but with exact counts instead of binomial
+    * noise. Runs as the bounded top-k partial aggregation
+    * ([[graft.engine.Similarity.boundedTopK]]): every task reduces to ≤ k
+    * candidates per stratum before the shuffle — no per-stratum sort, no
+    * single-task funnel, unlike the row_number window this replaces.
+    * Output: the selected (stratum, id) pairs. */
+  def exactKPerStratum(df: DataFrame, id: Column, stratum: Column,
+                       k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(stratum.cast("string").as("stratum"), id.as("_id"))
+      .groupBy(col("stratum"))
+      .agg(Similarity.boundedTopK(
+        -xxhash64(col("_id"), lit(salt)).cast("double"),
+        col("_id"), k).as("_tk"))
+      .select(col("stratum"), explode(col("_tk.id")).as("id"))
+  }
+
   /** Deterministic train/val/test split assignment: bucket =
     * first-32-bits-of-md5(id) / 2³², assigned to the first split whose
     * cumulative fraction exceeds it. A pure function of the id — stable

@@ -62,6 +62,28 @@ class SamplingSpec extends SparkSpec {
     counts("src1") should be >= counts("src3")
   }
 
+  test("exactKPerStratum: exact counts, deterministic, salt-disjoint, " +
+    "subset law under growing k") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def pick(k: Int, salt: Long = 0L) =
+      Sampling.exactKPerStratum(docs, col("doc_id"), col("source"), k, salt)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val k10 = pick(10)
+    // exactly k per stratum (every source has >= 10 docs at sf0.01)
+    k10.groupBy(_._1).values.foreach(_.size shouldBe 10)
+    pick(10) shouldBe k10 // deterministic
+    // monotone in k: a larger sample CONTAINS the smaller one (hash ranks
+    // are fixed, so growing k only appends)
+    val k20 = pick(20)
+    k10.subsetOf(k20) shouldBe true
+    // a different salt draws a (near-certainly) different sample
+    pick(10, salt = 7L) should not be k10
+    // sampled ids actually exist in their stratum
+    val bySrc = docs.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    k10.subsetOf(bySrc) shouldBe true
+  }
+
   test("assignSplit: disjoint-exhaustive, deterministic, proportions, " +
     "stable under fraction refinement") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")

@@ -440,6 +440,17 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only + ScalaTest)
     "q_minhash_pairs" -> ((s, d) =>
       NearDup.minhashLshPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // incremental MinHash+LSH: the scale twin of q_incremental_dedup — the
+    // batch probes the union's buckets, existing↔existing never expands,
+    // exact verify over candidate ids only (rows-only: xxhash64 signatures;
+    // equality to the restricted full run is spec'd)
+    "q_incremental_minhash" -> ((s, d) => {
+      val docs = documents(s, d)
+      NearDup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), 0.1)
+    }),
     // SimHash signatures + banded Hamming pairs (rows-only + ScalaTest)
     "q_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(documents(s, d), col("doc_id"), col("text"), 20)),

@@ -236,20 +236,13 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
                       bands: Int = 8, rowsPerBand: Int = 4,
                       n: Int = 3): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, id, text, k, n)
-    // band j = hash of sig[j*r .. j*r+r)
-    // explicit exchange on the join keys: the signature pipeline below has no
+    // explicit exchange on the join keys: the signature pipeline has no
     // shuffle of its own, so without this the self-join would plan two
     // exchanges whose map sides EACH recompute every signature; pre-
     // partitioning on (band, band_hash) makes both sides the same exchange
     // (ReuseExchange) — signatures are computed once — and the join needs no
     // further shuffle
-    val banded = sigs.select(col("doc_id"), posexplode(array(
-      (0 until bands).map { j =>
-        xxhash64((j * rowsPerBand until (j + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = bandedMinhash(docs, id, text, bands, rowsPerBand, n)
       .repartition(col("band"), col("band_hash"))
     val l = banded.as("l")
     val r = banded.as("r")
@@ -261,6 +254,69 @@ object NearDup {
       .distinct()
     // exact verification of candidates only (hashed shingles, as above)
     val (sh, sizes) = hashedShinglesAndSizes(docs, id, text, n)
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("shingle", "s1"), "id1")
+      .join(sh.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("shingle", "s2"), "id2")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, sizes, tau)
+  }
+
+  /** Banded minhash signatures: (doc_id, band, band_hash) — the LSH bucket
+    * keys. Factored out so the incremental path can bucket a batch against
+    * a (persisted, in production) existing-signature table. */
+  private def bandedMinhash(docs: DataFrame, id: Column, text: Column,
+                            bands: Int, rowsPerBand: Int, n: Int): DataFrame =
+    minhashSignatures(docs, id, text, bands * rowsPerBand, n)
+      .select(col("doc_id"), posexplode(array(
+        (0 until bands).map { j =>
+          xxhash64((j * rowsPerBand until (j + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1)): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+
+  /** Incremental MinHash+LSH pairs — the SCALE twin of
+    * [[jaccardPairsIncremental]] (which is its exact verifier/oracle): the
+    * incoming batch's banded signatures probe the union's buckets, so
+    * candidates only form where a batch doc collides — existing↔existing
+    * buckets are never expanded. In production the existing side is a
+    * PERSISTED signature table (sink `minhashSignatures` banded, like the
+    * IVF assignment; signatures are pure functions of the row, so the table
+    * appends as the corpus grows). Exact shingle verification runs over the
+    * candidate ids only (semi-joined before any shingling — the verify cost
+    * scales with collisions, not the corpus). Identical output to the full
+    * [[minhashLshPairs]] run restricted to pairs touching the batch
+    * (signatures don't depend on the split; spec'd). Id spaces must be
+    * disjoint. */
+  def minhashLshPairsIncremental(existing: DataFrame, incoming: DataFrame,
+                                 id: Column, text: Column, tau: Double,
+                                 bands: Int = 8, rowsPerBand: Int = 4,
+                                 n: Int = 3): DataFrame = {
+    val exB = bandedMinhash(existing, id, text, bands, rowsPerBand, n)
+      .withColumn("_new", lit(false))
+    val inB = bandedMinhash(incoming, id, text, bands, rowsPerBand, n)
+      .withColumn("_new", lit(true))
+    val probe = inB.select(col("band"), col("band_hash"),
+      col("doc_id").as("in_id"))
+    val all = exB.unionByName(inB)
+      .repartition(col("band"), col("band_hash"))
+    val candidates = probe.join(all, Seq("band", "band_hash"))
+      .filter(col("doc_id") =!= col("in_id") &&
+        (!col("_new") || col("in_id") < col("doc_id")))
+      .select(least(col("in_id"), col("doc_id")).as("id1"),
+        greatest(col("in_id"), col("doc_id")).as("id2"))
+      .distinct()
+    // exact verification over the candidate ids ONLY: shingle just those
+    // docs (at corpus scale this is collision-sized, not corpus-sized)
+    val union = existing.select(id.as("_vid"), text.as("_vt"))
+      .unionByName(incoming.select(id.as("_vid"), text.as("_vt")))
+    val cids = candidates.select(col("id1").as("_cid"))
+      .unionByName(candidates.select(col("id2").as("_cid"))).distinct()
+    val docsToVerify = union.join(cids, col("_vid") === col("_cid"),
+      "left_semi")
+    val (sh, sizes) = hashedShinglesAndSizes(docsToVerify, col("_vid"),
+      col("_vt"), n)
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("shingle", "s1"), "id1")

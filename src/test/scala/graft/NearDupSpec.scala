@@ -102,6 +102,21 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshPairsIncremental == full minhash run restricted to the " +
+    "batch (signatures are split-independent)") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val existing = d.filter(col("doc_id") % 10 =!= 0)
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = asMap(NearDup.minhashLshPairsIncremental(existing, incoming,
+      col("doc_id"), col("text"), 0.1))
+    val full = asMap(NearDup.minhashLshPairs(d, col("doc_id"), col("text"),
+      0.1))
+    inc shouldBe full.filter { case ((a, b), _) =>
+      a % 10 == 0 || b % 10 == 0 }
+  }
+
   test("minhash LSH pairs: no false positives; finds planted dups (recall)") {
     val exact = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

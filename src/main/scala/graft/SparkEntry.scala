@@ -565,12 +565,15 @@ object SparkEntry {
     // context-window chunking: 64-token windows, 16-token overlap (oracled)
     "q_chunk_docs" -> ((s, d) =>
       TextOps.chunkDocs(documents(s, d), col("doc_id"), col("text"), 64, 16)),
-    // end-to-end corpus clean: exact dedup → minhash clusters → quality
-    // floor (rows-only — iterative clustering inside; composition spec'd
-    // in FlowsSpec with the exact-jaccard detector injected)
+    // end-to-end corpus clean: exact dedup → near-dup clusters → quality
+    // floor. The EXACT jaccard detector is injected so the whole flagship
+    // composition is oracle-checkable (recursive-CTE clustering, as in
+    // q_dedup_clusters / q_daily_increment); the minhash scale detector
+    // drives the same flow in FlowsSpec and the corpus-increment path.
     "q_corpus_clean" -> ((s, d) => {
       val en = TextOps.langMarkers.toMap.apply("en")
-      Flows.corpusClean(documents(s, d), col("doc_id"), col("text"), en)
+      Flows.corpusClean(documents(s, d), col("doc_id"), col("text"), en,
+          nearDupPairs = NearDup.jaccardPairs(_, _, _, _))
         .select(col("doc_id"), col("source"), col("quality"))
     }),
 
@@ -952,6 +955,63 @@ object SparkEntry {
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j
          WHERE jaccard >= 0.1 AND (id1 % 10 = 0 OR id2 % 10 = 0)""",
+    // the flagship corpus-clean composition in SQL: exact-dedup keepers,
+    // jaccard pairs among survivors, recursive-CTE clustering, cluster
+    // canonical, quality floor
+    "q_corpus_clean" ->
+      """WITH RECURSIVE
+         kex AS (SELECT md5(text) AS h, min(doc_id) AS kid FROM documents
+                 GROUP BY 1),
+         ex AS (SELECT d.* FROM documents d JOIN kex ON d.doc_id = kex.kid),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id1, id2
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2
+               WHERE round(c::DOUBLE / (s1.n + s2.n - c), 6) >= 0.1),
+         e AS (SELECT id1, id2 FROM j
+               UNION ALL SELECT id2 AS id1, id1 AS id2 FROM j),
+         reach(idv, r) AS (
+           SELECT id1, id2 FROM e
+           UNION
+           SELECT e.id1, reach.r FROM e JOIN reach ON reach.idv = e.id2),
+         lbl AS (SELECT idv, least(min(r), idv) AS cluster
+                 FROM reach GROUP BY idv),
+         clusters AS (SELECT x.doc_id,
+                        coalesce(l.cluster, x.doc_id) AS cluster
+                      FROM ex x LEFT JOIN lbl l ON l.idv = x.doc_id),
+         q AS (SELECT x.doc_id, x.source,
+                 CAST(least(1000, greatest(0,
+                   200 + least(length(x.text), 500)
+                   + ((len(list_filter(string_split(x.text, ' '),
+                          t -> t = 'the'))
+                     + len(list_filter(string_split(x.text, ' '),
+                          t -> t = 'a'))
+                     + len(list_filter(string_split(x.text, ' '),
+                          t -> t = 'of'))
+                     + len(list_filter(string_split(x.text, ' '),
+                          t -> t = 'and'))
+                     + len(list_filter(string_split(x.text, ' '),
+                          t -> t = 'is'))) * 1500)
+                     // len(string_split(x.text, ' '))
+                   - (abs(length(x.text)
+                       - (len(string_split(x.text, ' ')) - 1)
+                       - 5 * len(string_split(x.text, ' '))) * 50)
+                     // len(string_split(x.text, ' ')))) AS BIGINT) AS quality
+               FROM ex x
+               WHERE x.doc_id IN (SELECT doc_id FROM clusters
+                                  WHERE doc_id = cluster))
+         SELECT doc_id, source, quality FROM q WHERE quality >= 300""",
     // the full daily-increment composition in SQL: exact anti-dedup, the
     // restricted pair set, recursive-CTE clustering of batch↔batch pairs,
     // cluster-wide drop on existing contact, quality floor

@@ -401,6 +401,19 @@ object SparkEntry {
       NearDup.exactDuplicates(docs.unionByName(recrawl), col("doc_id"),
         col("text"))
     }),
+    // corpus-level exact LINE dedup (RefinedWeb boilerplate pass): lines
+    // synthesized as 8-token windows on BOTH sides (the q_redact_pii
+    // precedent — no newlines in the synthetic text), so the oracle checks
+    // the real frequency/drop/reassembly logic (oracled)
+    "q_line_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nl = ceil(size(toks) / lit(8.0)).cast("int")
+      val lined = concat_ws("\n", transform(sequence(lit(0), nl - 1),
+        i => concat_ws(" ", slice(toks, i * lit(8) + 1, lit(8)))))
+      NearDup.dedupLines(
+        documents(s, d).select(col("doc_id"), lined.as("text")),
+        col("doc_id"), col("text"))
+    }),
     // exact n-gram (3-shingle) Jaccard near-dup pairs
     "q_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
@@ -480,6 +493,15 @@ object SparkEntry {
     "q_embed_dedup_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
         col("embedding"), 0.4)),
+    // SemDeDup: cluster-then-dedup semantic near-dup over the memoized IVF
+    // assignment — within-list blocking, min-id keep rule (rows-only:
+    // the k-means quantizer is not SQL-expressible; twin-collapse and keep
+    // rule spec'd in SimilaritySpec)
+    "q_semdedup" -> ((s, d) => {
+      val (_, assigned) = ivfIndex(s, d)
+      Similarity.semDedupWith(assigned, 0.4)
+        .select(col("cid"), col("cl").cast("long").as("cl"))
+    }),
 
     // ---- Training-data pipeline: similarity search ----
     // brute-force cosine top-k (exact baseline)
@@ -500,6 +522,9 @@ object SparkEntry {
     // top-k corpus vocabulary (tokenizer-training prep; oracled)
     "q_vocab_topk" -> ((s, d) =>
       TextOps.vocabulary(documents(s, d), col("text"), 500)),
+    // TF-IDF top terms per doc — idf in integer micro-nats (oracled)
+    "q_tfidf_topk" -> ((s, d) =>
+      TextOps.tfidfTopTerms(documents(s, d), col("doc_id"), col("text"), 5)),
     // Gopher-style repetition quality filters: top-token dominance +
     // duplicate bi/tri-gram fractions (oracled)
     "q_repetition_filter" -> ((s, d) =>
@@ -914,6 +939,28 @@ object SparkEntry {
          SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
            CAST(count(*) AS BIGINT) AS n_copies
          FROM u GROUP BY 1""",
+    "q_line_dedup" ->
+      """WITH ml AS (SELECT doc_id, array_to_string(list_transform(
+                       range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                         AS BIGINT)),
+                       i -> array_to_string(
+                         (string_split(text, ' '))[i*8+1:i*8+8], ' ')),
+                     chr(10)) AS t
+                   FROM documents),
+         ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM ml),
+         lx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+                FROM ls),
+         li AS (SELECT doc_id, i, l[i] AS line FROM lx),
+         fr AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                                  FROM li GROUP BY 1) WHERE df >= 2),
+         kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(line, chr(10) ORDER BY i) AS text_clean
+                FROM li WHERE line NOT IN (SELECT line FROM fr)
+                GROUP BY 1)
+         SELECT ls.doc_id, CAST(len(ls.l) AS BIGINT) AS n_lines,
+           coalesce(kp.n_kept, 0) AS n_kept,
+           coalesce(kp.text_clean, '') AS text_clean
+         FROM ls LEFT JOIN kp USING (doc_id)""",
     "q_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
@@ -1127,6 +1174,22 @@ object SparkEntry {
                     FROM documents)
          SELECT token, count(*)::BIGINT AS n FROM t
          GROUP BY 1 ORDER BY n DESC, token LIMIT 500""",
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                 GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT doc_id, term,
+                      (tf * CAST(floor(ln(n.n::DOUBLE / df) * 1000000)
+                        AS BIGINT))::BIGINT AS score_micro
+                    FROM tf JOIN dfx USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score_micro,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, term) AS BIGINT) AS rn
+               FROM scored)
+         SELECT doc_id, term, score_micro, rn FROM r WHERE rn <= 5""",
     "q_repetition_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

@@ -26,6 +26,50 @@ object NearDup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level exact LINE dedup (the RefinedWeb / C4 boilerplate pass):
+    * drop every line whose exact text occurs in >= `minDf` DISTINCT
+    * documents (headers, footers, nav chrome, license banners), then
+    * reassemble each document from its surviving lines in original order.
+    *
+    * Scale shape: the frequency count shuffles the 16-byte line hash, never
+    * the line text; the drop is an anti-join of lines against the frequent
+    * set — which is df-filtered and therefore FAR smaller than the corpus
+    * (AQE broadcasts it when it fits; a shuffle join on the hash otherwise).
+    * Reassembly is one groupBy(doc_id) with an in-group array_sort — no
+    * window, no per-line shuffle of reassembled text. Docs whose every line
+    * was boilerplate survive with `n_kept = 0` and empty text, so the
+    * caller decides the drop policy (the usual floor: `n_kept > 0`).
+    *
+    * md5 (not xxhash64) so the same frequency decision is reproducible in
+    * any engine — the keep decision is part of the data contract, like
+    * [[exactDuplicates]] and the split/sampling hashes.
+    * Output: (doc_id, n_lines, n_kept, text_clean). */
+  def dedupLines(docs: DataFrame, id: Column, text: Column, minDf: Int = 2,
+                 sep: String = "\n"): DataFrame = {
+    val d = docs.select(id.as("doc_id"), text.as("_t"))
+    val lines = d.select(col("doc_id"),
+        posexplode(split(col("_t"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "line")))
+      .withColumn("h", md5(col("line")))
+    val frequent = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val kept = lines.join(frequent, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("text_clean"))
+    d.select(col("doc_id"),
+        size(split(col("_t"), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Hashed shingle postings + per-doc set sizes (shared by the exact and
     * LSH paths — one definition so collision/rounding policy can't drift). */
   private def hashedShinglesAndSizes(docs: DataFrame, id: Column, text: Column,

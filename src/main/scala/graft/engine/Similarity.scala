@@ -411,6 +411,48 @@ object Similarity {
       nprobe)
   }
 
+  /** SemDeDup-style semantic dedup over a PRE-BUILT IVF assignment
+    * (cid, cv, cl): a row is dropped iff a LOWER-id row in the SAME
+    * inverted list is cosine >= `tau` to it — cluster-then-dedup (Abbas
+    * et al. 2023, arXiv:2303.09540) with a deterministic keep rule (min
+    * id per similarity neighborhood), no iteration.
+    *
+    * Scale shape: the only shuffle is the within-list self-join on `cl`
+    * — quadratic INSIDE a list but never across lists, so the quantizer's
+    * `nlist` bounds the blocking exactly like LSH bands do for
+    * [[lshCosinePairs]]. At corpus scale pick `nlist` ∝ corpus/target-
+    * list-size (e.g. ~100k lists for web scale) and sink the assignment
+    * `partitionBy("cl")` so each list dedups from its own partition
+    * ([[ivfAssign]] docs). Unlike the LSH/minhash paths this trades
+    * recall for the quantizer's view of geometry: a near-dup pair split
+    * across two lists is missed (same regime caveats as
+    * [[ivfCosineTopKWith]] — SimilaritySpec pins twin-collapse on a
+    * clusterable corpus).
+    *
+    * Zero-norm vectors have NaN cosine to everything: never dropped,
+    * never drop others — the NaN guard is explicit because Spark orders
+    * NaN ABOVE every double, so a bare `cos >= tau` would drop them.
+    * Output: surviving (cid, cl). */
+  def semDedupWith(indexed: DataFrame, tau: Double): DataFrame = {
+    val left = indexed.select(col("cl"), col("cid"), col("cv"))
+    val right = indexed.select(col("cl"), col("cid").as("cid2"),
+      col("cv").as("cv2"))
+    val cos = round(cosine(col("cv"), col("cv2")), 6)
+    val dominated = left.join(right, Seq("cl"))
+      .filter(col("cid2") < col("cid") && !isnan(cos) && cos >= tau)
+      .select(col("cid")).distinct()
+    indexed.join(dominated, Seq("cid"), "left_anti")
+      .select(col("cid"), col("cl"))
+  }
+
+  /** Train + assign + dedup in one call — small-corpus convenience; at
+    * scale train once, persist the assignment, [[semDedupWith]] many. */
+  def semDedup(emb: DataFrame, id: Column, vec: Column, tau: Double,
+               nlist: Int = 16, iters: Int = 5): DataFrame = {
+    val cents = ivfTrainCentroids(emb, id, vec, nlist, iters)
+    semDedupWith(ivfAssign(emb, id, vec, cents), tau)
+  }
+
   /** Symmetric per-vector int8 quantization of an embedding column — the
     * storage layout for corpus-scale ANN (4× smaller than float32; IVF lists
     * of int8 codes + one scale per vector). `q[i] = floor(v[i]·127/maxabs)`,

@@ -380,6 +380,41 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** TF-IDF top-`k` terms per document — the classic keyword/topic signal
+    * for corpus curation and document routing. tf = in-doc term count;
+    * idf = ln(N/df) over the corpus, quantized per TERM to integer
+    * micro-nats BEFORE the tf multiply (the verify gate's transcendental
+    * discipline: a cross-engine 1-ulp `ln` difference cannot move an
+    * integer score). Two shuffles (tf group, df group) + one term join
+    * (broadcast at small vocab, shuffle at corpus scale); N rides along
+    * as a broadcast 1-row aggregate, never a driver-side count. The
+    * per-doc top-k window partitions by doc_id — partitions are bounded
+    * by a document's distinct terms, so unlike a per-QUERY rerank there
+    * is no single-task hotspot at corpus scale; the total order
+    * (score desc, term asc) makes ranks deterministic.
+    * Output: (doc_id, term, score_micro, rn). */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int = 5): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = docFreq.crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log(col("n").cast("double") / col("df")) * 1e6)
+          .cast("long").as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(idf, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("idf_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** CCNet-style unigram-LM quality score: train token log-probabilities on
     * the corpus itself (ONE aggregate + a broadcast 1-row totals frame;
     * Laplace-smoothed), then score each document by its mean token negative

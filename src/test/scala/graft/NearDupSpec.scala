@@ -21,6 +21,26 @@ class NearDupSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("dedupLines: frequent lines dropped, order kept, within-doc repeats " +
+    "count one doc, all-boilerplate doc survives empty") {
+    val docs = Seq(
+      (1L, "a\nCOMMON\nb"),
+      (2L, "COMMON\nc"),
+      (3L, "d\ne"),
+      (4L, "COMMON"), // every line boilerplate → kept with n_kept = 0
+      (5L, "x\nx") // repeated in ONE doc only: df = 1 → both copies kept
+    ).toDF("doc_id", "text")
+    val out = NearDup.dedupLines(docs, col("doc_id"), col("text"), minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((3L, 2L, "a\nb"))
+    out(2L) shouldBe ((2L, 1L, "c"))
+    out(3L) shouldBe ((2L, 2L, "d\ne"))
+    out(4L) shouldBe ((1L, 0L, ""))
+    out(5L) shouldBe ((2L, 2L, "x\nx"))
+    out.size shouldBe 5
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val out = NearDup.exactDuplicates(docs, col("doc_id"), col("text"))
       .orderBy("keeper").collect()

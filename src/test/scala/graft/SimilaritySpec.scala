@@ -96,6 +96,45 @@ class SimilaritySpec extends SparkSpec {
     reused shouldBe approx
   }
 
+  test("semDedup: twin collapse, min-id keep rule, zero-norm safety, " +
+    "determinism") {
+    // clusterable corpus + planted twins: 2000 duplicates vector 0 exactly,
+    // 2001 duplicates vector 101 exactly; 3000 is a zero vector
+    val base = clusteredCorpus
+    val twins = Seq(
+      (2000L, 0L), (2001L, 101L)
+    ).toDF("tid", "src")
+    val planted = base.join(twins, col("vec_id") === col("src"))
+      .select(col("tid").as("vec_id"), col("embedding"))
+    val zero = Seq((3000L, Array.fill(32)(0.0f))).toDF("vec_id", "embedding")
+    val emb = base.unionByName(planted).unionByName(zero)
+    val kept = Similarity.semDedup(emb, col("vec_id"), col("embedding"),
+      tau = 0.99).select("cid").collect().map(_.getLong(0)).toSet
+    // exact twins collapse to the LOWER id; in-cluster cos ≈ 0.81 < 0.99 so
+    // nothing else pairs; the zero vector has NaN cosine → always kept
+    kept should contain(0L)
+    kept should contain(101L)
+    (kept should not).contain(2000L)
+    (kept should not).contain(2001L)
+    kept should contain(3000L)
+    // the fixture itself contains accidental exact twins (two points in a
+    // cluster can draw identical flip sets — birthday over C(32,3)); the
+    // expected survivor count is distinct flip-sets per cluster + the zero
+    // vector, computed from the same deterministic construction
+    val expected = (0 until 20).map { c =>
+      (0 until 50).map { i =>
+        (0 until 32)
+          .sortBy(j => scala.util.hashing.MurmurHash3.productHash((c, i, j)))
+          .take(3).toSet
+      }.distinct.size
+    }.sum + 1
+    kept.size shouldBe expected
+    // determinism: deterministic seeds + ties → identical second run
+    val kept2 = Similarity.semDedup(emb, col("vec_id"), col("embedding"),
+      tau = 0.99).select("cid").collect().map(_.getLong(0)).toSet
+    kept2 shouldBe kept
+  }
+
   test("boundedTopK aggregate: ordering, ties, null skip, cross-partition merge") {
     val rows = Seq(
       (1L, 10L, Option(0.5)), (1L, 12L, Option(0.9)), (1L, 11L, Option(0.9)),

@@ -119,6 +119,25 @@ class TextPrepSpec extends SparkSpec {
     out(2L) shouldBe ((1L, 4L, 4.0))   // no merges apply → characters
   }
 
+  test("tfidfTopTerms: hand-computed scores, corpus-wide terms score zero, " +
+    "deterministic tie-break") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana durian")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ln3 = math.floor(math.log(3.0) * 1e6).toLong // 1098612
+    // banana is in every doc → idf 0 → score 0, but still ranked (term asc
+    // breaks ties at score 0); doc-unique terms get tf·ln(3) micro-nats
+    out shouldBe Set(
+      (1L, "apple", 2 * ln3, 1L), (1L, "banana", 0L, 2L),
+      (2L, "cherry", ln3, 1L), (2L, "banana", 0L, 2L),
+      (3L, "durian", ln3, 1L), (3L, "banana", 0L, 2L))
+  }
+
   test("lmQualityScore: rare-token docs score higher NLL; common-token " +
     "docs lower; smoothing bounds") {
     val docs = Seq(

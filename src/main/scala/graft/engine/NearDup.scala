@@ -46,7 +46,9 @@ object NearDup {
     * Output: (doc_id, n_lines, n_kept, text_clean). */
   def dedupLines(docs: DataFrame, id: Column, text: Column, minDf: Int = 2,
                  sep: String = "\n"): DataFrame = {
-    val d = docs.select(id.as("doc_id"), text.as("_t"))
+    // per-row split/hash work is CPU-bound — spread a small scan across
+    // cores (no-op at real corpus scale; see TextOps.spreadForCpu)
+    val d = TextOps.spreadForCpu(docs).select(id.as("doc_id"), text.as("_t"))
     val lines = d.select(col("doc_id"),
         posexplode(split(col("_t"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("idx", "line")))

@@ -525,6 +525,9 @@ object SparkEntry {
     // TF-IDF top terms per doc — idf in integer micro-nats (oracled)
     "q_tfidf_topk" -> ((s, d) =>
       TextOps.tfidfTopTerms(documents(s, d), col("doc_id"), col("text"), 5)),
+    // Zipf coverage curve of the top-k vocab (tokenizer sizing; oracled)
+    "q_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(documents(s, d), col("text"), 500)),
     // Gopher-style repetition quality filters: top-token dominance +
     // duplicate bi/tri-gram fractions (oracled)
     "q_repetition_filter" -> ((s, d) =>
@@ -1190,6 +1193,18 @@ object SparkEntry {
                         ORDER BY score_micro DESC, term) AS BIGINT) AS rn
                FROM scored)
          SELECT doc_id, term, score_micro, rn FROM r WHERE rn <= 5""",
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         v AS (SELECT token, count(*)::BIGINT AS n FROM t
+               GROUP BY 1 ORDER BY n DESC, token LIMIT 500),
+         tot AS (SELECT count(*) AS total FROM t)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                  AS rnk,
+           token, n,
+           CAST(floor(sum(n) OVER (ORDER BY n DESC, token) * 1000000.0
+                  / total) AS BIGINT) AS cum_frac_micro
+         FROM v CROSS JOIN tot""",
     "q_repetition_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

@@ -380,6 +380,29 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf coverage curve of the top-`k` vocabulary: for each rank r, the
+    * cumulative fraction of ALL corpus tokens explained by ranks 1..r —
+    * the tokenizer-sizing signal (how large a vocab covers 95% of the
+    * stream). Fractions are integer micro-units via floor over an exact
+    * double division (both operands < 2^53 — exactly rounded, identical
+    * across engines). The running sum's ordering domain is the ALREADY
+    * top-k-limited vocab — k rows, model-scale, so the single-partition
+    * window is k-bounded, never corpus-bounded; corpus mass arrives
+    * pre-aggregated (one global count riding a broadcast).
+    * Output: (rnk, token, n, cum_frac_micro). */
+  def vocabCoverage(docs: DataFrame, text: Column, k: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val tot = docs.select(explode(tokens(text)).as("t"))
+      .agg(count(lit(1)).as("total"))
+    vocabulary(docs, text, k).crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_frac_micro",
+        floor(sum(col("n")).over(w) * lit(1000000L) / col("total"))
+          .cast("long"))
+      .select(col("rnk"), col("token"), col("n"), col("cum_frac_micro"))
+  }
+
   /** TF-IDF top-`k` terms per document — the classic keyword/topic signal
     * for corpus curation and document routing. tf = in-doc term count;
     * idf = ln(N/df) over the corpus, quantized per TERM to integer

@@ -41,6 +41,18 @@ class NearDupSpec extends SparkSpec {
     out.size shouldBe 5
   }
 
+  test("dedupLines identity law: minDf above corpus size keeps every doc " +
+    "bit-identical") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "\n").as("text"))
+    val out = NearDup.dedupLines(docs, col("doc_id"), col("text"),
+      minDf = 1000000)
+    out.filter(col("n_kept") =!= col("n_lines")).count() shouldBe 0L
+    out.join(docs, "doc_id")
+      .filter(col("text_clean") =!= col("text")).count() shouldBe 0L
+    out.count() shouldBe docs.count()
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val out = NearDup.exactDuplicates(docs, col("doc_id"), col("text"))
       .orderBy("keeper").collect()

@@ -133,6 +133,9 @@ class SimilaritySpec extends SparkSpec {
     val kept2 = Similarity.semDedup(emb, col("vec_id"), col("embedding"),
       tau = 0.99).select("cid").collect().map(_.getLong(0)).toSet
     kept2 shouldBe kept
+    // identity law: tau above 1 (cosine's max) keeps the whole corpus
+    Similarity.semDedup(emb, col("vec_id"), col("embedding"), tau = 1.1)
+      .count() shouldBe emb.count()
   }
 
   test("boundedTopK aggregate: ordering, ties, null skip, cross-partition merge") {

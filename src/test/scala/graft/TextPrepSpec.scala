@@ -138,6 +138,16 @@ class TextPrepSpec extends SparkSpec {
       (3L, "durian", ln3, 1L), (3L, "banana", 0L, 2L))
   }
 
+  test("vocabCoverage: hand-computed Zipf curve, k caps ranks, " +
+    "last rank covers <= 1") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // total 6 tokens: a covers 3/6, a+b covers 5/6; c cut by k=2
+    out shouldBe Array((1L, "a", 3L, 500000L), (2L, "b", 2L, 833333L))
+  }
+
   test("lmQualityScore: rare-token docs score higher NLL; common-token " +
     "docs lower; smoothing bounds") {
     val docs = Seq(

@@ -743,6 +743,19 @@ object SparkEntry {
           col("lastDay").as("last_day")),
         graft.streaming.Streams.resumeTrackerMode)
     }),
+    // Stream-static dim enrichment (J2 as a stream): events joined to the
+    // customer dim on user_id. Stateless — no watermark, no join state; the
+    // static side is re-planned (and broadcast) each micro-batch. One
+    // AvailableNow batch == the plain batch left join, which is the oracle.
+    "q_stream_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_name"), col("c_mktsegment"))
+      val out = graft.streaming.Streams.enrichStream(
+        streamingEvents(s, d), dim, Seq("user_id"))
+      runAvailableNow(s, out, "enrich", d,
+        _.select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment")))
+    }),
     // Session windows as a stream: gap-closed per-key sessions, append mode —
     // sessions whose end (last event + gap) precedes the final watermark are
     // emitted. Oracle = the closed-form batch sessionization (gaps-and-
@@ -1416,6 +1429,10 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type,
            (epoch_ns(ts) // 1000)::BIGINT AS ts_us
          FROM events""",
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+         FROM events e
+         LEFT JOIN customer c ON c.c_custkey = e.user_id""",
     "q_stream_resume" ->
       """WITH mx AS (SELECT CAST(user_id AS VARCHAR) AS grp,
                        (epoch_ns(max(ts)) // 1000000)::BIGINT AS last_ts_ms,

@@ -51,6 +51,25 @@ object Streams {
       .select(col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("grp"), col("total"), col("n"))
 
+  /** Stream-static enrichment — J2 (broadcast lookup) as a stream, the
+    * canonical dimension-join pattern. The static side is re-EXECUTED each
+    * micro-batch and broadcast when small; the left join keeps unmatched
+    * events with NULL dim attributes, so a missing dim row never drops
+    * facts. Stateless by construction: no watermark, no join state to
+    * evict — the dim is not a stream.
+    *
+    * Dim refresh caveat (MEASURED, pinned in StreamsSpec): a FILE-based
+    * dim's listing is resolved once at stream start — later part files are
+    * invisible to the running query even after `refreshByPath`, and an
+    * in-place overwrite makes batches fail chasing deleted files. To
+    * rotate a file-backed dim under a live stream, restart the query or
+    * read the dim through an indirection the re-execution does see (a
+    * catalog table / table format, or [[graft.engine.Sink]]'s
+    * versioned-pointer layout resolved per batch). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Stream-stream interval join: each left event enriched with right events
     * of the same key within [left.ts - tolerance, left.ts] — the streaming
     * generation⋈weather overlay. Both sides watermarked so join state is

@@ -46,6 +46,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: matched events carry dim attrs, unmatched keep NULLs; " +
+    "a file dim's snapshot is PINNED at stream start") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_enrich_dim_").toString + "/dim"
+    Seq((1L, "alpha")).toDF("k", "name").write.parquet(dimDir)
+    // read the dim through a path so the per-micro-batch re-plan sees a
+    // refreshed dim without restarting the stream
+    val dim = spark.read.parquet(dimDir)
+    val out = Streams.enrichStream(mem.toDF().toDF("ts", "k", "v"), dim,
+      Seq("k"))
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData((t("2024-01-01 10:00:00"), 1L, 1.0),
+        (t("2024-01-01 10:01:00"), 2L, 2.0))
+      q.processAllAvailable()
+      // the pinned-snapshot contract: key 2 lands as a NEW part file, with
+      // refreshByPath — and the running query still does NOT see it (the
+      // file listing froze at stream start). This is the measured Spark
+      // behavior enrichStream's Scaladoc documents; an in-place overwrite
+      // is worse (batches fail chasing deleted files).
+      Seq((2L, "beta")).toDF("k", "name")
+        .write.mode("append").parquet(dimDir)
+      spark.catalog.refreshByPath(dimDir)
+      mem.addData((t("2024-01-01 10:02:00"), 2L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v, name FROM enrich").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+        .toSet
+      rows shouldBe Set((1L, 1.0, Some("alpha")), (2L, 2.0, None),
+        (2L, 3.0, None))
+      // a restarted query sees the refreshed dim (the rotation recipe)
+      val dim2 = spark.read.parquet(dimDir)
+      dim2.count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("sessionSumStream: gap-separated sessions close independently") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

@@ -532,6 +532,13 @@ object SparkEntry {
     // duplicate bi/tri-gram fractions (oracled)
     "q_repetition_filter" -> ((s, d) =>
       TextOps.repetitionStats(documents(s, d), col("doc_id"), col("text"))),
+    // quality-weighted corpus mixing: corpus-LM NLL buckets sampled at
+    // per-bucket rates via the md5-uniform keep decision (oracled — both
+    // the micro-nat NLL and md5 are cross-engine; cuts at the measured
+    // NLL terciles of the synthetic corpus)
+    "q_quality_mix" -> ((s, d) =>
+      Flows.qualityMix(documents(s, d), col("doc_id"), col("text"),
+        Seq((3400000L, 1.0), (3410000L, 0.5)), 0.1)),
     // deterministic 90/5/5 train/val/test assignment by md5 bucket (oracled —
     // md5 is cross-engine, unlike xxhash64)
     "q_train_val_split" -> ((s, d) =>
@@ -1249,6 +1256,29 @@ object SparkEntry {
          JOIN mx USING (doc_id)
          LEFT JOIN bs USING (doc_id)
          LEFT JOIN ts USING (doc_id)""",
+    "q_quality_mix" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         v AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         t AS (SELECT sum(c) AS total, count(*) AS vsz FROM v),
+         p AS (SELECT tok,
+                 round(-ln((c + 1.0) / (total + 1.0 * vsz)) * 1000000)::BIGINT
+                   AS nll
+               FROM v, t),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  round(avg(nll), 2) AS m
+                FROM tok JOIN p USING (tok) GROUP BY 1),
+         b AS (SELECT doc_id, n_tokens,
+                 CASE WHEN m < 3400000 THEN 'q0'
+                      WHEN m < 3410000 THEN 'q1'
+                      ELSE 'tail' END AS bucket,
+                 CASE WHEN m < 3400000 THEN 1.0
+                      WHEN m < 3410000 THEN 0.5
+                      ELSE 0.1 END AS rate,
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)
+                   ::DOUBLE / 4294967296.0 AS u
+               FROM sc)
+         SELECT doc_id, bucket, n_tokens FROM b WHERE u < rate""",
     "q_train_val_split" ->
       """SELECT doc_id, source,
            CASE WHEN u < 0.9 THEN 'train'

@@ -155,4 +155,40 @@ object Flows {
       .withColumn("quality", TextOps.qualityScore(text, stopwords))
       .filter(col("quality") >= minQuality)
   }
+
+  /** Quality-weighted corpus mixing — the curation end-game: score every
+    * document with the corpus-trained unigram LM
+    * ([[TextOps.lmQualityScore]]), bucket by ascending NLL thresholds
+    * (lower NLL = more fluent), and keep each document with its bucket's
+    * sampling rate. The keep decision is the deterministic md5-uniform of
+    * the doc id — stable across runs, partitionings and engines, and
+    * MONOTONE in the rate (raising a bucket's rate only ever adds
+    * documents; same contract as [[Sampling.assignSplit]]). Buckets are
+    * named q0..qN in threshold order, `tail` above the last cut.
+    *
+    * Shape at scale: one LM-scoring pass (two shuffles, see
+    * lmQualityScore) + a map-only bucket/keep filter — sampling never
+    * shuffles, never counts, never collects.
+    * Output: (doc_id, bucket, n_tokens) for kept docs. */
+  def qualityMix(docs: DataFrame, id: Column, text: Column,
+                 cuts: Seq[(Long, Double)],
+                 tailRate: Double): DataFrame = {
+    require(cuts.nonEmpty, "need at least one (threshold, rate) cut")
+    require(cuts.map(_._1) == cuts.map(_._1).sorted,
+      s"thresholds must ascend: ${cuts.map(_._1)}")
+    require((cuts.map(_._2) :+ tailRate).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val scored = TextOps.lmQualityScore(docs, id, text)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val (bucket, rate) = cuts.zipWithIndex.foldRight(
+      (lit("tail"): Column, lit(tailRate): Column)) {
+      case (((thr, r), i), (nAcc, rAcc)) =>
+        (when(col("mean_nll_micro") < thr, lit(s"q$i")).otherwise(nAcc),
+          when(col("mean_nll_micro") < thr, lit(r)).otherwise(rAcc))
+    }
+    scored.withColumn("bucket", bucket)
+      .filter(u < rate)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+  }
 }

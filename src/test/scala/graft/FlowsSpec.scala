@@ -104,6 +104,26 @@ class FlowsSpec extends SparkSpec {
     floored shouldBe expected
   }
 
+  test("qualityMix: rate-1 bucket keeps all, rate-0 tail drops all, " +
+    "keep decision is monotone in the rate") {
+    import graft.engine.Flows
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    // one bucket swallowing everything at rate 1.0 → identity
+    Flows.qualityMix(docs, col("doc_id"), col("text"),
+      Seq((Long.MaxValue, 1.0)), 0.0).count() shouldBe n
+    // tail-only at rate 0 → empty
+    Flows.qualityMix(docs, col("doc_id"), col("text"),
+      Seq((0L, 1.0)), 0.0).count() shouldBe 0L
+    // monotone: the docs kept at a lower tail rate are a subset of those
+    // kept at a higher one (the md5-uniform is fixed per doc)
+    def kept(r: Double) = Flows.qualityMix(docs, col("doc_id"), col("text"),
+      Seq((0L, 1.0)), r).select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = kept(0.2); val hi = kept(0.6)
+    lo.subsetOf(hi) shouldBe true
+    assert(lo.nonEmpty && hi.size < n)
+  }
+
   test("dailyCorpusIncrement: exact-vs-corpus, cluster-wide drop on " +
     "existing contact, within-batch canonical keep, quality floor") {
     import graft.engine.TextOps

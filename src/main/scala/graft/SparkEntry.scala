@@ -698,6 +698,21 @@ object SparkEntry {
       s.read.parquet(path).select(col("event_id"), col("v"))
     }),
 
+    // training-corpus shard delivery: size-bounded parquet shards + manifest
+    // (rows-only — shard/file accounting is not SQL-expressible; the summary
+    // invariants are deterministic because the hash partitioning is).
+    // Cap/total/manifest laws spec'd in SinkIngestSpec.
+    "q_write_shards" -> ((s, d) => {
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards_" + d.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val m = Sink.writeShards(
+        documents(s, d).repartition(4, col("doc_id")), path, 100,
+        TextOps.tokenCount(col("text")))
+      m.agg(count(lit(1)).as("n_shards"), sum(col("rows")).as("total_rows"),
+        max(col("rows")).as("max_shard_rows"),
+        sum(col("weight")).as("total_tokens"))
+    }),
+
     // ---- Structured Streaming (SURVEY §2.8) ----
     // A6 as a stream: watermarked hourly tumbling windows over a file source,
     // run to completion with AvailableNow; windows whose end precedes the

@@ -233,6 +233,33 @@ object Sink {
     }
   }
 
+  /** Training-corpus delivery: write `df` as size-bounded parquet shards
+    * (at most `maxRecords` rows per file — Spark's native
+    * `maxRecordsPerFile`, enforced executor-side while writing, no extra
+    * shuffle or pre-count) and derive a per-shard MANIFEST the trainer
+    * consumes to schedule readers: (shard, rows, weight-sum). The manifest
+    * comes from ONE column-pruned scan of the written shards (`weigh` +
+    * file name only — at 100 TB this reads one column's pages, not the
+    * corpus) and is itself written next to the data at `<path>._manifest`.
+    * Shard FILE COUNT is deterministic for a deterministic input
+    * partitioning (files split every maxRecords rows within a partition);
+    * file NAMES are not (task UUIDs) — consumers key on the manifest, not
+    * on name patterns. Returns the manifest frame. */
+  def writeShards(df: DataFrame, path: String, maxRecords: Long,
+                  weigh: Column): DataFrame = {
+    require(maxRecords > 0, s"maxRecords must be positive: $maxRecords")
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords.toString)
+      .parquet(path)
+    val manifest = spark.read.parquet(path)
+      .select(input_file_name().as("shard"), weigh.as("_w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows"), sum(col("_w")).as("weight"))
+    manifest.write.mode(SaveMode.Overwrite).parquet(path + "._manifest")
+    spark.read.parquet(path + "._manifest")
+  }
+
   /** S11: CSV sink (utf-8, header), append or overwrite. */
   def writeCsv(df: DataFrame, path: String, append: Boolean = false): Unit =
     df.write.option("header", "true")

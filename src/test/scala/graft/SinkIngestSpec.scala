@@ -102,6 +102,25 @@ class SinkIngestSpec extends SparkSpec {
     new java.io.File(path, "_v2").exists() shouldBe false
   }
 
+  test("writeShards: row cap honored per shard, manifest accounts for " +
+    "every row and every token") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft_shards_").toString + "/corpus"
+    val m = Sink.writeShards(docs.repartition(2, col("doc_id")), dir, 20,
+      graft.engine.TextOps.tokenCount(col("text")))
+    val rows = m.collect()
+    all(rows.map(_.getLong(1))) should be <= 20L
+    rows.map(_.getLong(1)).sum shouldBe docs.count()
+    rows.length.toLong should be >= (docs.count() + 19) / 20 // ceil(n/cap)
+    val totTokens = docs
+      .agg(sum(graft.engine.TextOps.tokenCount(col("text")))).head.getLong(0)
+    rows.map(_.getLong(2)).sum shouldBe totTokens
+    // the manifest is persisted next to the data for the trainer
+    spark.read.parquet(dir + "._manifest").count() shouldBe rows.length.toLong
+    // the shards ARE the corpus: reading them back loses nothing
+    spark.read.parquet(dir).count() shouldBe docs.count()
+  }
+
   test("S14 upsertParquet with PointerCommit merges across versions") {
     val path = tmpDir() + "/vkeyed"
     Sink.upsertParquet(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path,

@@ -116,6 +116,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dedupLines keeps exactly the lines with corpus df < minDf, " +
+    "in original order") {
+    import graft.engine.NearDup
+    val lineAlpha = Vector("alpha", "beta", "gamma", "delta")
+    val docsGen = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf(lineAlpha)).map(_.take(6)))
+      minDf <- Gen.choose(1, 4)
+    } yield (docs, minDf)
+    forAll(docsGen, n = 15) { case (docLines, minDf) =>
+      val docs = docLines.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n"))
+      }
+      val out = NearDup.dedupLines(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minDf)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // reference model: line df counts DISTINCT docs
+      val dfCount = docLines.flatMap(_.distinct)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      docs.foreach { case (id, text) =>
+        val ls = text.split("\n", -1).toSeq
+        val kept = ls.filter(l => dfCount(l) < minDf)
+        out(id) shouldBe ((ls.size.toLong, kept.size.toLong,
+          kept.mkString("\n")))
+      }
+    }
+  }
+
+  test("property: tfidfTopTerms matches a from-scratch tf-idf model") {
+    import graft.engine.TextOps
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docsGen = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(10)))
+      k <- Gen.choose(1, 4)
+    } yield (docs, k)
+    forAll(docsGen, n = 15) { case (docToks, k) =>
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "))
+      }
+      val out = TextOps.tfidfTopTerms(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val nDocs = docs.size
+      val dfm = docToks.flatMap(_.distinct)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = docToks.zipWithIndex.flatMap { case (ts, i) =>
+        val tf = ts.groupBy(identity).view.mapValues(_.size).toMap
+        val scored = tf.map { case (t, f) =>
+          (t, f.toLong *
+            math.floor(math.log(nDocs.toDouble / dfm(t)) * 1e6).toLong)
+        }.toSeq.sortBy { case (t, s) => (-s, t) }
+        scored.take(k).zipWithIndex.map { case ((t, s), r) =>
+          (i.toLong, t, s, (r + 1).toLong)
+        }
+      }.toSet
+      out.toSet shouldBe expected
+    }
+  }
+
   test("property: sessionize partitions each key's events; gaps define the cut") {
     import graft.engine.Analytics
     val evGen = for {

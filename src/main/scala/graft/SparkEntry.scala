@@ -414,6 +414,12 @@ object SparkEntry {
         documents(s, d).select(col("doc_id"), lined.as("text")),
         col("doc_id"), col("text"))
     }),
+    // exact repeated-span removal (C4 span drop / Lee et al. substring
+    // dedup at token granularity): every 5-gram occurring >= 2 times
+    // corpus-wide is cut from every doc (oracled)
+    "q_span_dedup" -> ((s, d) =>
+      NearDup.removeRepeatedSpans(documents(s, d), col("doc_id"),
+        col("text"), n = 5, minCount = 2)),
     // exact n-gram (3-shingle) Jaccard near-dup pairs
     "q_jaccard_pairs" -> ((s, d) =>
       NearDup.jaccardPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
@@ -999,6 +1005,34 @@ object SparkEntry {
            coalesce(kp.n_kept, 0) AS n_kept,
            coalesce(kp.text_clean, '') AS text_clean
          FROM ls LEFT JOIN kp USING (doc_id)""",
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents),
+         gx AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i
+                FROM t),
+         g AS (SELECT doc_id, i - 1 AS p,
+                 array_to_string(tk[i:i+4], ' ') AS gram
+               FROM gx),
+         hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(p, p + 4)) AS q
+                 FROM g JOIN hot USING (gram)),
+         px AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, len(tk))) AS j
+                FROM t),
+         tok AS (SELECT doc_id, j - 1 AS q, tk[j] AS tok FROM px),
+         kept AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    string_agg(tk.tok, ' ' ORDER BY tk.q) AS text_clean
+                  FROM tok tk
+                  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                    WHERE c.doc_id = tk.doc_id
+                                      AND c.q = tk.q)
+                  GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.text_clean, '') AS text_clean
+         FROM t LEFT JOIN kept k USING (doc_id)""",
     "q_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),

@@ -72,6 +72,59 @@ object NearDup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Exact repeated-SPAN removal at token granularity — the span-level
+    * twin of [[dedupLines]] (C4's duplicated-span drop; the corpus-wide
+    * repeated-substring semantic of Lee et al. 2022, suffix-array-free):
+    * every occurrence of any `n`-token window whose corpus-wide occurrence
+    * count is >= `minCount` is cut out (within-doc repeats count toward
+    * the threshold and are removed too); surviving tokens reassemble in
+    * order.
+    *
+    * Scale shape: windows shuffle as (position, 8-byte xxhash64) pairs —
+    * never window text; the frequency cut keeps only hot hashes (corpus
+    * boilerplate — small), so the occurrence join is broadcast-sized under
+    * AQE. Covered positions are integers bounded by hot-occurrences × n,
+    * and the final reassembly is the same single groupBy(doc) as
+    * [[dedupLines]]. Like [[jaccardPairs]], results are exact up to
+    * 64-bit hash collisions.
+    * Output: (doc_id, n_tokens, n_kept, text_clean). */
+  def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
+                          n: Int = 5, minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be >= 1: $n")
+    val d = TextOps.spreadForCpu(docs).select(id.as("doc_id"), text.as("_t"))
+      .withColumn("_toks", split(col("_t"), " "))
+    // one row per window start; short docs have no windows (the sequence
+    // guard matters: sequence(0, negative) DESCENDS in Spark)
+    val starts = when(size(col("_toks")) >= n,
+      sequence(lit(0), size(col("_toks")) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = d.select(col("doc_id"),
+      posexplode(transform(starts,
+        i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))))
+        .as(Seq("p", "h")))
+    val hot = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"))
+    val covered = grams.join(hot, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("p"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+      posexplode(col("_toks")).as(Seq("p", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("text_clean"))
+    d.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Hashed shingle postings + per-doc set sizes (shared by the exact and
     * LSH paths — one definition so collision/rounding policy can't drift). */
   private def hashedShinglesAndSizes(docs: DataFrame, id: Column, text: Column,

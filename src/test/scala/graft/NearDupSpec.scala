@@ -41,6 +41,26 @@ class NearDupSpec extends SparkSpec {
     out.size shouldBe 5
   }
 
+  test("removeRepeatedSpans: cross-doc spans cut everywhere, within-doc " +
+    "repeats count, short docs untouched, overlap unions") {
+    val docs = Seq(
+      (1L, "x a b c y"), // shares "a b c" with doc 2 → both cut
+      (2L, "z a b c w"),
+      (3L, "q r s q r s"), // within-doc repeat of "q r s" → fully covered
+      (4L, "u v"), // shorter than n → no windows, untouched
+      (5L, "m n o p") // unique spans → untouched
+    ).toDF("doc_id", "text")
+    val out = NearDup.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+      n = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((5L, 2L, "x y"))
+    out(2L) shouldBe ((5L, 2L, "z w"))
+    out(3L) shouldBe ((6L, 0L, "")) // covered [0,2] ∪ [3,5] = everything
+    out(4L) shouldBe ((2L, 2L, "u v"))
+    out(5L) shouldBe ((4L, 4L, "m n o p"))
+  }
+
   test("dedupLines identity law: minDf above corpus size keeps every doc " +
     "bit-identical") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -392,6 +392,25 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
+    // Gopher-rule quality filter: symbol tokens synthesized from doc_id on
+    // BOTH sides (the q_redact_pii precedent) so the symbol rule actually
+    // fires instead of passing trivially on symbol-free synthetic text
+    "q_gopher_filter" -> ((s, d) => {
+      val mod = (col("doc_id") % 40).cast("int")
+      val withSym = concat(col("text"),
+        array_join(array_repeat(lit(" #"), mod), ""))
+      TextOps.gopherFilter(
+        documents(s, d).select(col("doc_id"), withSym.as("text")),
+        col("doc_id"), col("text"), TextOps.langMarkers.toMap.apply("en"))
+    }),
+    // markup strip: tags + entities synthesized from doc_id on BOTH sides;
+    // the double-escaped '&amp;lt;' must survive as '&lt;' (decode order)
+    "q_strip_markup" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.stripMarkup(concat(
+          lit("<p id=\""), col("doc_id"), lit("\">"), col("text"),
+          lit("</p> <br/> say &amp;lt; &quot;hi&quot; &nbsp;done")))
+          .as("clean_text"))),
 
     // ---- Training-data pipeline: dedup ----
     // exact dedup via content-hash groupBy (corpus ∪ re-crawled subset)
@@ -976,6 +995,55 @@ object SparkEntry {
          FROM s""",
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id,
+           text || repeat(' #', CAST(doc_id % 40 AS INT)) AS text
+         FROM documents),
+         c AS (SELECT doc_id, string_split(text, ' ') AS toks,
+            length(text) AS nc FROM t),
+         m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            nc - (len(toks) - 1) AS stl,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+            len(list_filter(toks, x -> x = '#' OR x = '...')) AS n_sym,
+            (len(list_filter(toks, x -> x = 'the'))
+             + len(list_filter(toks, x -> x = 'a'))
+             + len(list_filter(toks, x -> x = 'of'))
+             + len(list_filter(toks, x -> x = 'and'))
+             + len(list_filter(toks, x -> x = 'is'))) AS hits
+         FROM c)
+         SELECT doc_id, n_tokens,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS len_ok,
+           (3 * n_tokens <= stl AND stl <= 10 * n_tokens) AS mean_len_ok,
+           (5 * n_alpha >= 4 * n_tokens) AS alpha_ok,
+           (10 * n_sym <= n_tokens) AS symbol_ok,
+           (hits >= 2) AS stop_ok,
+           (n_tokens >= 50 AND n_tokens <= 100000
+            AND 3 * n_tokens <= stl AND stl <= 10 * n_tokens
+            AND 5 * n_alpha >= 4 * n_tokens
+            AND 10 * n_sym <= n_tokens AND hits >= 2) AS keep
+         FROM m""",
+    "q_strip_markup" ->
+      """WITH t AS (SELECT doc_id,
+           '<p id="' || doc_id || '">' || text ||
+           '</p> <br/> say &amp;lt; &quot;hi&quot; &nbsp;done' AS marked
+         FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(marked, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+             '&nbsp;', ' ', 'g'),
+            '&amp;', '&', 'g'),
+           ' +', ' ', 'g')) AS clean_text
+         FROM t""",
     "q_doc_exact_dedup" ->
       """WITH u AS (SELECT * FROM documents
                     UNION ALL

@@ -138,6 +138,52 @@ object TextOps {
   /** Exact content fingerprint (md5 — identical in DuckDB). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Strip HTML-ish markup: drop tags, decode the common entities, collapse
+    * whitespace — the text-extraction pass every web-corpus pipeline runs
+    * before quality filtering. Entity decode order matters: `&amp;` decodes
+    * LAST so double-escaped text un-escapes exactly one level
+    * (`&amp;lt;` → `&lt;`, never `<`). Pure codegen'd regexp chain — one
+    * per-row pass, no UDF, replicated verbatim in the oracle. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, rep)) => regexp_replace(c, ent, rep) }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 appendix A),
+    * ALL-INTEGER comparisons so every flag is bit-exact cross-engine:
+    *  - `len_ok`        minTokens <= n_tokens <= maxTokens
+    *  - `mean_len_ok`   mean token length in [3, 10] — compared as
+    *                    3·n ≤ Σlen ≤ 10·n (Σ token lengths = chars − (n−1)
+    *                    for single-space text; no division)
+    *  - `alpha_ok`      ≥ 80% of tokens contain a letter (5·alpha ≥ 4·n)
+    *  - `symbol_ok`     ≤ 10% symbol tokens (`#`/`...`) (10·sym ≤ n)
+    *  - `stop_ok`       ≥ 2 stopword occurrences (one fused MarkerCounts)
+    * `keep` is the conjunction. One codegen'd per-row pass, corpus-linear;
+    * [[spreadForCpu]] guards the few-splits small-file case. */
+  def gopherFilter(docs: DataFrame, id: Column, text: Column,
+                   stopwords: Seq[String],
+                   minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumTokLen = length(text).cast("long") - (nTok - lit(1L))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nSym = size(filter(toks, t => t === "#" || t === "...")).cast("long")
+    val hits = element_at(markerCounts(text, Seq(stopwords)), 1)
+    val lenOk = nTok >= minTokens && nTok <= maxTokens
+    val meanLenOk = lit(3L) * nTok <= sumTokLen && sumTokLen <= lit(10L) * nTok
+    val alphaOk = lit(5L) * nAlpha >= lit(4L) * nTok
+    val symbolOk = lit(10L) * nSym <= nTok
+    val stopOk = hits >= lit(2L)
+    spreadForCpu(docs).select(id.as("doc_id"), nTok.as("n_tokens"),
+      lenOk.as("len_ok"), meanLenOk.as("mean_len_ok"), alphaOk.as("alpha_ok"),
+      symbolOk.as("symbol_ok"), stopOk.as("stop_ok"),
+      (lenOk && meanLenOk && alphaOk && symbolOk && stopOk).as("keep"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hash over
     * character k-grams, then the minimum hash per sliding window of w —
     * guarantees any shared substring of length >= k + w - 1 yields a shared

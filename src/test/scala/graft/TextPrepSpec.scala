@@ -6,6 +6,39 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripMarkup: tags dropped, entities decoded exactly one level, " +
+    "whitespace collapsed") {
+    val df = Seq((1L,
+      "<div class='x'>a &amp;lt; b</div>  <br/>&quot;q&quot; &nbsp; end"))
+      .toDF("id", "t")
+    val out = df.select(TextOps.stripMarkup(col("t"))).head.getString(0)
+    out shouldBe "a &lt; b \"q\" end"
+  }
+
+  test("gopherFilter: each rule fires on its targeted fixture") {
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val good = Seq.fill(12)("the cat ran and hid").mkString(" ") // 60 toks
+    val docs = Seq(
+      (1L, good),                                   // all rules pass
+      (2L, "the and cat"),                          // too short
+      (3L, Seq.fill(50)("the cat").mkString(" ") +
+        (" #" * 20)),                               // 20/120 symbols > 10%
+      (4L, Seq.fill(30)("cat dog").mkString(" ")),  // zero stopword hits
+      (5L, Seq.fill(60)("the " + "a" * 25).mkString(" ")), // mean len > 10
+      (6L, ("1 " * 59) + "the")                     // alpha frac < 80%
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, col("doc_id"), col("text"), en)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getBoolean(7) shouldBe true // keep
+    out(1L).getBoolean(3) shouldBe true // mean_len_ok at the 3.0 boundary
+    out(2L).getBoolean(2) shouldBe false // len_ok
+    out(3L).getBoolean(5) shouldBe false // symbol_ok
+    out(4L).getBoolean(6) shouldBe false // stop_ok
+    out(5L).getBoolean(3) shouldBe false // mean_len_ok
+    out(6L).getBoolean(4) shouldBe false // alpha_ok
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(i => out(i).getBoolean(7) shouldBe false)
+  }
+
   test("redactPii: emails, URLs, digit runs → typed placeholders") {
     val out = Seq(
       "mail bob.smith+x@corp.example.co for details",

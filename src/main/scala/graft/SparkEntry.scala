@@ -637,6 +637,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"))
     }),
 
+    // per-domain frequency cap: URLs synthesized from doc_id on BOTH sides
+    // (37 registrable domains), normalized (lowercase scheme/host, default
+    // port, fragment, utm params), capped at 5 docs/domain by md5 rank via
+    // the bounded top-k partial aggregation (oracled)
+    "q_domain_cap" -> ((s, d) => {
+      val url = concat(lit("HTTPS://WWW.Sub.Host"), col("doc_id") % 37,
+        lit(".COM:443/p/"), col("doc_id"),
+        lit("?utm_source=x&q="), col("doc_id"), lit("#frag"))
+      val withDom = documents(s, d)
+        .select(col("doc_id"), TextOps.normalizeUrl(url).as("url_norm"))
+        .withColumn("domain", TextOps.registrableDomain(
+          regexp_extract(col("url_norm"), "^[a-z]+://([^/?#]+)", 1)))
+      Sampling.capPerKey(withDom, col("doc_id"), col("domain"), 5)
+    }),
+    // temperature-flattened source resampling (α = 1/2, c = 2): keep rate
+    // min(1, 2/√n) per source, md5-uniform keep — √ is correctly-rounded
+    // IEEE so the ppm-quantized rate is bit-exact cross-engine (oracled)
+    "q_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(
+        documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), 2.0)),
+
     // ---- Training-data pipeline: deterministic mixing ----
     // hash-stratified sample to target shares (rows-only: xxhash64 bucket
     // decisions aren't reproducible in the oracle engine; proportions,
@@ -1474,6 +1496,48 @@ object SparkEntry {
                 d.dev_cents::DOUBLE AS dev_cents, md.mad_c::DOUBLE AS mad_cents
          FROM d JOIN md USING (key)
          WHERE md.mad_c > 0 AND d.dev_cents > md.mad_c * 3""",
+    "q_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://WWW.Sub.Host' || (doc_id % 37) || '.COM:443/p/' || doc_id
+             || '?utm_source=x&q=' || doc_id || '#frag' AS url
+         FROM documents),
+         n AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+            || '://' ||
+            lower(regexp_replace(
+              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+              ':(443|80)$', '', 'g'))
+            || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '', 'g'),
+                 '#.*', '', 'g'),
+                 '\?utm_[^&#]*&', '?', 'g'),
+                 '&utm_[^&#]*', '', 'g'),
+                 '\?utm_[^&#]*$', '', 'g') AS url_norm
+         FROM u),
+         dm AS (SELECT doc_id, url_norm,
+            regexp_extract(regexp_extract(url_norm, '^[a-z]+://([^/?#]+)', 1),
+              '([^.]+\.[^.]+)$', 1) AS domain
+         FROM n),
+         r AS (SELECT doc_id, url_norm, domain,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS rk
+         FROM dm)
+         SELECT doc_id, url_norm, domain FROM
+           (SELECT doc_id, url_norm, domain,
+              row_number() OVER (PARTITION BY domain ORDER BY rk, doc_id)
+                AS rn
+            FROM r)
+         WHERE rn <= 5""",
+    "q_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         r AS (SELECT source,
+            CAST(floor(least(1.0, 2.0 / sqrt(cnt)) * 1000000.0) AS BIGINT)
+              AS rate_ppm
+         FROM n)
+         SELECT d.doc_id, d.source, r.rate_ppm
+         FROM documents d JOIN r USING (source)
+         WHERE ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)),
+                1, 8))::UBIGINT % 1000000 < r.rate_ppm""",
     "q_redact_pii" ->
       """SELECT doc_id,
            regexp_replace(

@@ -90,6 +90,54 @@ object Sampling {
       .select(col("stratum"), explode(col("_tk.id")).as("id"))
   }
 
+  /** Per-key frequency cap (the web-pipeline domain cap: at most k docs per
+    * registrable domain): rank rows by the cross-engine md5 hash of the id
+    * (uniform — independent of crawl order) and keep the k smallest per key
+    * via the bounded top-k partial aggregation
+    * ([[graft.engine.Similarity.boundedTopK]]) — every task reduces to ≤ k
+    * candidates per key BEFORE the shuffle, so a giant domain never funnels
+    * into one task the way a `row_number` window would. The kept-id set is
+    * ≤ k × #keys (model-scale) and broadcasts back as a semi join: data
+    * rows never shuffle. Ids must be unique (they key the semi join). */
+  def capPerKey(df: DataFrame, id: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val rank = conv(substring(md5(col("_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val kept = df.select(id.cast("long").as("_id"), key.as("_key"))
+      .groupBy(col("_key"))
+      .agg(Similarity.boundedTopK(-rank, col("_id"), k).as("_tk"))
+      .select(explode(col("_tk.id")).as("_id"))
+    df.join(broadcast(kept), id.cast("long") === col("_id"), "left_semi")
+  }
+
+  /** Temperature-flattened source resampling (α = 1/2): per-stratum keep
+    * rate r = min(1, c·n^(α−1)) = min(1, c/√n), the multilingual/multi-
+    * corpus rebalancing rule (XLM-R's temperature sampling; the Pile's
+    * source weighting) that shrinks large sources toward the flattened
+    * distribution while keeping small ones whole. α is fixed at 1/2: √ is
+    * the one non-integer power IEEE 754 evaluates correctly-rounded, so the
+    * rate — floor-quantized to integer ppm — is bit-identical in any
+    * engine and the operator stays oracle-checkable (general powers via
+    * exp/ln are not). Keep decision = md5-uniform(salt:id) < rate_ppm:
+    * deterministic, partition-free, monotone in c (raising c only ADDS
+    * rows). One model-scale count aggregate broadcasts back; data rows
+    * never shuffle. Output: input columns + `rate_ppm`. */
+  def temperatureMix(df: DataFrame, id: Column, stratum: Column,
+                     c: Double, salt: String = "tmix"): DataFrame = {
+    require(c > 0, s"c must be positive: $c")
+    val rates = df.groupBy(stratum.as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_s"),
+        floor(least(lit(1.0), lit(c) / sqrt(col("_n"))) * lit(1000000.0))
+          .cast("long").as("rate_ppm"))
+    val u = conv(substring(
+      md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % lit(1000000L)
+    df.join(broadcast(rates), stratum === col("_s"))
+      .filter(u < col("rate_ppm"))
+      .drop("_s")
+  }
+
   /** Deterministic train/val/test split assignment: bucket =
     * first-32-bits-of-md5(id) / 2³², assigned to the first split whose
     * cumulative fraction exceeds it. A pure function of the id — stable

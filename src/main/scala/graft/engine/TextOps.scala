@@ -153,6 +153,31 @@ object TextOps {
     trim(regexp_replace(decoded, " +", " "))
   }
 
+  /** URL normalization (the canonical form web-corpus dedup and domain
+    * statistics key on): lowercase scheme and host, strip default ports
+    * (:80/:443), drop the fragment and `utm_*` tracking params. Pure
+    * regexp chain — Spark's regexp_replace replaces ALL occurrences, so the
+    * oracle mirrors every replace with the 'g' flag. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val hostNorm = lower(regexp_replace(host, ":(443|80)$", ""))
+    val rest = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "\\?utm_[^&#]*&", "?"),
+        "&utm_[^&#]*", ""),
+      "\\?utm_[^&#]*$", "")
+    concat(scheme, lit("://"), hostNorm, noUtm)
+  }
+
+  /** Registrable domain as the last two dot-labels of a host (the
+    * public-suffix-list-free approximation — good for .com/.org/.io;
+    * two-level ccTLDs like .co.uk need the PSL, out of scope offline). */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
   /** Gopher-style document quality rules (Rae et al. 2021 appendix A),
     * ALL-INTEGER comparisons so every flag is bit-exact cross-engine:
     *  - `len_ok`        minTokens <= n_tokens <= maxTokens

@@ -11,6 +11,43 @@ class SamplingSpec extends SparkSpec {
       element_at(typedlit(Seq("web", "code", "books")),
         (pmod(col("id"), lit(3)) + 1).cast("int")).as("src"))
 
+  test("capPerKey: exact cap, small keys whole, kept set == k smallest " +
+    "md5 ranks, deterministic") {
+    val rows = (0L until 40L).map(i => (i, if (i < 35) "big" else "small"))
+      .toDF("id", "key")
+    val out = Sampling.capPerKey(rows, col("id"), col("key"), 7)
+    val kept = out.collect().map(r => r.getLong(0) -> r.getString(1))
+    kept.count(_._2 == "big") shouldBe 7
+    kept.count(_._2 == "small") shouldBe 5 // under the cap → all kept
+    // the 7 kept "big" ids are exactly the 7 smallest md5 ranks
+    val expected = rows.filter(col("key") === "big")
+      .select(col("id"),
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("rk"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(7)
+      .map(_._2).toSet
+    kept.filter(_._2 == "big").map(_._1).toSet shouldBe expected
+    Sampling.capPerKey(rows, col("id"), col("key"), 7)
+      .collect().map(_.getLong(0)).toSet shouldBe kept.map(_._1).toSet
+  }
+
+  test("temperatureMix: small sources kept whole, big sources flattened, " +
+    "monotone in c") {
+    val rows = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 909L).map(i => (i, "small"))).toDF("id", "src")
+    def kept(c: Double): Map[String, Set[Long]] =
+      Sampling.temperatureMix(rows, col("id"), col("src"), c)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val k3 = kept(3.0)
+    k3("small").size shouldBe 9 // rate 3/3 = 1.0 → whole
+    // big: rate 3/30 = 0.1 → ~90 of 900, binomial 4σ ≈ 36
+    k3("big").size.toDouble shouldBe 90.0 +- 40.0
+    val k6 = kept(6.0) // rates only rise → strict supersets
+    k3("big").subsetOf(k6("big")) shouldBe true
+    k3("small").subsetOf(k6("small")) shouldBe true
+  }
+
   test("stratifiedSample: fractions honored within binomial noise") {
     val out = Sampling.stratifiedSample(fixture, col("id"), col("src"),
       Map("web" -> 0.2, "code" -> 0.5, "books" -> 1.0))

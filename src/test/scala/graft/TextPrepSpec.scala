@@ -15,6 +15,24 @@ class TextPrepSpec extends SparkSpec {
     out shouldBe "a &lt; b \"q\" end"
   }
 
+  test("normalizeUrl + registrableDomain: scheme/host lowered, default " +
+    "port, fragment and utm params stripped, others kept") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.Sub.Host3.COM:443/p/9?utm_source=x&q=9#frag"),
+      (2L, "http://EXAMPLE.org:80/a/b?keep=1&utm_medium=m"),
+      (3L, "https://plain.io/x?a=1&b=2")
+    ).toDF("id", "url")
+    val out = df.select(col("id"),
+        graft.engine.TextOps.normalizeUrl(col("url")).as("u"))
+      .withColumn("dom", graft.engine.TextOps.registrableDomain(
+        regexp_extract(col("u"), "^[a-z]+://([^/?#]+)", 1)))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    out(1L) shouldBe (("https://www.sub.host3.com/p/9?q=9", "host3.com"))
+    out(2L) shouldBe (("http://example.org/a/b?keep=1", "example.org"))
+    out(3L) shouldBe (("https://plain.io/x?a=1&b=2", "plain.io"))
+  }
+
   test("gopherFilter: each rule fires on its targeted fixture") {
     val en = TextOps.langMarkers.toMap.apply("en")
     val good = Seq.fill(12)("the cat ran and hid").mkString(" ") // 60 toks

@@ -44,6 +44,11 @@ object SparkEntry {
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  /** PCA models, fitted once per dataset dir (fit-once/project-many — the
+    * IVF train/search lesson; the model is dim²-scale, driver-resident). */
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+
   /** Streaming events source for the §2.8 entries. The streaming file source
     * wants a directory: symlink the single parquet file into a STABLE
     * per-sfDir temp dir (zero-copy; a fresh createTempDirectory per run would
@@ -597,6 +602,19 @@ object SparkEntry {
           posexplode(col("q")).as(Seq("pos", "code")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
           col("code"), col("scale"))
+    }),
+    // embedding covariance: integer micro-unit quantization per component,
+    // exact integer moment sums, fixed-shape IEEE covariance expression
+    // (oracled — the micro-unit policy makes every cell bit-exact)
+    "q_embed_covariance" -> ((s, d) =>
+      Pca.covariance(embeddings(s, d), col("embedding"))),
+    // PCA projection onto the top 4 components (fit once per dataset —
+    // the IVF train/search lesson; rows-only: iterative Jacobi eigen isn't
+    // SQL-expressible — orthonormality/spectrum/residual laws in PcaSpec)
+    "q_pca_project" -> ((s, d) => {
+      val model = pcaModels.computeIfAbsent(d, dir =>
+        Pca.fit(embeddings(s, dir), col("embedding"), 4))
+      Pca.project(embeddings(s, d), col("vec_id"), col("embedding"), model)
     }),
     // token-budget accounting: per (source, lang) doc/token/char
     // contribution — the mix dashboard behind Sampling.mixToShares (oracled)
@@ -1496,6 +1514,23 @@ object SparkEntry {
                 d.dev_cents::DOUBLE AS dev_cents, md.mad_c::DOUBLE AS mad_cents
          FROM d JOIN md USING (key)
          WHERE md.mad_c > 0 AND d.dev_cents > md.mad_c * 3""",
+    "q_embed_covariance" ->
+      """WITH q AS (SELECT list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         a AS (SELECT qv, unnest(generate_series(1, len(qv))) AS i FROM q),
+         b AS (SELECT qv, i, unnest(generate_series(i, len(qv))) AS j FROM a),
+         m AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv[i]) AS BIGINT) AS s_i,
+             CAST(sum(qv[j]) AS BIGINT) AS s_j,
+             CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s_ij
+           FROM b GROUP BY 1, 2)
+         SELECT i, j, n, s_i, s_j, s_ij,
+           round(((CAST(s_ij AS DOUBLE)
+             - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE)) / 1e12, 9) AS cov
+         FROM m""",
     "q_domain_cap" ->
       """WITH u AS (SELECT doc_id,
            'HTTPS://WWW.Sub.Host' || (doc_id % 37) || '.COM:443/p/' || doc_id

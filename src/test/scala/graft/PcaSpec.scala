@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine.{Pca, Tables}
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  test("jacobiEigen: known 3x3 spectrum, orthonormal, sign-fixed") {
+    val a = Array(
+      Array(2.0, 1.0, 0.0),
+      Array(1.0, 2.0, 0.0),
+      Array(0.0, 0.0, 5.0))
+    val (vals, vecs) = Pca.jacobiEigen(a)
+    vals(0) shouldBe 5.0 +- 1e-12
+    vals(1) shouldBe 3.0 +- 1e-12
+    vals(2) shouldBe 1.0 +- 1e-12
+    vecs(0)(2) shouldBe 1.0 +- 1e-12 // (0,0,1), sign-fixed positive
+    vecs(1)(0) shouldBe math.sqrt(0.5) +- 1e-12 // (1,1,0)/√2
+    vecs(2)(0) shouldBe math.sqrt(0.5) +- 1e-12 // (1,-1,0)/√2, first-entry +
+    vecs(2)(1) shouldBe -math.sqrt(0.5) +- 1e-12
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d = (0 until 3).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      d shouldBe (if (i == j) 1.0 else 0.0) +- 1e-12
+    }
+  }
+
+  test("fit on real embeddings: orthonormal components, descending " +
+    "non-negative spectrum, eigen-equation residual tiny") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Pca.fit(emb, col("embedding"), 4)
+    val dim = model.mean.length
+    dim shouldBe 64
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val d = (0 until dim).map(k => model.components(i)(k) *
+        model.components(j)(k)).sum
+      d shouldBe (if (i == j) 1.0 else 0.0) +- 1e-9
+    }
+    model.eigenvalues.sliding(2).foreach { case Array(a1, a2) =>
+      a1 should be >= a2 - 1e-12
+    }
+    model.eigenvalues.foreach(_ should be >= -1e-9)
+    // eigen-equation ‖Cv − λv‖ ≤ 1e-8·max(1, λ) against the same
+    // covariance frame the fit consumed
+    val cov = Array.ofDim[Double](dim, dim)
+    Pca.covariance(emb, col("embedding")).collect().foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      cov(i)(j) = r.getDouble(6); cov(j)(i) = r.getDouble(6)
+    }
+    for (c <- 0 until 4) {
+      val v = model.components(c)
+      val lam = model.eigenvalues(c)
+      val res = math.sqrt((0 until dim).map { i =>
+        val cvi = (0 until dim).map(j => cov(i)(j) * v(j)).sum
+        val d = cvi - lam * v(i); d * d
+      }.sum)
+      res should be <= 1e-8 * math.max(1.0, lam)
+    }
+  }
+
+  test("project: per-component variance equals its eigenvalue; fit is " +
+    "deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Pca.fit(emb, col("embedding"), 2)
+    val out = Pca.project(emb, col("vec_id"), col("embedding"), model)
+    val stats = out.groupBy(col("pc"))
+      .agg(avg(col("value")).as("m"),
+        avg(col("value") * col("value")).as("m2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (c <- 1 to 2) {
+      val (m, m2) = stats(c.toLong)
+      val lam = model.eigenvalues(c - 1)
+      (m2 - m * m) shouldBe lam +- math.max(1e-5, 1e-3 * lam)
+    }
+    val again = Pca.fit(emb, col("embedding"), 2)
+    again.eigenvalues.toSeq shouldBe model.eigenvalues.toSeq
+    again.components.map(_.toSeq).toSeq shouldBe
+      model.components.map(_.toSeq).toSeq
+  }
+}

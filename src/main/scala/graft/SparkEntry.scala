@@ -583,6 +583,16 @@ object SparkEntry {
     // CCNet-style unigram-LM quality score, micro-nat quantized (oracled)
     "q_lm_score" -> ((s, d) =>
       TextOps.lmQualityScore(documents(s, d), col("doc_id"), col("text"))),
+    // trained bigram-LM score: add-one-smoothed P(w2|w1), per-bigram NLL in
+    // integer micro-nats, mean per doc (oracled)
+    "q_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScore(documents(s, d), col("doc_id"), col("text"))),
+    // content-defined chunking: rolling-hash cut rule, shift-robust chunk
+    // fingerprints for sub-document dedup (rows-only: the per-row rolling-
+    // hash kernel isn't SQL-expressible; coverage/bounds/shift-resync laws
+    // in TextPrepSpec)
+    "q_cdc_chunks" -> ((s, d) =>
+      TextOps.cdcChunks(documents(s, d), col("doc_id"), col("text"))),
     // BPE tokenizer: train 200 merges on the corpus word table (once per
     // dataset — model-scale driver loop), segment every doc (rows-only —
     // the iterative trainer isn't SQL-expressible; laws in TextPrepSpec)
@@ -1469,6 +1479,25 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
                 round(avg(nll), 2) AS mean_nll_micro
          FROM tok JOIN p USING (tok) GROUP BY 1""",
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents),
+         g AS (SELECT doc_id, tk,
+                 unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+         p AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg FROM g),
+         bc AS (SELECT bg, count(*) AS c2 FROM p GROUP BY 1),
+         uc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+                FROM p GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vsz
+               FROM (SELECT unnest(tk) AS tok FROM t)),
+         nl AS (SELECT bc.bg,
+                  round(-ln((bc.c2 + 1.0) / (uc.c1 + 1.0 * v.vsz))
+                    * 1000000)::BIGINT AS nll
+                FROM bc JOIN uc ON split_part(bc.bg, ' ', 1) = uc.w1
+                CROSS JOIN v)
+         SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+                round(avg(nll), 2) AS mean_nll_micro
+         FROM p JOIN nl USING (bg) GROUP BY 1""",
     "q_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

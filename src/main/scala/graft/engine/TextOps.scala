@@ -263,6 +263,94 @@ object TextOps {
     out.toArray
   }
 
+  /** Content-defined chunking (the rolling-hash cut rule of LBFS/rsync-style
+    * dedup): a chunk boundary falls AFTER position p when the k-char window
+    * ending at p satisfies `hash & (2^maskBits − 1) == mask` — so boundaries
+    * depend only on LOCAL content and re-synchronize after an insertion,
+    * unlike fixed-size chunking where one shifted byte invalidates every
+    * later chunk. minLen/maxLen bound chunk sizes (expected ≈ 2^maskBits
+    * chars between cuts). Pure per-row kernel (same deterministic polynomial
+    * hash as [[winnow]] — no RNG, identical across JVMs); corpus-linear,
+    * embarrassingly parallel. Output: (doc_id, chunk_ix, start, len, fp)
+    * with fp a 64-bit content hash of the chunk — join fps across docs for
+    * sub-document exact dedup. */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                k: Int = 16, maskBits: Int = 6,
+                minLen: Int = 32, maxLen: Int = 256): DataFrame = {
+    require(k >= 1 && maskBits >= 1 && minLen >= 1 && maxLen >= minLen,
+      s"bad cdc params: k=$k maskBits=$maskBits min=$minLen max=$maxLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spreadForCpu(docs)
+      .select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        cdcChunkKernel(t, k, maskBits, minLen, maxLen).map {
+          case (ix, start, len, fp) => (docId, ix, start, len, fp)
+        }
+      }
+      .toDF("doc_id", "chunk_ix", "start", "len", "fp")
+  }
+
+  /** CDC kernel (driver-free; runs inside tasks): returns
+    * (chunk_ix, start, len, content fp) covering the text exactly. */
+  private[graft] def cdcChunkKernel(t: String, k: Int, maskBits: Int,
+                                    minLen: Int, maxLen: Int)
+      : Seq[(Int, Int, Int, Long)] = {
+    val n = t.length
+    if (n == 0) return Seq.empty
+    val B = 257L
+    val M = 1000000007L
+    val mask = (1L << maskBits) - 1L
+    val m = n - k + 1
+    // window hashes, same recurrence as [[winnow]]
+    val hs = new Array[Long](math.max(m, 0))
+    if (m > 0) {
+      var powK = 1L
+      var i = 0
+      while (i < k - 1) { powK = powK * B % M; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = (h * B + t.charAt(i)) % M; i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < m) {
+        h = ((h - t.charAt(i - 1) * powK % M + M * B) % M * B +
+          t.charAt(i + k - 1)) % M
+        hs(i) = h
+        i += 1
+      }
+    }
+    def chunkFp(start: Int, len: Int): Long = {
+      var h = 0L
+      var i = start
+      while (i < start + len) { h = (h * B + t.charAt(i)) % M; i += 1 }
+      h * 131071L + len // length-salted so "aa"+"a" != "a"+"aa"
+    }
+    val out = Seq.newBuilder[(Int, Int, Int, Long)]
+    var start = 0
+    var ix = 0
+    while (start < n) {
+      val hardEnd = math.min(start + maxLen, n) // exclusive cut bound
+      var cut = hardEnd
+      var p = start + minLen - 1 // candidate cut AFTER char p
+      var found = false
+      while (!found && p < hardEnd - 1) {
+        val wIx = p - k + 1
+        if (wIx >= 0 && wIx < m && (hs(wIx) & mask) == mask) {
+          cut = p + 1
+          found = true
+        }
+        p += 1
+      }
+      val len = cut - start
+      out += ((ix, start, len, chunkFp(start, len)))
+      start = cut
+      ix += 1
+    }
+    out.result()
+  }
+
   /** 3-word shingles of the text, distinct per doc — the unit for near-dup
     * detection. `sequence`+`transform` stays inside codegen; `explode` is the
     * only row-multiplier. */
@@ -534,6 +622,41 @@ object TextOps {
     toks.join(probs, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 2).as("mean_nll_micro"))
+  }
+
+  /** Trained bigram-LM quality scoring — the CCNet discriminator shape one
+    * order above [[lmQualityScore]]: add-one-smoothed P(w2|w1) with the
+    * history's bigram-position count as denominator mass, each bigram's NLL
+    * quantized to integer micro-nats BEFORE any aggregation (the
+    * cross-engine ln policy), mean per doc. Corpus-scale shape: two count
+    * aggregations build the model (shuffles carry (string, long) rows), one
+    * hash join attaches NLLs to the doc bigram stream, one groupBy(doc)
+    * rolls up — the micro-nat sums are exact integers, so the mean is
+    * order-free. Output: (doc_id, n_bigrams, mean_nll_micro); docs with
+    * fewer than 2 tokens have no bigrams and drop (none in this corpus). */
+  def bigramLmScore(docs: DataFrame, id: Column, text: Column,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val base = spreadForCpu(docs).select(id.as("doc_id"), text.as("_x"))
+    val pairs = base.select(col("doc_id"),
+      explode(ngramArray(col("_x"), 2)).as("bg"))
+    val bgCounts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val histCounts = pairs
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocabSize = base.select(explode(tokens(col("_x"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    val nll = bgCounts
+      .join(histCounts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("bg"),
+        round(-log((col("c2") + alpha) /
+          (col("c1") + lit(alpha) * col("vsz"))) * 1e6)
+          .cast("long").as("nll"))
+    pairs.join(nll, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("nll")), 2).as("mean_nll_micro"))
   }
 

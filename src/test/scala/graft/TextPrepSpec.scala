@@ -215,6 +215,66 @@ class TextPrepSpec extends SparkSpec {
     out.values.foreach { v => v should be > 0.0 }
   }
 
+  test("bigramLmScore: hand-computed smoothed NLLs; common-bigram doc " +
+    "scores below rare-bigram doc") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b x y")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // corpus: bigrams "a b"×3, "b a"×1, "b x"×1, "x y"×1; histories a·=3,
+    // b·=2, x·=1; V=4
+    def nll(c2: Long, c1: Long): Long =
+      math.round(-math.log((c2 + 1.0) / (c1 + 1.0 * 4)) * 1e6)
+    val ab = nll(3, 3); val ba = nll(1, 2); val bx = nll(1, 2)
+    val xy = nll(1, 1)
+    def m2(xs: Seq[Long]): Double =
+      BigDecimal(xs.sum.toDouble / xs.size)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe ((3L, m2(Seq(ab, ba, ab))))
+    out(2L) shouldBe ((3L, m2(Seq(ab, bx, xy))))
+    out(1L)._2 should be < out(2L)._2
+  }
+
+  test("cdcChunks: exact coverage, size bounds, determinism, and " +
+    "boundary re-sync after an insertion (the CDC dedup property)") {
+    // deterministic pseudo-random text (LCG), no RNG objects
+    def lcgText(n: Int, seed: Long): String = {
+      val sb = new StringBuilder
+      var x = seed
+      var i = 0
+      while (i < n) {
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        sb.append(('a' + ((x >>> 33) % 26)).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+    val base = lcgText(3000, 42L)
+    val shifted = lcgText(137, 7L) + base // insertion at the front
+    val chunks = graft.engine.TextOps.cdcChunkKernel(base, 16, 6, 32, 256)
+    // coverage: chunks tile [0, n) in order
+    chunks.head._2 shouldBe 0
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      b._2 shouldBe a._2 + a._3
+    }
+    chunks.last._2 + chunks.last._3 shouldBe base.length
+    // bounds: every chunk but the tail within [minLen, maxLen]
+    chunks.init.foreach { c =>
+      c._3 should be >= 32
+      c._3 should be <= 256
+    }
+    chunks.last._3 should be <= 256
+    // determinism
+    graft.engine.TextOps.cdcChunkKernel(base, 16, 6, 32, 256) shouldBe chunks
+    // shift re-sync: most of base's chunk fingerprints survive the
+    // 137-char front insertion (fixed-size chunking would share none)
+    val fps = chunks.map(_._4).toSet
+    val fps2 = graft.engine.TextOps
+      .cdcChunkKernel(shifted, 16, 6, 32, 256).map(_._4).toSet
+    val shared = fps.intersect(fps2).size.toDouble / fps.size
+    shared should be >= 0.6
+  }
+
   test("packSequences: greedy packing laws on a hand fixture") {
     val docs = Seq(
       (1L, "g1", (1 to 5).map(i => s"t$i").mkString(" ")),   // 5 tokens

@@ -115,6 +115,71 @@ object SparkEntry {
     s.read.parquet(outDir)
   }
 
+  /** Two-run checkpointed streaming restart — the reference's actual
+    * cron-incremental contract (daily_pv_automation.py:74-126: each run
+    * resumes from persisted state and processes only NEW data;
+    * nambu_backfill.py:161-182 late-day refetch). Run 1 streams every day
+    * BEFORE the last through [[graft.streaming.Streams.hourlySumStream]]
+    * into a parquet file sink with a persistent checkpoint; run 2 — the
+    * "next cron tick", against the SAME checkpoint — sees only the appended
+    * final-day file and must emit exactly the windows newly closed by the
+    * advanced watermark, with boundary-window totals carrying run-1 state
+    * (windows in the last 2 h before the day cut were in-flight at run-1
+    * end; their sums span both runs). Returns run 2's emissions only:
+    * append mode never re-emits a window, so (sink after run 2) anti-join
+    * (sink after run 1) IS batch 2's output. Closed-form oracle = the batch
+    * hourly rollup over ALL events restricted to windows with
+    * `end ∈ (max_ts_before_cut − 2h, max_ts − 2h]`. */
+  private def runRestart(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_restart",
+      d.replaceAll("[^a-zA-Z0-9]", "_"))
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    wipe(base) // deterministic per invocation: both runs happen fresh here
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    val snap = base.resolve("snap").toString
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    val cut = ev.agg(date_trunc("day", max(col("ts")))).head.getTimestamp(0)
+    def appendDays(f: DataFrame): Unit =
+      f.coalesce(1).write.mode("append").parquet(src.toString)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    def runOnce(): Unit = {
+      // small state-store partition count, as in [[runAvailableNow]]; the
+      // checkpoint pins it after run 1 anyway
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = s.readStream.schema(ev.schema).parquet(src.toString)
+        val out = graft.streaming.Streams.hourlySumStream(stream, "ts",
+            col("event_type"), col("value"))
+          .select(col("bucket"), col("grp"), round(col("total"), 2).as("total"))
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode(graft.streaming.Streams.hourlySumMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    appendDays(ev.filter(col("ts") < lit(cut))) // day 1 .. N-1
+    runOnce()
+    // snapshot of run-1 emissions (empty-safe: a <2-day corpus emits none)
+    scala.util.Try(s.read.parquet(sink).select("bucket", "grp")).toOption
+      .getOrElse(ev.select(col("ts").as("bucket"),
+        col("event_type").as("grp")).limit(0))
+      .write.mode("overwrite").parquet(snap)
+    appendDays(ev.filter(col("ts") >= lit(cut))) // the new day arrives
+    runOnce() // same checkpoint: resumes state, reads ONLY the new file
+    s.read.parquet(sink)
+      .join(s.read.parquet(snap), Seq("bucket", "grp"), "left_anti")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A9 top-K revenue (piechart panel, pv_dashboard.json). */
   def entry(spark: SparkSession): DataFrame =
@@ -688,16 +753,18 @@ object SparkEntry {
         col("doc_id"), col("source"), 2.0)),
 
     // ---- Training-data pipeline: deterministic mixing ----
-    // hash-stratified sample to target shares (rows-only: xxhash64 bucket
-    // decisions aren't reproducible in the oracle engine; proportions,
-    // determinism and monotonicity are spec'd in SamplingSpec)
+    // hash-stratified sample to target shares: md5-ppm keep decision +
+    // ppm-floored fractions make the whole mix (counts → binding stratum →
+    // per-stratum fraction → keep) reproducible in the oracle engine
+    // (oracled; proportions/determinism/monotonicity laws in SamplingSpec)
     "q_stratified_mix" -> ((s, d) =>
       Sampling.mixToShares(documents(s, d), col("doc_id"), col("source"),
         Map("src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.3))),
 
-    // exact-k deterministic sample per stratum (eval-set construction;
-    // rows-only: xxhash64 ranking isn't reproducible in the oracle engine —
-    // exactness/determinism/disjointness laws in SamplingSpec)
+    // exact-k deterministic sample per stratum (eval-set construction):
+    // md5-ranked bounded top-k, oracled as row_number-over-md5-rank (the
+    // q_domain_cap pattern); exactness/determinism/disjointness laws in
+    // SamplingSpec
     "q_exact_k_sample" -> ((s, d) =>
       Sampling.exactKPerStratum(documents(s, d), col("doc_id"),
         col("source"), 10)),
@@ -840,6 +907,11 @@ object SparkEntry {
           col("lastDay").as("last_day")),
         graft.streaming.Streams.resumeTrackerMode)
     }),
+    // Checkpointed restart (§2.8 incremental cron semantics): run 2 over
+    // the SAME checkpoint emits only the windows newly closed by the
+    // advanced watermark — totals for windows straddling the day cut carry
+    // run-1 state across the restart. See [[runRestart]].
+    "q_stream_restart" -> ((s, d) => runRestart(s, d)),
     // Stream-static dim enrichment (J2 as a stream): events joined to the
     // customer dim on user_id. Stateless — no watermark, no join state; the
     // static side is re-planned (and broadcast) each micro-batch. One
@@ -1575,7 +1647,7 @@ object SparkEntry {
                  regexp_replace(url,
                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '', 'g'),
                  '#.*', '', 'g'),
-                 '\?utm_[^&#]*&', '?', 'g'),
+                 '\?(utm_[^&#]*&)+', '?', 'g'),
                  '&utm_[^&#]*', '', 'g'),
                  '\?utm_[^&#]*$', '', 'g') AS url_norm
          FROM u),
@@ -1592,6 +1664,34 @@ object SparkEntry {
                 AS rn
             FROM r)
          WHERE rn <= 5""",
+    // mixFractions replayed in SQL: same IEEE expression tree (cnt/wt min →
+    // wt·total/cnt → floor-ppm) so the thresholds are bit-identical; the
+    // keep decision is the shared md5-ppm integer comparison
+    "q_stratified_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         w(source, wt) AS (VALUES ('src1', CAST(0.4 AS DOUBLE)),
+                                  ('src2', CAST(0.3 AS DOUBLE)),
+                                  ('src3', CAST(0.3 AS DOUBLE))),
+         t AS (SELECT min(cnt / wt) AS total
+               FROM c JOIN w USING (source) WHERE wt > 0 AND cnt > 0),
+         f AS (SELECT w.source,
+                 CAST(floor(least(CAST(1.0 AS DOUBLE), wt * total / cnt)
+                   * 1000000.0) AS BIGINT) AS thr
+               FROM w JOIN c USING (source) CROSS JOIN t)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d JOIN f USING (source)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 8))
+           ::UBIGINT % 1000000 < thr""",
+    "q_exact_k_sample" ->
+      """WITH r AS (SELECT source AS stratum, doc_id AS id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))
+             ::UBIGINT AS rk
+         FROM documents)
+         SELECT stratum, id FROM
+           (SELECT stratum, id,
+              row_number() OVER (PARTITION BY stratum ORDER BY rk, id) AS rn
+            FROM r)
+         WHERE rn <= 10""",
     "q_temperature_mix" ->
       """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
          r AS (SELECT source,
@@ -1692,6 +1792,20 @@ object SparkEntry {
          FROM events, mx
          GROUP BY 1, 2, mx.m
          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
+    // run 2's emissions = full rollup restricted to windows whose end lies
+    // in (wm after run 1, wm after run 2] — i.e. closed by the restart run.
+    // Boundary windows aggregate BOTH runs' rows: state survived the
+    // checkpoint restart iff the totals match.
+    "q_stream_restart" ->
+      """WITH m2 AS (SELECT max(ts) AS mx2 FROM events),
+         c AS (SELECT date_trunc('day', mx2) AS cut, mx2 FROM m2),
+         m1 AS (SELECT max(ts) AS mx1 FROM events, c WHERE ts < cut)
+         SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
+           round(SUM(value), 2) AS total
+         FROM events, m1, c
+         GROUP BY 1, 2, m1.mx1, c.mx2
+         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR > mx1 - INTERVAL 2 HOUR
+            AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx2 - INTERVAL 2 HOUR""",
     "q_stream_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                       epoch_ns(ts) // 1000 AS us

@@ -34,23 +34,23 @@ object Pca {
     * micro-quantized embedding: (i, j, n, s_i, s_j, s_ij, cov) with
     * 0-based axes, i <= j, and
     * `cov = ((s_ij − s_i·s_j/n)/n)/10¹² ` (original units²) rounded to 9.
-    * The pair array is built inside codegen (one explode per row);
-    * hash aggregation reduces each task to dim(dim+1)/2 rows pre-shuffle. */
+    * Each vector folds straight into a per-task
+    * [[graft.engine.expressions.MomentMatrix]] buffer (d(d+3)/2+1 longs) —
+    * no per-row pair structs are ever allocated, and the shuffle carries
+    * one buffer per task instead of d(d+1)/2 rows per task. Identical
+    * long arithmetic to the exploded groupBy form it replaces (same
+    * null-element and count semantics — see MomentMatrix's Scaladoc). */
   def covariance(emb: DataFrame, vec: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val d = TextOps.spreadForCpu(emb).select(quantized(vec).as("q"))
-    val n = size(col("q"))
-    val pairs = flatten(transform(sequence(lit(1), n), i =>
-      transform(sequence(i, n), j =>
-        struct((i - 1).as("i"), (j - 1).as("j"),
-          (element_at(col("q"), i) * element_at(col("q"), j)).as("p"),
-          element_at(col("q"), i).as("qi"),
-          element_at(col("q"), j).as("qj")))))
-    val moments = d.select(explode(pairs).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"),
-        col("e.qi").as("qi"), col("e.qj").as("qj"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s_i"),
-        sum(col("qj")).as("s_j"), sum(col("p")).as("s_ij"))
+    val mm = ColumnBridge.column(
+      graft.engine.expressions.MomentMatrix(
+        ColumnBridge.expression(col("q"))).toAggregateExpression())
+    val moments = d.agg(mm.as("m"))
+      .select(explode(col("m")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
+        col("e.s_i").as("s_i"), col("e.s_j").as("s_j"),
+        col("e.s_ij").as("s_ij"))
     moments.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
       col("n"), col("s_i"), col("s_j"), col("s_ij"),
       round(((col("s_ij").cast("double")

@@ -21,12 +21,21 @@ object Sampling {
 
   private val Buckets = 1000000L
 
-  /** Keep a row iff `pmod(xxhash64(id, salt), 10^6) < 10^6 × f(stratum)`.
-    * Strata absent from `fractions` (and null strata) get
-    * `defaultFraction` (0 = drop — the decontamination-friendly default).
-    * Fractions are honored to ±binomial noise (hash buckets are uniform;
-    * the realized count concentrates around f·n like any Bernoulli
-    * sample). */
+  /** Uniform ppm bucket from the cross-engine md5 hash of `salt:id` —
+    * first 32 md5 bits mod 10⁶, reproducible bit-for-bit in any engine
+    * with md5 (DuckDB: `('0x'||substr(md5(s),1,8))::UBIGINT % 1000000`). */
+  private def md5Ppm(id: Column, salt: Long): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % lit(Buckets)
+
+  /** Keep a row iff `md5ppm(id, salt) < floor(10^6 × f(stratum))` — the
+    * fraction is floor-quantized to integer ppm so the keep decision is an
+    * integer comparison, bit-identical cross-engine (md5 is the hash every
+    * engine shares; see assignSplit). Strata absent from `fractions` (and
+    * null strata) get `defaultFraction` (0 = drop — the
+    * decontamination-friendly default). Fractions are honored to ±binomial
+    * noise (hash buckets are uniform; the realized count concentrates
+    * around f·n like any Bernoulli sample). */
   def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
                        fractions: Map[String, Double], salt: Long = 0L,
                        defaultFraction: Double = 0.0): DataFrame = {
@@ -37,8 +46,8 @@ object Sampling {
     val frac = coalesce(
       element_at(typedlit(fractions), stratum.cast("string")),
       lit(defaultFraction))
-    df.filter(pmod(xxhash64(id, lit(salt)), lit(Buckets)).cast("double") <
-      frac * Buckets.toDouble)
+    df.filter(md5Ppm(id, salt) <
+      floor(frac * lit(Buckets.toDouble)).cast("long"))
   }
 
   /** Per-stratum fractions that realize target mix `shares` (relative
@@ -71,10 +80,13 @@ object Sampling {
   }
 
   /** Deterministic EXACT-k sample per stratum (eval-set construction: "pick
-    * exactly 100 docs per source"): rank rows by xxhash64(id, salt) within
-    * the stratum and keep the k smallest — a pure function of (id, salt)
-    * like [[stratifiedSample]], but with exact counts instead of binomial
-    * noise. Runs as the bounded top-k partial aggregation
+    * exactly 100 docs per source"): rank rows by the first 32 md5 bits of
+    * `salt:id` within the stratum (ties → lower id) and keep the k
+    * smallest — a pure function of (id, salt) like [[stratifiedSample]],
+    * but with exact counts instead of binomial noise. md5 (not xxhash64)
+    * keeps the ranking reproducible in any engine, so the selection is
+    * oracle-checkable as `row_number() OVER (PARTITION BY stratum ORDER BY
+    * md5rank, id) <= k`. Runs as the bounded top-k partial aggregation
     * ([[graft.engine.Similarity.boundedTopK]]): every task reduces to ≤ k
     * candidates per stratum before the shuffle — no per-stratum sort, no
     * single-task funnel, unlike the row_number window this replaces.
@@ -82,11 +94,12 @@ object Sampling {
   def exactKPerStratum(df: DataFrame, id: Column, stratum: Column,
                        k: Int, salt: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    val rank = conv(substring(
+      md5(concat(col("_id").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long").cast("double")
     df.select(stratum.cast("string").as("stratum"), id.as("_id"))
       .groupBy(col("stratum"))
-      .agg(Similarity.boundedTopK(
-        -xxhash64(col("_id"), lit(salt)).cast("double"),
-        col("_id"), k).as("_tk"))
+      .agg(Similarity.boundedTopK(-rank, col("_id"), k).as("_tk"))
       .select(col("stratum"), explode(col("_tk.id")).as("id"))
   }
 
@@ -97,8 +110,13 @@ object Sampling {
     * ([[graft.engine.Similarity.boundedTopK]]) — every task reduces to ≤ k
     * candidates per key BEFORE the shuffle, so a giant domain never funnels
     * into one task the way a `row_number` window would. The kept-id set is
-    * ≤ k × #keys (model-scale) and broadcasts back as a semi join: data
-    * rows never shuffle. Ids must be unique (they key the semi join). */
+    * ≤ k × #keys — DATA-cardinality-dependent (for the domain-cap use,
+    * #keys = #registrable domains: tens of millions at web scale), so no
+    * broadcast hint is forced: AQE picks broadcast when the kept set turns
+    * out small and degrades to a shuffled semi join when it doesn't — a
+    * forced broadcast of k × 10⁷ ids would ship GBs to every executor
+    * (and OOM the driver) regardless of AQE thresholds. Ids must be
+    * unique (they key the semi join). */
   def capPerKey(df: DataFrame, id: Column, key: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val rank = conv(substring(md5(col("_id").cast("string")), 1, 8), 16, 10)
@@ -107,7 +125,7 @@ object Sampling {
       .groupBy(col("_key"))
       .agg(Similarity.boundedTopK(-rank, col("_id"), k).as("_tk"))
       .select(explode(col("_tk.id")).as("_id"))
-    df.join(broadcast(kept), id.cast("long") === col("_id"), "left_semi")
+    df.join(kept, id.cast("long") === col("_id"), "left_semi")
   }
 
   /** Temperature-flattened source resampling (α = 1/2): per-stratum keep

@@ -348,6 +348,8 @@ object Similarity {
     * paths probe identical lists. Model-scale work: nlist×dim flops. */
   private[graft] def probeLists(cents: Array[Array[Double]], qv: Array[Double],
                                 nprobe: Int): Seq[Int] = {
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe must be in [1, ${cents.length}]: $nprobe")
     val dots = cents.map { c =>
       require(c.length == qv.length,
         s"probeLists: query has ${qv.length} dims, centroids ${c.length}")

@@ -164,9 +164,12 @@ object TextOps {
     val hostNorm = lower(regexp_replace(host, ":(443|80)$", ""))
     val rest = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
     val noFrag = regexp_replace(rest, "#.*", "")
+    // leading run first: `?(utm_…&)+` collapses ANY number of consecutive
+    // leading utm params in one match (a single `\?utm_…&` replace would
+    // leave the second of two adjacent leading params behind — no rescan)
     val noUtm = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "\\?utm_[^&#]*&", "?"),
+        regexp_replace(noFrag, "\\?(utm_[^&#]*&)+", "?"),
         "&utm_[^&#]*", ""),
       "\\?utm_[^&#]*$", "")
     concat(scheme, lit("://"), hostNorm, noUtm)
@@ -425,14 +428,28 @@ object TextOps {
   /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): the corpus-scale step
     * is ONE word-count aggregation; merge selection then iterates over the
-    * word-frequency table, which is MODEL-scale (like the IVF centroid
-    * matrix it lives on the driver — vocab entries, not corpus rows).
+    * word-frequency table, which is MODEL-scale BY CONSTRUCTION (like the
+    * IVF centroid matrix it lives on the driver — vocab entries, not corpus
+    * rows): the driver table is bounded to the `maxWords` most frequent
+    * words (ties → lexicographically smaller word) meeting `minCount`.
+    * Distinct-word count over a web corpus grows with the corpus (hundreds
+    * of millions at 100 TB) — the uncapped collect was a driver OOM; the
+    * frequency cut is also standard BPE practice (rare words contribute
+    * noise pairs, Sennrich §3). The cap runs as TakeOrderedAndProject: a
+    * per-partition top-N heap feeding a driver merge — no global sort, the
+    * driver holds exactly min(vocab, maxWords) rows.
     * Deterministic: pair-frequency ties break to the lexicographically
     * smaller pair. Returns merges in rank order (best first). */
-  def bpeTrain(docs: DataFrame, text: Column,
-               numMerges: Int): Seq[(String, String)] = {
+  def bpeTrain(docs: DataFrame, text: Column, numMerges: Int,
+               minCount: Long = 1L,
+               maxWords: Int = 1000000): Seq[(String, String)] = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(maxWords >= 1, s"maxWords must be >= 1: $maxWords")
     val words = docs.select(explode(tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     bpeTrainFromCounts(words, numMerges)
   }

@@ -42,7 +42,8 @@ final class TopKBuffer(val k: Int) {
   *
   * This replaces the `row_number().over(partitionBy(group).orderBy(score
   * .desc, id.asc)) <= k` rerank idiom with the same result BIT-EXACTLY
-  * (identical ordering and tie-break), but as a partial-then-final
+  * (identical ordering and tie-break) for non-NaN scores, but as a
+  * partial-then-final
   * aggregation: every task reduces its rows to at most k entries BEFORE the
   * shuffle, so a group's candidate set never assembles in one task. The
   * window form shuffles ALL candidates of a group to a single task and
@@ -51,7 +52,12 @@ final class TopKBuffer(val k: Int) {
   * wrong" #3). Here the per-group shuffle volume is ≤ k×tasks rows and no
   * sort ever materializes.
   *
-  * Null score or id rows are skipped (a null cosine never ranks).
+  * Null or NaN score rows and null id rows are skipped (a null/NaN cosine —
+  * e.g. from a zero-norm embedding — never ranks). NOTE this is the one
+  * deliberate divergence from the window idiom: Spark's double ordering
+  * sorts NaN ABOVE every value, so `row_number().orderBy(desc)` would rank
+  * NaN rows FIRST; here they are excluded, matching the explicit
+  * `!isnan` pre-filters the cosine paths apply.
   */
 case class BoundedTopK(score: Expression, id: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
@@ -85,7 +91,7 @@ case class BoundedTopK(score: Expression, id: Expression, k: Int,
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     b
   }

@@ -24,6 +24,34 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covariance moments: hand-computed on a fixture with null vectors " +
+    "and null elements (the exploded-form semantics, pinned); ragged throws") {
+    import spark.implicits._
+    // quantization is floor(x·10⁶): pick values exact in micro-units
+    val rows: Seq[Seq[java.lang.Double]] = Seq(
+      Seq[java.lang.Double](1.0, 2.0),
+      Seq[java.lang.Double](3.0, null), // null element: skipped in its sums
+      null                              // null vector: contributes nothing
+    )
+    val df = rows.toDF("v")
+    val out = Pca.covariance(df, col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // n counts the two non-null vectors for EVERY pair (the old
+    // count(lit(1)) counted the pair row even with null elements)
+    out((0L, 0L)) shouldBe ((2L, 4000000L, 4000000L, 10000000000000L))
+    // s_i sums non-null q(i) over both rows; s_ij only where both non-null
+    out((0L, 1L)) shouldBe ((2L, 4000000L, 2000000L, 2000000000000L))
+    out((1L, 1L)) shouldBe ((2L, 2000000L, 2000000L, 4000000000000L))
+    out.size shouldBe 3
+    // ragged dimensions are a hard error, not silent per-pair counts
+    val ragged = Seq(Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0))
+      .toDF("v")
+    intercept[Exception] {
+      Pca.covariance(ragged, col("v")).collect()
+    }
+  }
+
   test("fit on real embeddings: orthonormal components, descending " +
     "non-negative spectrum, eigen-equation residual tiny") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

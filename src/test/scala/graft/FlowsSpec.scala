@@ -155,4 +155,42 @@ class FlowsSpec extends SparkSpec {
     Flows.dailyCorpusIncrement(corpus2, incoming, col("doc_id"), col("text"),
       en, tau = 0.3).count() shouldBe 0L
   }
+
+  test("daily increment → versioned sink: day N arrives, the corpus pointer " +
+    "advances; a re-offered batch is a no-op commit") {
+    import graft.engine.{Sink, TextOps}
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val corpusPath = Files.createTempDirectory("graft_vcorpus_").toString +
+      "/corpus"
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    // day 0: the initial corpus is version 1
+    Sink.commitVersioned(Seq(
+      (1L, prose),
+      (2L, "a measured essay about the craft of writing is presented here today")
+    ).toDF("doc_id", "text"), corpusPath)
+    val v1 = Sink.readVersioned(spark, corpusPath)
+    v1.count() shouldBe 2
+    // day 1 arrives: one exact dup of the corpus, one genuinely new doc
+    val day1 = Seq(
+      (10L, prose), // exact dup of doc 1 → dropped
+      (13L, "a completely fresh report about spark catalyst and the optimizer is here")
+    ).toDF("doc_id", "text")
+    val admitted = Flows.dailyCorpusIncrement(v1, day1,
+      col("doc_id"), col("text"), en, tau = 0.3)
+    admitted.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(13L)
+    // pointer flip: corpus ∪ increment becomes version 2 atomically —
+    // readers resolving the pointer mid-commit still see a complete v1
+    Sink.commitVersioned(
+      v1.unionByName(admitted.select("doc_id", "text")), corpusPath)
+    Sink.currentVersion(corpusPath) shouldBe Some("_v2")
+    val v2 = Sink.readVersioned(spark, corpusPath)
+    v2.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 13L)
+    // idempotent re-offer: the SAME day-1 batch against the advanced
+    // pointer admits nothing — a crashed-and-retried cron tick cannot
+    // duplicate corpus content
+    Flows.dailyCorpusIncrement(v2, day1, col("doc_id"), col("text"),
+      en, tau = 0.3).count() shouldBe 0L
+  }
 }

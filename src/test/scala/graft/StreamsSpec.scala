@@ -126,6 +126,113 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart: per-key mapGroupsWithState state survives — " +
+    "run 2 over the SAME checkpoint extends run 1's hour mask") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    val schema = Seq(("", t("2024-01-01 00:00:00"))).toDF("k", "ts").schema
+    def runOnce(): Unit = {
+      val out = Streams.resumeTracker(
+        spark.readStream.schema(schema).parquet(src.toString), "ts", "k")
+      // foreachBatch: Update-mode emissions land as parquet appends (a file
+      // sink proper rejects Update) while the checkpoint still persists the
+      // mapGroupsWithState store across runs
+      val q = out.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[_], _: Long) =>
+          df.toDF().write.mode("append").parquet(sink))
+        .option("checkpointLocation", ckpt)
+        .outputMode(Streams.resumeTrackerMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: hours 0 and 1 of the day
+    Seq(("p1", t("2024-01-01 00:10:00")), ("p1", t("2024-01-01 01:10:00")))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(src.toString)
+    runOnce()
+    // the "next cron tick": a new file, SAME checkpoint — only hour 5
+    Seq(("p1", t("2024-01-01 05:10:00")))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(src.toString)
+    runOnce()
+    val last = spark.read.parquet(sink)
+      .orderBy(col("lastTs").desc).limit(1).collect()(0)
+    // hoursSeen == 3 is the proof: run 2 saw ONLY hour 5, so hours {0, 1}
+    // can have come only from state persisted in the checkpoint
+    last.getInt(2) shouldBe 3
+    last.getTimestamp(1).toString shouldBe "2024-01-01 05:10:00.0"
+  }
+
+  test("multi-batch hourly window: a late row in batch 2 merges into " +
+    "batch-1 window state; windows emit only when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.hourlySumStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", col("k"), col("v"))
+    val q = out.writeStream.format("memory").queryName("mb_hourly")
+      .outputMode(Streams.hourlySumMode).start()
+    try {
+      // batch 1: two rows in the 10:00 window, max ts 11:00 → watermark
+      // after the batch = 09:00 → NOTHING emitted yet
+      mem.addData((t("2024-01-01 10:10:00"), "a", 1.0),
+        (t("2024-01-01 10:50:00"), "a", 2.0),
+        (t("2024-01-01 11:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM mb_hourly").count() shouldBe 0
+      // batch 2: 10:20 is LATE relative to batch 1 but above the 09:00
+      // watermark → it must merge into the 10:00 window's state; 15:00
+      // advances the watermark to 13:00, closing 10:00 and 11:00
+      mem.addData((t("2024-01-01 10:20:00"), "a", 4.0),
+        (t("2024-01-01 15:00:00"), "a", 0.5))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM mb_hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2)))
+        .toSet
+      rows shouldBe Set(("2024-01-01 10:00:00.0", "a", 7.0),
+        ("2024-01-01 11:00:00.0", "a", 9.0))
+      // batch 3: 10:30 is now BELOW the 13:00 watermark → dropped, the
+      // emitted 10:00 window is never revised (append-mode contract the
+      // single-batch closed-form oracle relies on)
+      mem.addData((t("2024-01-01 10:30:00"), "a", 100.0))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM mb_hourly WHERE total = 100.0").count() shouldBe 0
+      spark.sql("SELECT * FROM mb_hourly").count() shouldBe 2
+    } finally q.stop()
+  }
+
+  test("multi-batch interval join: buffered state matches across " +
+    "micro-batches in BOTH directions") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = MemoryStream[(Timestamp, String, Double)]
+    val wx = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.intervalJoinStreams(
+      gen.toDF().toDF("g_ts", "g_plant", "g_mw"), "g_plant", "g_ts",
+      wx.toDF().toDF("w_ts", "w_station", "w_temp"), "w_station", "w_ts")
+    val q = out.writeStream.format("memory").queryName("mb_join")
+      .outputMode("append").start()
+    try {
+      // batch 1: weather only — buffered in join state, no output
+      wx.addData((t("2024-01-01 09:30:00"), "p1", 21.5))
+      q.processAllAvailable()
+      // batch 2: gen 10:00 joins the BUFFERED batch-1 weather (right
+      // arrived first); gen 12:00 has no weather yet and waits in state
+      gen.addData((t("2024-01-01 10:00:00"), "p1", 5.0),
+        (t("2024-01-01 12:00:00"), "p1", 6.0))
+      q.processAllAvailable()
+      spark.sql("SELECT g_mw, w_temp FROM mb_join").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSet shouldBe
+        Set((5.0, 21.5))
+      // batch 3: weather 11:30 arrives AFTER the gen row it enriches (left
+      // arrived first) — the buffered gen 12:00 must still match it
+      wx.addData((t("2024-01-01 11:30:00"), "p1", 22.0))
+      q.processAllAvailable()
+      spark.sql("SELECT g_mw, w_temp FROM mb_join").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSet shouldBe
+        Set((5.0, 21.5), (6.0, 22.0))
+    } finally q.stop()
+  }
+
   test("resumeTracker: per-key watermark + hour coverage, day rollover resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

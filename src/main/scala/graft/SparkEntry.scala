@@ -1623,9 +1623,9 @@ object SparkEntry {
          b AS (SELECT qv, i, unnest(generate_series(i, len(qv))) AS j FROM a),
          m AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(qv[i]) AS BIGINT) AS s_i,
-             CAST(sum(qv[j]) AS BIGINT) AS s_j,
-             CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s_ij
+             CAST(sum(qv[i]) AS DECIMAL(38,0)) AS s_i,
+             CAST(sum(qv[j]) AS DECIMAL(38,0)) AS s_j,
+             CAST(sum(qv[i] * qv[j]) AS DECIMAL(38,0)) AS s_ij
            FROM b GROUP BY 1, 2)
          SELECT i, j, n, s_i, s_j, s_ij,
            round(((CAST(s_ij AS DOUBLE)

@@ -35,11 +35,14 @@ object Pca {
     * 0-based axes, i <= j, and
     * `cov = ((s_ij − s_i·s_j/n)/n)/10¹² ` (original units²) rounded to 9.
     * Each vector folds straight into a per-task
-    * [[graft.engine.expressions.MomentMatrix]] buffer (d(d+3)/2+1 longs) —
-    * no per-row pair structs are ever allocated, and the shuffle carries
-    * one buffer per task instead of d(d+1)/2 rows per task. Identical
-    * long arithmetic to the exploded groupBy form it replaces (same
-    * null-element and count semantics — see MomentMatrix's Scaladoc). */
+    * [[graft.engine.expressions.MomentMatrix]] buffer — no per-row pair
+    * structs are ever allocated, and the shuffle carries one buffer per
+    * task instead of d(d+1)/2 rows per task. Sums accumulate in 128 bits
+    * and surface as DECIMAL(38,0): 64-bit moment sums silently wrap near
+    * 10⁷ unit-norm rows, far below a 100 TB embedding table; the DuckDB
+    * oracle's HUGEINT sums are 128-bit natively (same null-element and
+    * count semantics as the exploded groupBy form this replaces — see
+    * MomentMatrix's Scaladoc). */
   def covariance(emb: DataFrame, vec: Column): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val d = TextOps.spreadForCpu(emb).select(quantized(vec).as("q"))
@@ -83,7 +86,8 @@ object Pca {
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
       val c = r.getDouble(4)
       cov(i)(j) = c; cov(j)(i) = c
-      if (i == j) mean(i) = r.getLong(3).toDouble / r.getLong(2) / 1.0e6
+      if (i == j)
+        mean(i) = r.getDecimal(3).doubleValue() / r.getLong(2) / 1.0e6
     }
     val (values, vectors) = jacobiEigen(cov)
     Model(mean, vectors.take(k), values.take(k))

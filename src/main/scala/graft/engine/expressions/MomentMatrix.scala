@@ -8,24 +8,41 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType,
+  LongType, StructField, StructType}
 
 /** Fixed-size accumulator for the upper-triangle second-moment matrix of a
-  * long-vector column: row count `n`, per-axis sums `s(i)`, and pair
-  * products `ss(idx(i,j))` for i ≤ j, flattened row-major
-  * (`idx = i·d − i(i−1)/2 + (j−i)`). The buffer is d(d+3)/2 + 1 longs —
-  * ~17 KB at dim 64, ~9 MB at dim 1536: model-scale, never data-scale. */
+  * long-vector column: row count `n`, per-axis sums `s`, and pair products
+  * `ss(idx(i,j))` for i ≤ j, flattened row-major
+  * (`idx = i·d − i(i−1)/2 + (j−i)`). Sums accumulate in 128 BITS (hi/lo
+  * long pairs): micro-unit products are ≤ 10¹² per row, so 64-bit sums
+  * overflow near 10⁷ unit-norm rows — far below the 10¹⁰⁺ rows of a 100 TB
+  * embedding table. The buffer is 2·(d(d+3)/2) + 1 longs — ~34 KB at
+  * dim 64, ~19 MB at dim 1536: model-scale, never data-scale. */
 final class MomentBuffer {
   var dim: Int = -1
   var n: Long = 0L
-  var s: Array[Long] = null
-  var ss: Array[Long] = null
+  var sHi: Array[Long] = null
+  var sLo: Array[Long] = null
+  var ssHi: Array[Long] = null
+  var ssLo: Array[Long] = null
 
   def init(d: Int): Unit = {
     dim = d
-    s = new Array[Long](d)
-    ss = new Array[Long](d * (d + 1) / 2)
+    sHi = new Array[Long](d)
+    sLo = new Array[Long](d)
+    ssHi = new Array[Long](d * (d + 1) / 2)
+    ssLo = new Array[Long](d * (d + 1) / 2)
+  }
+
+  /** 128-bit signed add of long `v` into (hi(i), lo(i)). */
+  def add(hi: Array[Long], lo: Array[Long], i: Int, v: Long): Unit = {
+    val l = lo(i)
+    val sum = l + v
+    // unsigned carry out of the low word
+    val carry = ((l & v) | ((l | v) & ~sum)) >>> 63
+    hi(i) += (v >> 63) + carry
+    lo(i) = sum
   }
 }
 
@@ -35,10 +52,19 @@ final class MomentBuffer {
   * before the aggregate consumed them (~1.2M allocations/row at dim 1536 —
   * VERDICT r4 "What's wrong" #3). Here each input vector is folded straight
   * into a single per-task moment buffer; the shuffle carries one buffer per
-  * task, and the merged result is identical long arithmetic.
+  * task, and the merged result is identical integer arithmetic.
   *
-  * Semantics are EXACTLY the exploded form's, pinned so `q_embed_covariance`
-  * hashes are unchanged:
+  * Sums are 128-bit exact and emitted as DECIMAL(38,0): with micro-unit
+  * quantized inputs |q| ≤ 10⁶·m, a 64-bit `s_ij` stays exact only while
+  * n·(10⁶m)² < 2⁶³ (~9.2M rows at m = 1) — a silent-wrap hazard at the
+  * 10¹⁰⁺-row scale this engine targets. 128-bit accumulation is exact to
+  * n < 2¹²⁷/(10⁶m)² ≈ 1.7×10²⁶ rows; the DuckDB oracle sums natively in
+  * HUGEINT (128-bit) and casts to the same DECIMAL(38,0). Per-row products
+  * use `Math.multiplyExact` — inputs beyond |q| ≈ 3.04×10⁹ (original units
+  * ≈ 3037) fail LOUDLY instead of wrapping; quantize coarser for such data.
+  *
+  * Null/count semantics are EXACTLY the exploded form's, pinned so
+  * `q_embed_covariance` values are unchanged:
   *  - a null vector contributes nothing (explode dropped the row);
   *  - `n` counts every non-null vector (the old `count(lit(1))` counted the
   *    pair row even when elements were null);
@@ -48,14 +74,9 @@ final class MomentBuffer {
   * Vectors must share one dimension (ragged input throws — the exploded
   * form silently mixed per-pair counts; embeddings tables are fixed-dim).
   *
-  * Long-sum overflow bound (inherited from the exploded form, which summed
-  * LongType the same way): with micro-unit quantized inputs |q| ≤ 10⁶·m,
-  * `ss` stays exact while n·(10⁶m)² < 2⁶³ — e.g. ~9.2M rows at m = 1; at
-  * larger corpora quantize coarser or shard the aggregation.
-  *
-  * Output: array<struct<i,j,n,s_i,s_j,s_ij>> (long axes, i ≤ j), exploded
-  * by [[graft.engine.Pca.covariance]] into the same moment rows the
-  * groupBy produced.
+  * Output: array<struct<i,j,n,s_i,s_j,s_ij>> (long axes and count, decimal
+  * sums, i ≤ j), exploded by [[graft.engine.Pca.covariance]] into the same
+  * moment rows the groupBy produced.
   */
 case class MomentMatrix(vec: Expression,
                         mutableAggBufferOffset: Int = 0,
@@ -71,13 +92,15 @@ case class MomentMatrix(vec: Expression,
       s"graft_moment_matrix requires array<bigint>, got $t")
   }
 
+  private val sumType = DecimalType(38, 0)
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("i", LongType, nullable = false),
     StructField("j", LongType, nullable = false),
     StructField("n", LongType, nullable = false),
-    StructField("s_i", LongType, nullable = false),
-    StructField("s_j", LongType, nullable = false),
-    StructField("s_ij", LongType, nullable = false))),
+    StructField("s_i", sumType, nullable = false),
+    StructField("s_j", sumType, nullable = false),
+    StructField("s_ij", sumType, nullable = false))),
     containsNull = false)
 
   override def nullable: Boolean = false
@@ -101,10 +124,11 @@ case class MomentMatrix(vec: Expression,
       if (arr.isNullAt(i)) idx += d - i
       else {
         val qi = arr.getLong(i)
-        b.s(i) += qi
+        b.add(b.sHi, b.sLo, i, qi)
         var j = i
         while (j < d) {
-          if (!arr.isNullAt(j)) b.ss(idx) += qi * arr.getLong(j)
+          if (!arr.isNullAt(j))
+            b.add(b.ssHi, b.ssLo, idx, Math.multiplyExact(qi, arr.getLong(j)))
           idx += 1
           j += 1
         }
@@ -121,10 +145,31 @@ case class MomentMatrix(vec: Expression,
       s"graft_moment_matrix: ragged vectors (${b.dim} vs ${other.dim} dims)")
     b.n += other.n
     var i = 0
-    while (i < b.s.length) { b.s(i) += other.s(i); i += 1 }
+    while (i < b.sLo.length) {
+      // add the low word as unsigned (carry only), then the high word
+      val l = b.sLo(i); val v = other.sLo(i); val sum = l + v
+      b.sHi(i) += other.sHi(i) + (((l & v) | ((l | v) & ~sum)) >>> 63)
+      b.sLo(i) = sum
+      i += 1
+    }
     i = 0
-    while (i < b.ss.length) { b.ss(i) += other.ss(i); i += 1 }
+    while (i < b.ssLo.length) {
+      val l = b.ssLo(i); val v = other.ssLo(i); val sum = l + v
+      b.ssHi(i) += other.ssHi(i) + (((l & v) | ((l | v) & ~sum)) >>> 63)
+      b.ssLo(i) = sum
+      i += 1
+    }
     b
+  }
+
+  /** Signed 128-bit (hi, lo) → DECIMAL(38,0). Values beyond 38 digits
+    * (|x| ≥ 10³⁸ — only the outer ~40% of the int128 range) throw. */
+  private def toDecimal(hi: Long, lo: Long): Decimal = {
+    val bi =
+      if (hi == (lo >> 63)) java.math.BigInteger.valueOf(lo)
+      else new java.math.BigInteger(
+        ByteBuffer.allocate(16).putLong(hi).putLong(lo).array())
+    Decimal(new java.math.BigDecimal(bi), 38, 0)
   }
 
   override def eval(b: MomentBuffer): Any = {
@@ -136,8 +181,9 @@ case class MomentMatrix(vec: Expression,
     while (i < d) {
       var j = i
       while (j < d) {
-        out(idx) = InternalRow(i.toLong, j.toLong, b.n, b.s(i), b.s(j),
-          b.ss(idx))
+        out(idx) = InternalRow(i.toLong, j.toLong, b.n,
+          toDecimal(b.sHi(i), b.sLo(i)), toDecimal(b.sHi(j), b.sLo(j)),
+          toDecimal(b.ssHi(idx), b.ssLo(idx)))
         idx += 1
         j += 1
       }
@@ -148,10 +194,11 @@ case class MomentMatrix(vec: Expression,
 
   override def serialize(b: MomentBuffer): Array[Byte] = {
     if (b.dim == -1) return ByteBuffer.allocate(4).putInt(-1).array()
-    val bb = ByteBuffer.allocate(12 + 8 * (b.s.length + b.ss.length))
+    val bb = ByteBuffer.allocate(
+      12 + 16 * (b.sLo.length + b.ssLo.length))
     bb.putInt(b.dim).putLong(b.n)
-    b.s.foreach(bb.putLong)
-    b.ss.foreach(bb.putLong)
+    b.sHi.foreach(bb.putLong); b.sLo.foreach(bb.putLong)
+    b.ssHi.foreach(bb.putLong); b.ssLo.foreach(bb.putLong)
     bb.array()
   }
 
@@ -162,10 +209,11 @@ case class MomentMatrix(vec: Expression,
     if (d == -1) return b
     b.init(d)
     b.n = bb.getLong()
-    var i = 0
-    while (i < b.s.length) { b.s(i) = bb.getLong(); i += 1 }
-    i = 0
-    while (i < b.ss.length) { b.ss(i) = bb.getLong(); i += 1 }
+    def fill(a: Array[Long]): Unit = {
+      var i = 0
+      while (i < a.length) { a(i) = bb.getLong(); i += 1 }
+    }
+    fill(b.sHi); fill(b.sLo); fill(b.ssHi); fill(b.ssLo)
     b
   }
 

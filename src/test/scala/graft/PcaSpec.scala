@@ -36,7 +36,9 @@ class PcaSpec extends SparkSpec {
     val df = rows.toDF("v")
     val out = Pca.covariance(df, col("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        (r.getLong(2), r.getDecimal(3).longValueExact,
+          r.getDecimal(4).longValueExact, r.getDecimal(5).longValueExact))
+      .toMap
     // n counts the two non-null vectors for EVERY pair (the old
     // count(lit(1)) counted the pair row even with null elements)
     out((0L, 0L)) shouldBe ((2L, 4000000L, 4000000L, 10000000000000L))
@@ -49,6 +51,23 @@ class PcaSpec extends SparkSpec {
       .toDF("v")
     intercept[Exception] {
       Pca.covariance(ragged, col("v")).collect()
+    }
+  }
+
+  test("covariance moments survive 64-bit overflow: sums past Long.MaxValue " +
+    "are exact DECIMAL(38,0), in ONE task and across merged tasks") {
+    import spark.implicits._
+    // q = 3·10⁹ per row → each product is 9·10¹⁸ (just under Long.Max);
+    // three rows sum to 2.7·10¹⁹ — impossible in 64 bits
+    val rows = Seq.fill(3)(Seq(3000.0))
+    def sij(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      Pca.covariance(df, col("v")).collect()(0).getDecimal(5)
+    val expected = new java.math.BigDecimal("27000000000000000000")
+    sij(rows.toDF("v").coalesce(1)) shouldBe expected          // update path
+    sij(rows.toDF("v").repartition(3)) shouldBe expected       // merge path
+    // per-row products beyond long range fail LOUDLY, never wrap
+    intercept[Exception] {
+      Pca.covariance(Seq(Seq(4000.0)).toDF("v"), col("v")).collect()
     }
   }
 

@@ -74,8 +74,10 @@ object SparkEntry {
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts normalization as Tables.events: legacy nanos-as-long files
+    // floor-divide to micros; micros files cast NTZ → session-zone TIMESTAMP
+    graft.engine.Tables.normalizeTs(
+      s.readStream.schema(schema).parquet(dir.toString))
   }
 
   /** Run a streaming frame to completion under AvailableNow (append mode)

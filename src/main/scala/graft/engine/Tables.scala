@@ -14,40 +14,58 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized parquet
-    * reader rejects; read nanos as long and truncate to microseconds with
-    * integer division (a double division would lose precision above 2^53 ns).
-    * DuckDB truncates nanos→micros identically, so oracles agree. */
-  private def eventsLong(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `events.parquet` has shipped with two physical `ts` types across data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as long, truncate to micros with INTEGER division; a double
+    * division would lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ). Both normalize to a session-zone TIMESTAMP
+    * so every downstream operator and verify dump sees one type; sessions run
+    * UTC, so the NTZ→LTZ cast is value-preserving. DuckDB truncates nanos →
+    * micros identically and reads micros natively, so oracles agree either
+    * way. */
+  private def eventsRawTyped(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  private def toMicros(df: DataFrame): DataFrame = {
+  private def tsIsLegacyNanos(df: DataFrame): Boolean =
+    df.schema("ts").dataType == org.apache.spark.sql.types.LongType
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLegacyNanos(df))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
-    toMicros(eventsLong(spark, sfDir))
+    normalizeTs(eventsRawTyped(spark, sfDir))
 
-  /** Range-pruned events scan: the predicate is applied to the RAW nanos long
-    * BEFORE the timestamp conversion, so it pushes into the parquet scan
-    * (min/max row-group skipping). Filtering the converted `ts` instead
-    * defeats pushdown — `timestamp_micros(ts div 1000) >= x` is opaque to the
-    * source. At 100 TB this is the difference between scanning a day and
-    * scanning the table. */
+  /** Range-pruned events scan: the predicate is applied to the RAW scan
+    * column BEFORE the timestamp normalization, so it pushes into the
+    * parquet scan (min/max row-group skipping). Filtering the converted `ts`
+    * instead defeats pushdown — `timestamp_micros(ts div 1000) >= x` is
+    * opaque to the source. At 100 TB this is the difference between scanning
+    * a day and scanning the table. For micros files the native NTZ predicate
+    * pushes down directly; for legacy nanos files the compare is on the raw
+    * long. */
   def eventsRange(spark: SparkSession, sfDir: String, fromIso: String,
                   toIso: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    def nanos(s: String): Long = {
-      val ldt =
-        if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
-        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    }
-    toMicros(eventsLong(spark, sfDir)
-      .filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(toIso)))
+    import org.apache.spark.sql.functions.{col, lit}
+    def ldt(s: String): java.time.LocalDateTime =
+      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+      else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val raw = eventsRawTyped(spark, sfDir)
+    val filtered =
+      if (tsIsLegacyNanos(raw)) {
+        def nanos(s: String): Long =
+          ldt(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        raw.filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(toIso))
+      } else
+        raw.filter(col("ts") >= lit(ldt(fromIso)) && col("ts") < lit(ldt(toIso)))
+    normalizeTs(filtered)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

@@ -682,9 +682,19 @@ object SparkEntry {
     }),
     // embedding covariance: integer micro-unit quantization per component,
     // exact integer moment sums, fixed-shape IEEE covariance expression
-    // (oracled — the micro-unit policy makes every cell bit-exact)
+    // (oracled — the micro-unit policy makes every cell bit-exact).
+    // The moment sums accumulate in 128 bits inside MomentMatrix, but at
+    // the QUERY boundary they are cast to BIGINT on both sides: testdata
+    // s_ij maxes ~5e14 (decades of long headroom at every SF), and the
+    // driver's hash cannot canonicalize DECIMAL(38,0) — dtype contract
+    // per CLAUDE.md. fit() consumes the decimal column pre-cast.
     "q_embed_covariance" -> ((s, d) =>
-      Pca.covariance(embeddings(s, d), col("embedding"))),
+      Pca.covariance(embeddings(s, d), col("embedding"))
+        .select(col("i"), col("j"), col("n"),
+          col("s_i").cast("long").as("s_i"),
+          col("s_j").cast("long").as("s_j"),
+          col("s_ij").cast("long").as("s_ij"),
+          col("cov"))),
     // PCA projection onto the top 4 components (fit once per dataset —
     // the IVF train/search lesson; rows-only: iterative Jacobi eigen isn't
     // SQL-expressible — orthonormality/spectrum/residual laws in PcaSpec)
@@ -1625,9 +1635,9 @@ object SparkEntry {
          b AS (SELECT qv, i, unnest(generate_series(i, len(qv))) AS j FROM a),
          m AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(qv[i]) AS DECIMAL(38,0)) AS s_i,
-             CAST(sum(qv[j]) AS DECIMAL(38,0)) AS s_j,
-             CAST(sum(qv[i] * qv[j]) AS DECIMAL(38,0)) AS s_ij
+             CAST(sum(qv[i]) AS BIGINT) AS s_i,
+             CAST(sum(qv[j]) AS BIGINT) AS s_j,
+             CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s_ij
            FROM b GROUP BY 1, 2)
          SELECT i, j, n, s_i, s_j, s_ij,
            round(((CAST(s_ij AS DOUBLE)

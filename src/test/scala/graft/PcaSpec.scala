@@ -71,6 +71,71 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covariance moments survive NEGATIVE 64-bit overflow: mixed-sign " +
+    "products past Long.MinValue, in ONE task and across merged tasks") {
+    import spark.implicits._
+    // q = (3·10⁹, −3·10⁹) per row → each cross product is −9·10¹⁸ (just
+    // above Long.Min); three rows sum to −2.7·10¹⁹ — drives the lo-word
+    // carry with a NEGATIVE hi word, the sign path the positive fixture
+    // above never touches
+    val rows = Seq.fill(3)(Seq(3000.0, -3000.0))
+    def sij(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      Pca.covariance(df, col("v")).collect()
+        .find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDecimal(5)
+    val expected = new java.math.BigDecimal("-27000000000000000000")
+    sij(rows.toDF("v").coalesce(1)) shouldBe expected          // update path
+    sij(rows.toDF("v").repartition(3)) shouldBe expected       // merge path
+  }
+
+  test("property: 128-bit signed add matches BigInt word-for-word over " +
+    "mixed-sign longs (update fold and pairwise merge, s and ss lanes)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.engine.expressions.{MomentBuffer, MomentMatrix}
+    // merge() lives on the aggregate; the child is never evaluated here
+    val mm = MomentMatrix(BoundReference(0, ArrayType(LongType), true))
+    // bias toward magnitudes that force lo-word carries and sign flips:
+    // full-range, near ±Long extremes, and small values that straddle zero
+    val vGen: Gen[Long] = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(Long.MaxValue - 1000L, Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MinValue + 1000L),
+      Gen.choose(-1000L, 1000L))
+    val listGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, vGen))
+    // int128 words of the reference sum: hi = s >> 64, lo = low 64 bits
+    def words(s: BigInt): (Long, Long) = ((s >> 64).toLong, s.toLong)
+    (1 to 50).foreach { i =>
+      listGen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { vs =>
+        val (hi, lo) = words(vs.map(BigInt(_)).sum)
+        // update path: fold every value into one cell via MomentBuffer.add
+        val b = new MomentBuffer
+        b.init(1)
+        vs.foreach(v => b.add(b.sHi, b.sLo, 0, v))
+        (b.sHi(0), b.sLo(0)) shouldBe ((hi, lo))
+        // merge path: same values split across up to 4 buffers, reduced
+        // through MomentMatrix.merge — covers BOTH the s and ss lanes
+        // (merge carries them in separate loops)
+        val k = 1 + vs.length % 4
+        val merged = vs.grouped(math.max(1, (vs.length + k - 1) / k)).map {
+          chunk =>
+            val c = new MomentBuffer
+            c.init(1)
+            chunk.foreach { v =>
+              c.add(c.sHi, c.sLo, 0, v)
+              c.add(c.ssHi, c.ssLo, 0, v)
+            }
+            c.n = chunk.length
+            c
+        }.reduce((x, y) => mm.merge(x, y))
+        (merged.sHi(0), merged.sLo(0)) shouldBe ((hi, lo))
+        (merged.ssHi(0), merged.ssLo(0)) shouldBe ((hi, lo))
+        merged.n shouldBe vs.length
+      }
+    }
+  }
+
   test("fit on real embeddings: orthonormal components, descending " +
     "non-negative spectrum, eigen-equation residual tiny") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

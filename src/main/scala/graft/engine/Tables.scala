@@ -24,6 +24,13 @@ object Tables {
     * micros identically and reads micros natively, so oracles agree either
     * way. */
   private def eventsRawTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    // The NTZ→LTZ cast in normalizeTs and the NTZ-literal compare in
+    // eventsRange are value-preserving ONLY under a UTC session zone; a
+    // session built without it would silently shift every timestamp, so
+    // fail loudly here (every entrypoint and SparkSpec set UTC).
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events access requires spark.sql.session.timeZone=UTC — the " +
+        "NTZ→LTZ normalization is only value-preserving in UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
@@ -50,7 +57,9 @@ object Tables {
     * opaque to the source. At 100 TB this is the difference between scanning
     * a day and scanning the table. For micros files the native NTZ predicate
     * pushes down directly; for legacy nanos files the compare is on the raw
-    * long. */
+    * long. Both branches are plan-asserted in TablesSpec (PushedFilters
+    * carries the ts bounds on a real NTZ file — measured, per the repo's
+    * measure-don't-assume rule). */
   def eventsRange(spark: SparkSession, sfDir: String, fromIso: String,
                   toIso: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -164,6 +164,46 @@ class StreamsSpec extends SparkSpec {
     last.getTimestamp(1).toString shouldBe "2024-01-01 05:10:00.0"
   }
 
+  test("checkpointed restart depth: THREE AvailableNow ticks over ONE " +
+    "checkpoint — each tick's late rows merge into window state opened by " +
+    "the PREVIOUS tick, so state survives repeated cron restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_restart3_")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    val schema = Seq((t("2024-01-01 00:00:00"), "", 0.0))
+      .toDF("ts", "k", "v").schema
+    def tick(rows: (String, Double)*): Unit = {
+      rows.map { case (s, v) => (t(s), "a", v) }.toDF("ts", "k", "v")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      val out = Streams.hourlySumStream(
+        spark.readStream.schema(schema).parquet(src.toString),
+        "ts", col("k"), col("v"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(Streams.hourlySumMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // tick 1: opens 10:00 and 13:00; watermark 11:30 emits only 10:00
+    tick("2024-01-01 10:10:00" -> 1.0, "2024-01-01 13:30:00" -> 2.0)
+    // tick 2 (restart 1): 13:40 is late but above the CHECKPOINTED 11:30
+    // watermark — it must merge into tick 1's open 13:00 state; 17:00
+    // advances the watermark to 15:00 and closes 13:00
+    tick("2024-01-01 13:40:00" -> 3.0, "2024-01-01 17:00:00" -> 4.0)
+    // tick 3 (restart 2): same shape one restart deeper, rolling into the
+    // NEXT day — 17:20 merges into tick 2's open 17:00 state; day-2 01:00
+    // moves the watermark to 23:00 and closes 17:00
+    tick("2024-01-01 17:20:00" -> 5.0, "2024-01-02 01:00:00" -> 6.0)
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(2))).toSet
+    // 13:00 total spans ticks 1+2; 17:00 spans ticks 2+3 — each window
+    // emitted EXACTLY once (append-mode, 3 sink rows total)
+    out shouldBe Set(("2024-01-01 10:00:00.0", 1.0),
+      ("2024-01-01 13:00:00.0", 5.0), ("2024-01-01 17:00:00.0", 9.0))
+  }
+
   test("multi-batch hourly window: a late row in batch 2 merges into " +
     "batch-1 window state; windows emit only when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext

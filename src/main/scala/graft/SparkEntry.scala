@@ -39,6 +39,25 @@ object SparkEntry {
       (cents, assigned)
     })
 
+  /** Fixed codebook for the ORACLED assignment query: the (L2-normalized)
+    * embeddings of vec_id 0..7, in vec_id order. Unlike the trained
+    * quantizer ([[ivfIndex]]), this codebook is SQL-expressible, so the
+    * zero-shuffle argmax assignment itself — the data-scale half of every
+    * IVF/k-means pipeline — gets a hash-green DuckDB oracle. Argmax is
+    * FP-robust here: min top1−top2 dot gap across the testdata SFs is
+    * ≥ 4.7e-5, ~10 orders above any summation-order noise. */
+  private def fixedCodebook(s: SparkSession, d: String): Array[Array[Double]] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), Similarity.asDouble(col("embedding")))
+      .collect().sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        val n = math.sqrt(ss)
+        v.map(_ / n)
+      }
+
   /** BPE merge tables, trained once per dataset dir (train-once/segment-many
     * — same contract as [[ivfIndexes]]; the merge list is model-scale). */
   private val bpeModels =
@@ -615,6 +634,16 @@ object SparkEntry {
       val (cents, assigned) = ivfIndex(s, d)
       Similarity.ivfCosineTopKWith(assigned, cents, Seq(0L, 1L, 2L), 5)
     }),
+    // nearest-centroid assignment against a FIXED codebook (vec_id 0..7):
+    // the zero-shuffle argmax map pass every IVF/k-means pipeline runs at
+    // corpus scale, oracled (the trained-quantizer variant stays rows-only
+    // because Lloyd's isn't SQL-expressible — this pins the same executor
+    // code path with a SQL-expressible model)
+    "q_centroid_assign" -> ((s, d) =>
+      Similarity.ivfAssign(embeddings(s, d), col("vec_id"), col("embedding"),
+          fixedCodebook(s, d))
+        .select(col("cid").cast("long").as("vec_id"),
+          col("cl").cast("long").as("list_id"))),
 
     // top-k corpus vocabulary (tokenizer-training prep; oracled)
     "q_vocab_topk" -> ((s, d) =>
@@ -1779,6 +1808,22 @@ object SparkEntry {
                 AS BIGINT) AS rn
          FROM s
          QUALIFY rn <= 5""",
+    "q_centroid_assign" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         cn AS (SELECT vec_id AS cidx,
+                  list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                    AS cu
+                FROM e WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, cn.cidx,
+                 list_inner_product(e.v, cn.cu) AS dot
+               FROM e CROSS JOIN cn)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                CAST(cidx AS BIGINT) AS list_id
+         FROM s
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, cidx) = 1""",
     "q_media_features" ->
       """SELECT doc_id AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

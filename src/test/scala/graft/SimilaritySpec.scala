@@ -182,6 +182,26 @@ class SimilaritySpec extends SparkSpec {
     (plan should not).include("Window")
   }
 
+  test("fixed-codebook assignment (q_centroid_assign): map-only plan with " +
+    "ZERO shuffle; argmax matches a driver-side brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_centroid_assign")(spark, sf)
+    // the corpus-scale half of IVF/k-means must never shuffle the corpus
+    (df.queryExecution.executedPlan.toString should not).include("Exchange")
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cents = rows.filter(_._1 < 8).sortBy(_._1).map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val expected = rows.map { case (id, v) =>
+      val dots = cents.map(c => c.indices.map(i => c(i) * v(i)).sum)
+      id -> dots.indexOf(dots.max).toLong
+    }.toMap
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+  }
+
   test("IVF partitioned index: list pruning IS partition pruning; " +
     "results match the in-memory path") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

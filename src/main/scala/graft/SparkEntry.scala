@@ -671,6 +671,14 @@ object SparkEntry {
       Sampling.assignSplit(documents(s, d), col("doc_id"),
         Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
         .select(col("doc_id"), col("source"), col("split"))),
+    // deterministic seeded corpus shuffle: exact global position under the
+    // md5(id:seed) order + round-robin shard — distributed rank (range
+    // repartition + zipWithIndex over one sort shuffle), never a
+    // single-task global window (oracled — md5 order replays in SQL)
+    "q_global_shuffle" -> ((s, d) =>
+      Order.seededShuffle(documents(s, d).select(col("doc_id")),
+          col("doc_id"), seed = 42L, numShards = 8, numParts = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))),
     // greedy sequence packing: per-source token streams split into 512-token
     // training sequences, all integer arithmetic (oracled)
     "q_pack_sequences" -> ((s, d) =>
@@ -1568,6 +1576,15 @@ object SparkEntry {
                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)
                    ::DOUBLE / 4294967296.0 AS u
                FROM documents)""",
+    "q_global_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY
+               md5(CAST(doc_id AS VARCHAR) || ':42')
+                 || CAST(doc_id AS VARCHAR)) - 1 AS pos
+           FROM documents)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                CAST(pos % 8 AS BIGINT) AS shard
+         FROM r""",
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source AS grp,
                       len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -58,6 +58,54 @@ object SparkEntry {
         v.map(_ / n)
       }
 
+  /** PQ index (codebooks + encoded corpus), built once per dataset dir —
+    * train-once/search-many, the [[ivfIndexes]] contract. The encoded frame
+    * is m ints per row (the whole point: search state is ~dim·8/m× smaller
+    * than the vectors). */
+  private val pqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], DataFrame)]()
+
+  private def pqIndex(s: SparkSession, d: String)
+      : (Array[Array[Array[Double]]], DataFrame) =
+    pqIndexes.computeIfAbsent(d, dir => {
+      val cb = Similarity.pqTrain(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val encoded = Similarity.pqEncode(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"), cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cb, encoded)
+    })
+
+  /** Fixed product-quantizer codebook for the ORACLED encode query: the RAW
+    * (unnormalized) embeddings of vec_id 0..3, each sliced into 4 subvectors
+    * of 16 dims — m=4 subspaces × k=4 codewords. Like [[fixedCodebook]],
+    * fixing the model makes the data-scale half of the pipeline — the
+    * zero-shuffle argmin-L2 encode pass over the whole corpus — replayable
+    * in SQL (list_slice + list_distance + argmin), so the same executor
+    * kernel the trained path uses ([[graft.engine.expressions.PqEncode]])
+    * gets a hash-green DuckDB oracle. Argmin is FP-robust here: the min
+    * best-vs-runner-up squared-distance gap across all testdata SFs is
+    * 9.3e-7 (measured, sf0.01), ~9 orders above summation-order noise. */
+  private def fixedPqCodebook(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = Tables.embeddings(s, d).filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("long"), Similarity.asDouble(col("embedding")))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    Array.tabulate(4, 4)((sub, j) => rows(j).slice(sub * 16, (sub + 1) * 16))
+  }
+
+  /** Composed IVF-PQ index (cid, cl, codes), built once per dataset dir
+    * from the memoized IVF centroids + PQ codebooks. */
+  private val ivfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Bench-side Bloom filters (serialized sketch bytes), built once per
+    * dataset dir — the bench suite is fixed state like the IVF centroids;
+    * only the corpus-side prefilter+verify runs per query. */
+  private val benchBlooms =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   /** BPE merge tables, trained once per dataset dir (train-once/segment-many
     * — same contract as [[ivfIndexes]]; the merge list is model-scale). */
   private val bpeModels =
@@ -566,6 +614,25 @@ object SparkEntry {
         docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
         0.5)
     }),
+    // Bloom-prefiltered 13-gram decontamination (the GPT-3/Llama long-n-gram
+    // recipe): the bench filter is built once per dir (steady-state — the
+    // bench suite outlives corpus snapshots) and the corpus drops every
+    // doc with no might-contain shingle in a map-only pass, so the
+    // posting-list shuffle runs over the contaminated sliver (0.5% of the
+    // testdata corpus at n=13) instead of everything. EXACT: no false
+    // negatives by Bloom construction; false positives die in the verify
+    // join — hash-green oracled.
+    "q_bloom_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bloom = benchBlooms.computeIfAbsent(d, dir =>
+        NearDup.benchShingleBloom(
+          documents(s, dir).filter(col("source") === "src0"),
+          col("doc_id"), col("text")))
+      NearDup.bloomContaminationPairsWith(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        0.5, bloom)
+    }),
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only + ScalaTest)
     "q_minhash_pairs" -> ((s, d) =>
       NearDup.minhashLshPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
@@ -644,6 +711,40 @@ object SparkEntry {
           fixedCodebook(s, d))
         .select(col("cid").cast("long").as("vec_id"),
           col("cl").cast("long").as("list_id"))),
+    // PQ-ADC ANN over the trained product quantizer (rows-only: Lloyd's
+    // isn't SQL-expressible; ADC exactness + recall floor in SimilaritySpec).
+    // Times steady-state search over the once-per-dir encoded corpus.
+    "q_ann_pq_topk" -> ((s, d) => {
+      val (cb, encoded) = pqIndex(s, d)
+      Similarity.pqCosineTopKWith(encoded, cb, embeddings(s, d),
+        col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5)
+    }),
+    // IVF-PQ: probe-pruned ADC over the composed (cl, codes) index — the
+    // FAISS-style corpus-scale layout (rows-only; both models are trained).
+    // Reuses the memoized IVF centroids and PQ codebooks; the composed
+    // index itself is one map pass, built once per dir.
+    "q_ann_ivfpq_topk" -> ((s, d) => {
+      val (cents, _) = ivfIndex(s, d)
+      val (cb, _) = pqIndex(s, d)
+      val indexed = ivfPqIndexes.computeIfAbsent(d, dir =>
+        Similarity.ivfPqIndex(Tables.embeddings(s, dir), col("vec_id"),
+            col("embedding"), cents, cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Similarity.ivfPqTopKWith(indexed, cents, cb, embeddings(s, d),
+        col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, nprobe = 8)
+    }),
+    // PQ encode against a FIXED codebook (vec_id 0..3 sliced 4×16): the
+    // zero-shuffle argmin-L2 map pass every PQ pipeline runs at corpus
+    // scale, oracled — the trained-model variant above stays rows-only
+    // because the quantizer isn't SQL-expressible; this pins the same
+    // executor kernel with a SQL-expressible model
+    "q_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(embeddings(s, d), col("vec_id"), col("embedding"),
+          fixedPqCodebook(s, d), normalize = false)
+        .select(col("cid").cast("long").as("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"))),
 
     // top-k corpus vocabulary (tokenizer-training prep; oracled)
     "q_vocab_topk" -> ((s, d) =>
@@ -1804,6 +1905,30 @@ object SparkEntry {
                 round(c::DOUBLE / n, 6) AS containment
          FROM inter JOIN bsizes ON bsizes.doc_id = bench_id
          WHERE round(c::DOUBLE / n, 6) >= 0.5""",
+    // same shape as q_contamination at n=13 (the long-n-gram recipe): the
+    // Bloom prefilter is plan surgery, not a result change — the oracle is
+    // the plain unfiltered containment scan
+    "q_bloom_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id, source,
+                  list_aggregate(t[i:i+12], 'string_agg', ' ') AS s
+                FROM idx),
+         bsizes AS (SELECT doc_id, count(*) AS n FROM sh
+                    WHERE source = 'src0' GROUP BY 1),
+         inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                     count(*) AS c
+                   FROM (SELECT doc_id, s FROM sh WHERE source <> 'src0') c
+                   JOIN (SELECT doc_id, s FROM sh WHERE source = 'src0') b
+                     USING (s)
+                   GROUP BY 1, 2)
+         SELECT corpus_id, bench_id,
+                round(c::DOUBLE / n, 6) AS containment
+         FROM inter JOIN bsizes ON bsizes.doc_id = bench_id
+         WHERE round(c::DOUBLE / n, 6) >= 0.5""",
     "q_embed_dedup_pairs" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1841,6 +1966,25 @@ object SparkEntry {
          FROM s
          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY dot DESC, cidx) = 1""",
+    "q_pq_codes" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         ss AS (SELECT unnest(range(4)) AS s),
+         sub AS (SELECT e.vec_id, ss.s,
+                   list_slice(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+                 FROM e CROSS JOIN ss),
+         cbs AS (SELECT e.vec_id AS j, ss.s,
+                   list_slice(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS cw
+                 FROM e CROSS JOIN ss WHERE e.vec_id < 4),
+         d AS (SELECT sub.vec_id, sub.s, cbs.j,
+                 list_distance(sub.sv, cbs.cw) AS dist
+               FROM sub JOIN cbs ON sub.s = cbs.s)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                CAST(s AS BIGINT) AS subspace, CAST(j AS BIGINT) AS code
+         FROM d
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dist, j) = 1""",
     "q_media_features" ->
       """SELECT doc_id AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -557,4 +557,212 @@ object Similarity {
         round(cosine(col("cv"), col("qv")), 6).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  // ---- Product quantization (PQ) ----
+
+  /** PQ code assignment column — see [[graft.engine.expressions.PqEncode]]. */
+  def pqEncodeCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.PqEncode(
+      ColumnBridge.expression(vec), codebooks))
+  }
+
+  /** Per-query ADC lookup-table column — see
+    * [[graft.engine.expressions.PqAdcTable]]. */
+  def pqAdcTableCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.PqAdcTable(
+      ColumnBridge.expression(vec), codebooks))
+  }
+
+  /** ADC score column (m table lookups per candidate) — see
+    * [[graft.engine.expressions.PqAdcScore]]. */
+  def pqAdcScoreCol(codes: Column, table: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.PqAdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(table)))
+  }
+
+  /** L2-normalize, passing zero-norm vectors through unchanged (they encode
+    * deterministically against whatever codebook and score 0 everywhere —
+    * same policy as the IVF search path). */
+  private def normalized(v: Column): Column = {
+    val nrm = norm(v)
+    when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
+  }
+
+  /** Product-quantizer training: per-subspace k-means over L2-normalized
+    * vectors (Jégou et al. 2011; cosine on normalized inputs = inner
+    * product, which ADC approximates subspace-wise). Lloyd's runs as Spark
+    * jobs with ALL m subspaces folded into one pass per iteration: encode
+    * (codegen'd argmin, zero shuffle) + one (dim-position, codeword) sum/
+    * count aggregation whose result — at most dim·k rows — is the only
+    * thing the driver ever holds. Model size k·dim doubles, independent of
+    * corpus size.
+    *
+    * Deterministic: seeds are the `k` rows with the smallest
+    * (murmur3(id), id), sliced into their m subvectors; encode ties break
+    * toward the lower code. Empty codes keep their previous codeword (an
+    * unused codeword is simply never emitted). Zero-norm vectors are
+    * excluded from training, like [[ivfTrainCentroids]].
+    *
+    * Returns codebooks m × k × (dim/m); `dim` must divide by `m`. */
+  def pqTrain(emb: DataFrame, id: Column, vec: Column,
+              m: Int = 4, k: Int = 16,
+              iters: Int = 5): Array[Array[Array[Double]]] = {
+    import org.apache.spark.storage.StorageLevel
+    require(m > 0 && k > 0 && iters > 0, s"pqTrain: bad (m=$m, k=$k, iters=$iters)")
+    val nv = emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .withColumn("nrm", norm(col("cv")))
+      .filter(col("nrm") > 0)
+      .select(col("cid"), transform(col("cv"), x => x / col("nrm")).as("nv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed POOL larger than k: per subspace the k codewords are the first
+      // k DISTINCT subvectors in pool order — k identical-looking seed rows
+      // would otherwise plant duplicate codewords, which Lloyd's never
+      // separates (ties break to the lower index, so the duplicate starves)
+      // and the quantizer silently loses resolution (measured on the
+      // sign-pattern fixture in SimilaritySpec: recall 0.36 → 0.84)
+      val seeds = nv.orderBy(hash(col("cid")), col("cid")).limit(4 * k)
+        .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+      require(seeds.length >= k,
+        s"pqTrain: corpus has only ${seeds.length} non-zero vectors, need k=$k")
+      val dim = seeds.head.length
+      require(seeds.forall(_.length == dim),
+        s"pqTrain: mixed vector widths (${seeds.map(_.length).distinct.mkString(",")})")
+      require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        val subs = seeds.iterator.map(_.slice(s * dsub, (s + 1) * dsub))
+        val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+        subs.foreach { sv =>
+          if (distinct.length < k && seen.add(sv.toSeq)) distinct += sv
+        }
+        // pool exhausted below k distinct patterns: cycle what exists (the
+        // duplicates stay unused, harmlessly — the data has no more detail)
+        Array.tabulate(k)(j => distinct(j % distinct.length))
+      }
+      var it = 0
+      var moved = true
+      while (it < iters && moved) {
+        // one job: encode + positional sums. Group key (pos, code) fixes the
+        // subspace (s = pos / dsub) — at most dim·k groups, model-sized.
+        val rows = nv
+          .select(pqEncodeCol(col("nv"), cents).as("codes"),
+            posexplode(col("nv")).as(Seq("pos", "x")))
+          .groupBy(col("pos"),
+            element_at(col("codes"),
+              (col("pos") / lit(dsub)).cast("int") + 1).as("cw"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.fill(m, k)(new Array[Double](dsub))
+        val counts = Array.fill(m, k)(0L)
+        rows.foreach { r =>
+          val pos = r.getInt(0)
+          val cw = r.getInt(1)
+          val s = pos / dsub
+          sums(s)(cw)(pos % dsub) = r.getDouble(2)
+          counts(s)(cw) = r.getLong(3)
+        }
+        val next = Array.tabulate(m, k) { (s, j) =>
+          val n = counts(s)(j)
+          if (n == 0L) cents(s)(j) else sums(s)(j).map(_ / n)
+        }
+        moved = (0 until m).exists(s => (0 until k).exists(j =>
+          (0 until dsub).exists(i =>
+            math.abs(next(s)(j)(i) - cents(s)(j)(i)) > 1e-12)))
+        cents = next
+        it += 1
+      }
+      cents
+    } finally nv.unpersist(blocking = false)
+  }
+
+  /** Encode a corpus against a trained product quantizer: (cid, codes) with
+    * codes = m small ints per vector. One codegen'd map pass, zero shuffle —
+    * this DataFrame (m ints per row instead of dim floats) is the entire
+    * search-time corpus state; persist it (or sink it) to amortize over many
+    * query batches. `normalize` must match how the codebooks were trained
+    * (true for [[pqTrain]]; false for externally fixed raw codebooks, e.g.
+    * the SQL-expressible oracle model). */
+  def pqEncode(emb: DataFrame, id: Column, vec: Column,
+               codebooks: Array[Array[Array[Double]]],
+               normalize: Boolean = true): DataFrame = {
+    val v = asDouble(vec)
+    val nv = if (normalize) normalized(v) else v
+    emb.select(id.as("cid"), pqEncodeCol(nv, codebooks).as("codes"))
+  }
+
+  /** PQ-ADC ANN search over a pre-encoded corpus: each query computes its
+    * m×k inner-product table once ([[pqAdcTableCol]]), rides a broadcast,
+    * and every corpus candidate scores with m table lookups — no decode, no
+    * shuffle of the corpus, and the scan reads m ints per row instead of
+    * dim floats (the 100-TB point of PQ: the index is ~dim·8/m× smaller
+    * than the vectors). Output (qid, cid, adc, rn); `adc` approximates
+    * cosine (queries normalized, codebooks trained normalized) with
+    * quantization error bounded by the per-subspace reconstruction error —
+    * recall floor pinned in SimilaritySpec. Compose with [[ivfAssign]]
+    * (encode within lists, probe then ADC) for IVF-PQ. */
+  def pqCosineTopKWith(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+                       emb: DataFrame, id: Column, vec: Column,
+                       queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = emb.select(id.as("qid"), asDouble(vec).as("qv"))
+      .filter(col("qid").isin(queryIds: _*))
+      .select(col("qid"), pqAdcTableCol(normalized(col("qv")), codebooks).as("tbl"))
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(pqAdcScoreCol(col("codes"), col("tbl")), 6).as("cos"))
+    topKPerQuery(scored, k).withColumnRenamed("cos", "adc")
+  }
+
+  /** Train + encode + search in one call (small-scale convenience; at scale
+    * train once, persist the encoded corpus, and call
+    * [[pqCosineTopKWith]]). */
+  def pqCosineTopK(emb: DataFrame, id: Column, vec: Column,
+                   queryIds: Seq[Long], k: Int, m: Int = 4,
+                   codesPerSub: Int = 16, iters: Int = 5): DataFrame = {
+    val cb = pqTrain(emb, id, vec, m, codesPerSub, iters)
+    pqCosineTopKWith(pqEncode(emb, id, vec, cb), cb, emb, id, vec, queryIds, k)
+  }
+
+  /** The composed IVF-PQ index — (cid, cl, codes), ONE codegen'd map pass,
+    * zero shuffle, and the original vectors are gone: per row an int list id
+    * plus m small ints. This is the FAISS-style layout for corpus-scale ANN
+    * (coarse quantizer prunes which rows are touched; PQ compresses what a
+    * touched row costs). Sink it `partitionBy("cl")` and probe pruning
+    * becomes partition pruning exactly as in [[ivfCosineTopKPartitioned]]. */
+  def ivfPqIndex(emb: DataFrame, id: Column, vec: Column,
+                 cents: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val v = asDouble(vec)
+    emb.select(id.as("cid"),
+      element_at(nearestCentroids(v, cents, 1), 1).as("cl"),
+      pqEncodeCol(normalized(v), codebooks).as("codes"))
+  }
+
+  /** IVF-PQ search: each query probes its `nprobe` nearest lists and
+    * ADC-scores ONLY the rows in them — candidate count is ~nprobe/nlist of
+    * the corpus, each costing m table lookups instead of a dim-float
+    * cosine. The query side (probe lists + ADC table) rides one broadcast;
+    * the index never shuffles. Output (qid, cid, adc, rn); recall compounds
+    * the IVF clusterability caveat ([[ivfCosineTopKWith]]) with PQ
+    * quantization error ([[pqCosineTopKWith]]) — both regimes spec'd. */
+  def ivfPqTopKWith(indexed: DataFrame, cents: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    emb: DataFrame, id: Column, vec: Column,
+                    queryIds: Seq[Long], k: Int, nprobe: Int = 4): DataFrame = {
+    val queries = emb.select(id.as("qid"), asDouble(vec).as("qv"))
+      .filter(col("qid").isin(queryIds: _*))
+      .select(col("qid"),
+        pqAdcTableCol(normalized(col("qv")), codebooks).as("tbl"),
+        explode(nearestCentroids(col("qv"), cents, nprobe)).as("cl"))
+    val scored = indexed.join(broadcast(queries), Seq("cl"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(pqAdcScoreCol(col("codes"), col("tbl")), 6).as("cos"))
+    topKPerQuery(scored, k).withColumnRenamed("cos", "adc")
+  }
 }

@@ -354,33 +354,29 @@ object TextOps {
     out.result()
   }
 
-  /** 3-word shingles of the text, distinct per doc — the unit for near-dup
-    * detection. `sequence`+`transform` stays inside codegen; `explode` is the
-    * only row-multiplier. */
   /** Distinct n-word shingles of the text as an array column (no explode —
-    * narrow, usable for per-doc set sizes without a shuffle). */
+    * narrow, usable for per-doc set sizes without a shuffle). The unit for
+    * near-dup detection. Native codegen'd kernel: the HOF formulation
+    * (`array_distinct(transform(filter(sequence(...)), concat_ws(...)))`)
+    * evaluates interpreted AND re-splits the text n times per window
+    * position inside the lambda — see
+    * [[graft.engine.expressions.ShingleStrings]]; output is bit-identical
+    * (TextPrepSpec pins the parity). */
   def shingleArray(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val count = size(toks)
-    // NB: Spark's sequence(1, stop) REVERSES when stop < 1 (unlike SQL
-    // generate_series, which yields empty) — filter a 1..count ramp instead
-    // so short texts produce zero shingles on both sides of the oracle.
-    val idxs = filter(sequence(lit(1), count), i => i <= count - lit(n - 1))
-    array_distinct(transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.ShingleStrings(
+      ColumnBridge.expression(tokens(text)), n, dedup = true))
   }
 
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), explode(shingleArray(text, n)).as("shingle"))
 
   /** All n-word grams, NOT deduped — the totals side of repetition ratios
-    * (same index-ramp trick as [[shingleArray]]). */
+    * (same native kernel as [[shingleArray]], dedup off). */
   private def ngramArray(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks)
-    val idxs = filter(sequence(lit(1), count), i => i <= count - lit(n - 1))
-    transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.engine.expressions.ShingleStrings(
+      ColumnBridge.expression(tokens(text)), n, dedup = false))
   }
 
   /** Repetition-based quality filters in the style of the Gopher corpus

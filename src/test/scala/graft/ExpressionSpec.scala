@@ -267,4 +267,104 @@ class ExpressionSpec extends SparkSpec {
       est shouldBe (jac +- 0.2) // 128 hashes: se ~ sqrt(j(1-j)/128) < 0.05
     }
   }
+
+  test("Bloom expressions: no false negatives, fpp in range, window-fold " +
+    "parity between build (WindowHashes) and probe (BloomAnyWindow) sides") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.engine.expressions.{BloomAnyWindow, BloomMightContain, WindowHashes}
+    // build a filter over known longs via the sketch API the engine uses
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 500L).foreach(i => bf.putLong(i * 7L))
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b)
+      b.toByteArray }
+    def might(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      BloomMightContain(ColumnBridge.expression(c), bytes))
+    val probes = (0L until 1000L).map(i => Tuple1(i * 7L)).toDF("v")
+      .select(col("v"), might(col("v")).as("hit")).collect()
+    // every inserted key hits (no false negatives)…
+    probes.filter(_.getLong(0) < 500L * 7L).forall(_.getBoolean(1)) shouldBe true
+    // …and non-members false-positive at ~fpp (generous ceiling)
+    val fp = probes.count(r => r.getLong(0) >= 500L * 7L && r.getBoolean(1))
+    fp should be <= 25
+
+    // window-fold parity: a filter built from WindowHashes finds every
+    // document window via BloomAnyWindow — same fold on both sides
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"),
+      (3L, "z z")).toDF("id", "t")
+    val th = transform(split(col("t"), " "), w => xxhash64(w))
+    val wh = ColumnBridge.column(WindowHashes(ColumnBridge.expression(th), 3))
+    val built = docs.filter(col("id") === 1L).select(explode(wh).as("w"))
+    val filt = built.stat.bloomFilter("w", 100, 0.01)
+    val fb = { val b = new java.io.ByteArrayOutputStream(); filt.writeTo(b)
+      b.toByteArray }
+    val any = ColumnBridge.column(BloomAnyWindow(
+      ColumnBridge.expression(th), 3, fb))
+    val hits = docs.select(col("id"), any.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    hits(1L) shouldBe true  // its own windows are in the filter
+    hits(2L) shouldBe false // disjoint vocabulary (fp chance ~1% per window)
+    // shorter than the window → zero windows → false, not an error
+    hits(3L) shouldBe false
+    // WindowHashes edge: len < n yields an empty array, not null
+    docs.filter(col("id") === 3L)
+      .select(org.apache.spark.sql.functions.size(wh))
+      .head.getInt(0) shouldBe 0
+  }
+
+  test("property: PqEncode argmin == driver brute force; PqAdcScore == " +
+    "driver table walk; encode ties break to the lower code; loud failures") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val m = 3; val k = 5; val dsub = 4
+    val dGen = Gen.choose(-2.0, 2.0)
+    def vecGen(n: Int) = Gen.listOfN(n, dGen).map(_.toArray)
+    def pick[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1 to 20).foreach { i =>
+      val cb = Array.tabulate(m, k)((s, j) =>
+        pick(vecGen(dsub), 9000L * i + 100L * s + j))
+      val vs = (1 to 8).map(r => pick(vecGen(m * dsub), 31L * i + r))
+      val df = vs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "v")
+        .select(col("vec_id"), Similarity.pqEncodeCol(col("v"), cb).as("codes"),
+          Similarity.pqAdcTableCol(col("v"), cb).as("tbl"))
+      val got = df.select(col("vec_id"), col("codes"),
+          Similarity.pqAdcScoreCol(col("codes"), col("tbl")).as("adc"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray,
+          r.getDouble(2))).sortBy(_._1)
+      got.zip(vs).foreach { case ((_, codes, adc), v) =>
+        // brute-force argmin per subspace, ties to the lower code
+        val expCodes = (0 until m).map { s =>
+          val d2 = (0 until k).map(j => (0 until dsub)
+            .map(t => math.pow(v(s * dsub + t) - cb(s)(j)(t), 2)).sum)
+          d2.indexOf(d2.min)
+        }
+        codes.toSeq shouldBe expCodes
+        // ADC = sum over subspaces of <v_s, codeword> in subspace order
+        val expAdc = (0 until m).map { s =>
+          (0 until dsub).map(t => v(s * dsub + t) * cb(s)(codes(s))(t)).sum
+        }.sum
+        math.abs(adc - expAdc) should be <= 1e-12
+      }
+    }
+    // duplicated codebook rows: the argmin tie must pick the LOWER index
+    val dup = Array.fill(2, 3)(Array(1.0, 1.0))
+    val tied = Seq((0L, Array(1.0, 1.0, 1.0, 1.0))).toDF("vec_id", "v")
+      .select(Similarity.pqEncodeCol(col("v"), dup).as("codes"))
+      .collect().head.getSeq[Int](0)
+    tied shouldBe Seq(0, 0)
+    // mismatched models fail loudly, never a silent wrong score
+    val bad = Seq((0L, Array(0, 1), Array(0.5, 0.5, 0.5)))
+      .toDF("id", "codes", "tbl")
+    val e = intercept[Exception] {
+      bad.select(Similarity.pqAdcScoreCol(col("codes"), col("tbl"))).collect()
+    }
+    e.getMessage should include("different models")
+    val oob = Seq((0L, Array(7, 0), Array.fill(10)(0.1)))
+      .toDF("id", "codes", "tbl")
+    val e2 = intercept[Exception] {
+      oob.select(Similarity.pqAdcScoreCol(col("codes"), col("tbl"))).collect()
+    }
+    e2.getMessage should include("out of range")
+  }
 }

@@ -21,6 +21,42 @@ class NearDupSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("ShingleStrings kernel == the declarative HOF formulation " +
+    "bit-for-bit (dedup and non-dedup, edge cases, real docs)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the HOF reference this kernel replaced (evaluation cost only — the
+    // outputs must stay identical): array_distinct ∘ transform ∘ filtered
+    // index ramp, re-splitting per element_at
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int,
+                    dedup: Boolean): org.apache.spark.sql.Column = {
+      val toks = split(text, " ")
+      val count = org.apache.spark.sql.functions.size(toks)
+      val idxs = org.apache.spark.sql.functions.filter(
+        sequence(lit(1), count), i => i <= count - lit(n - 1))
+      val wins = transform(idxs, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+      if (dedup) array_distinct(wins) else wins
+    }
+    def native(text: org.apache.spark.sql.Column, n: Int,
+               dedup: Boolean): org.apache.spark.sql.Column =
+      ColumnBridge.column(graft.engine.expressions.ShingleStrings(
+        ColumnBridge.expression(split(text, " ")), n, dedup))
+    val fixtures = Seq(
+      "a b c d", "a b", "", "x", "a a a a a", // short/empty/all-dup
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val real = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text").as("t"))
+    for (df <- Seq(fixtures, real); n <- Seq(1, 2, 3, 13);
+         dedup <- Seq(true, false)) {
+      val diff = df.select(native(col("t"), n, dedup).as("a"),
+          hofShingles(col("t"), n, dedup).as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      withClue(s"n=$n dedup=$dedup: ") { diff shouldBe 0L }
+    }
+  }
+
   test("dedupLines: frequent lines dropped, order kept, within-doc repeats " +
     "count one doc, all-boilerplate doc survives empty") {
     val docs = Seq(
@@ -124,6 +160,51 @@ class NearDupSpec extends SparkSpec {
         bench, col("doc_id"), col("text"), 0.5, maxDf = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     out shouldBe Array((1L, 100L))
+  }
+
+  test("bloomContaminationPairs: bit-identical to the exact scan on " +
+    "testdata; prefilter actually prunes; clean-corpus fast path is empty") {
+    // bit-parity on real data — the prefilter is plan surgery, not a result
+    // change (no false negatives by Bloom construction; false positives die
+    // in the exact containment join)
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // short n (collision-heavy: the prefilter keeps nearly everything) AND
+    // long n (the deployed 13-gram recipe: it keeps almost nothing) — the
+    // result must be bit-identical to the unfiltered scan in both regimes
+    for (n <- Seq(3, 13)) {
+      val exact = key(NearDup.contaminationPairs(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"), 0.5, n = n))
+      val bloomed = key(NearDup.bloomContaminationPairs(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"), 0.5, n = n))
+      bloomed shouldBe exact
+      exact should not be empty // the parity assertion must bite
+    }
+
+    // pruning: with a disjoint-vocabulary corpus the prefilter drops
+    // (fpp-modulo) everything before any shuffle — survivors ≈ 0
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val b2 = Seq((100L, "totally different benchmark question text here"))
+      .toDF("doc_id", "text")
+    NearDup.bloomContaminationPairs(clean, col("doc_id"), col("text"),
+      b2, col("doc_id"), col("text"), 0.1, n = 3).collect() shouldBe empty
+
+    // planted quote: the one contaminated doc survives the prefilter and
+    // scores containment 1.0 — no false negative
+    val planted = clean.unionByName(Seq(
+      (3L, "padding words totally different benchmark question text here " +
+        "and trailing filler")).toDF("doc_id", "text"))
+    val out = NearDup.bloomContaminationPairs(planted, col("doc_id"),
+        col("text"), b2, col("doc_id"), col("text"), 0.5, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out.keySet shouldBe Set((3L, 100L))
+    out((3L, 100L)) shouldBe 1.0
   }
 
   test("jaccardPairs finds exact and near dups with correct similarity") {

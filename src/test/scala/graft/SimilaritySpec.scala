@@ -345,4 +345,174 @@ class SimilaritySpec extends SparkSpec {
     p1.flatten.toSeq shouldBe p2.flatten.toSeq
     p1.flatten.toSet shouldBe Set(1.0, -1.0)
   }
+
+  test("PQ: model shape, determinism, codes in range, ADC = subspace-ordered " +
+    "reconstruction dot to 1e-12, strict width, zero-vector safety") {
+    val emb = clusteredCorpus // 1000 × 32-dim
+    val cb = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 4, k = 16)
+    cb.length shouldBe 4
+    cb.foreach(_.length shouldBe 16)
+    cb.foreach(_.foreach(_.length shouldBe 8))
+    // deterministic seeds + deterministic argmin ties → bit-identical model
+    val cb2 = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 4, k = 16)
+    cb.flatten.flatten.toSeq shouldBe cb2.flatten.flatten.toSeq
+
+    val encoded = Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb)
+    val codes = encoded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    codes.size shouldBe 1000
+    codes.values.foreach { cs =>
+      cs.length shouldBe 4
+      cs.foreach(c => assert(c >= 0 && c < 16))
+    }
+
+    // ADC exactness: every (query, candidate) adc from the search equals the
+    // per-subspace dot of the normalized query against the candidate's
+    // reconstruction, summed in subspace order (the expression's contract)
+    val qs = Seq(0L, 101L, 202L)
+    val out = Similarity.pqCosineTopKWith(encoded, cb, emb, col("vec_id"),
+      col("embedding"), qs, 5).collect()
+    out.length shouldBe 15
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    out.foreach { r =>
+      val (qid, cid, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val q = vecs(qid)
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val qn = q.map(_ / n)
+      var sum = 0.0
+      for (s <- 0 until 4) {
+        val cw = cb(s)(codes(cid)(s))
+        var dot = 0.0
+        for (i <- 0 until 8) dot += qn(s * 8 + i) * cw(i)
+        sum += dot
+      }
+      val expected = BigDecimal(sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.abs(adc - expected) should be <= 1e-12
+    }
+
+    // strict width: a narrower vector fails loudly, never a prefix encode
+    val narrow = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqEncode(narrow, col("vec_id"), col("embedding"), cb).collect()
+    }
+    e.getMessage should include("dims")
+
+    // zero vector: passes through normalization unchanged, encodes
+    // deterministically, and ADC-scores 0 as a query (zero table)
+    val withZero = Seq((0L, Array.fill(32)(0.0f)),
+      (1L, Array.tabulate(32)(i => (i + 1).toFloat))).toDF("vec_id", "embedding")
+    val zc = Similarity.pqEncode(withZero, col("vec_id"), col("embedding"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    zc(0L).foreach(c => assert(c >= 0 && c < 16))
+    val zq = Similarity.pqCosineTopKWith(
+      Similarity.pqEncode(withZero, col("vec_id"), col("embedding"), cb), cb,
+      withZero, col("vec_id"), col("embedding"), Seq(0L), 1).collect()
+    zq.length shouldBe 1
+    zq.head.getDouble(2) shouldBe 0.0
+  }
+
+  test("PQ ANN: recall vs exact on the clusterable corpus; reconstruction " +
+    "error shrinks as k grows; reuse path = one-shot path") {
+    val emb = clusteredCorpus
+    val qs = Seq(0L, 101L, 202L, 303L, 404L)
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // m=8 → 4-dim subspaces: the fixture's ±1/√32 subvectors take only
+    // 2⁴ = 16 sign patterns, so k=16 codewords nearly resolve the corpus
+    // (measured recall 0.84; limited by patterns absent from the seed pool)
+    // — the "enough subspaces" regime PQ is deployed in. At m=4 the 8-dim
+    // subspaces have 256 patterns per 16 codewords and recall decays to
+    // ~0.2: subspace count, not corpus size, sets PQ's resolution.
+    val approx = Similarity.pqCosineTopK(emb, col("vec_id"), col("embedding"),
+      qs, 5, m = 8).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic model → stable floor (measured: see assertion)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.6
+    approx.size should be <= exact.size
+
+    // more codewords per subspace → lower quantization distortion (global
+    // Lloyd's argument doesn't guarantee it per-run, but the deterministic
+    // seeds on this fixture do — pinned so a training regression shows up)
+    def reconErr(k: Int): Double = {
+      val cbk = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+        m = 4, k = k)
+      val enc = Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cbk)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding"))).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      vecs.map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val nv = v.map(_ / n)
+        (0 until 4).map { s =>
+          val cw = cbk(s)(enc(id)(s))
+          (0 until 8).map(i => math.pow(nv(s * 8 + i) - cw(i), 2)).sum
+        }.sum
+      }.sum / vecs.size
+    }
+    val e2 = reconErr(2)
+    val e8 = reconErr(8)
+    e8 should be < e2
+
+    // prebuilt-index search matches the one-shot convenience path
+    val cb = Similarity.pqTrain(emb, col("vec_id"), col("embedding"), m = 8)
+    val reused = Similarity.pqCosineTopKWith(
+      Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb), cb,
+      emb, col("vec_id"), col("embedding"), qs, 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    reused shouldBe approx
+  }
+
+  test("IVF-PQ: probed-list containment, recall floor on the clusterable " +
+    "corpus, ADC values match the flat-PQ scores for surviving pairs") {
+    val emb = clusteredCorpus
+    val qs = Seq(0L, 101L, 202L, 303L, 404L)
+    val cents = Similarity.ivfTrainCentroids(emb, col("vec_id"), col("embedding"))
+    val cb = Similarity.pqTrain(emb, col("vec_id"), col("embedding"), m = 8)
+    val indexed = Similarity.ivfPqIndex(emb, col("vec_id"), col("embedding"),
+      cents, cb)
+    val out = Similarity.ivfPqTopKWith(indexed, cents, cb, emb, col("vec_id"),
+      col("embedding"), qs, 5).collect()
+
+    // recall vs exact: on a clusterable corpus the coarse quantizer routes
+    // each query to its own cluster's list, so IVF pruning costs nothing on
+    // top of PQ quantization (flat-PQ measured 0.84 here)
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), qs, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.6
+
+    // every returned candidate sits in one of its query's probed lists —
+    // the driver-side probeLists helper and the in-plan NearestCentroids
+    // expression must agree (same scoring, same tie-break)
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val lists = indexed.select(col("cid"), col("cl")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val probed = Similarity.probeLists(cents, vecs(r.getLong(0)), 4).toSet
+      assert(probed.contains(lists(r.getLong(1))),
+        s"cid ${r.getLong(1)} (list ${lists(r.getLong(1))}) outside " +
+          s"qid ${r.getLong(0)}'s probes $probed")
+    }
+
+    // ADC is the same number flat PQ computes — IVF only prunes candidates,
+    // it never changes a surviving pair's score
+    val flat = Similarity.pqCosineTopKWith(
+      Similarity.pqEncode(emb, col("vec_id"), col("embedding"), cb), cb,
+      emb, col("vec_id"), col("embedding"), qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      flat.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        r.getDouble(2) shouldBe s
+      }
+    }
+  }
 }

@@ -106,6 +106,11 @@ object SparkEntry {
   private val benchBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  /** Trained quality-classifier weights (raw-feature space), one per
+    * dataset dir — train-once/score-many; the model is d doubles. */
+  private val lrModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
   /** BPE merge tables, trained once per dataset dir (train-once/segment-many
     * — same contract as [[ivfIndexes]]; the merge list is model-scale). */
   private val bpeModels =
@@ -523,6 +528,63 @@ object SparkEntry {
         TextOps.stopwordRatio(col("text"), en).as("stop_ratio"),
         TextOps.qualityScore(col("text"), en).as("quality"))
     }),
+    // quality-classifier margin with a FIXED integer model: the map-only
+    // scoring pass every trained-filter pipeline runs at corpus scale,
+    // exact BIGINT arithmetic end to end → hash-green oracled (the trained
+    // variant is q_lr_quality, rows-only — GD isn't SQL-expressible)
+    "q_lr_margin" -> ((s, d) => {
+      val en = TextOps.langMarkers.toMap.apply("en")
+      // intMarginOf, not intMargin(docFeatures(...)): each feature subtree
+      // must appear exactly ONCE in the plan — array indexing per weight
+      // (even bound through a projection, which CollapseProject undoes)
+      // trips a Janino codegen bug under subexpression elimination and the
+      // scoring pass silently drops to interpreted
+      documents(s, d).select(col("doc_id"),
+        Classifier.intMarginOf(col("text"), en,
+          Seq(-400L, 7L, -1L, 120L, -3L, 5L)).as("margin"))
+    }),
+    // TRAINED curated-vs-crawl logistic regression (label: source == src0),
+    // trained once per dir via distributed full-batch GD (driver holds only
+    // the weight vector); per-doc keep decision + micro-unit margin
+    // (rows-only; convergence/separation laws in ClassifierSpec)
+    "q_lr_quality" -> ((s, d) => {
+      val en = TextOps.langMarkers.toMap.apply("en")
+      val w = lrModels.computeIfAbsent(d, dir =>
+        Classifier.trainLogReg(
+          documents(s, dir)
+            .withColumn("label", (col("source") === "src0").cast("int")),
+          Classifier.docFeatures(col("text"), en), col("label"),
+          iters = 15)._1)
+      // marginOf (single-use feature subtrees) bound once; the two
+      // consumers reference the alias — CollapseProject keeps multi-use
+      // non-cheap aliases bound, so nothing replicates
+      documents(s, d)
+        .select(col("doc_id"),
+          Classifier.marginOf(col("text"), en, w).as("_m"))
+        .select(col("doc_id"),
+          floor(col("_m") * 1e6).cast("long").as("margin_micro"),
+          (col("_m") >= 0).as("keep"))
+    }),
+    // filter-calibration sweep: per candidate threshold, how many docs the
+    // fixed-model gate keeps and how many of those are curated (src0) —
+    // the precision/recall table every deployed quality filter is tuned
+    // from; all-integer counts → hash-green oracle
+    "q_lr_sweep" -> ((s, d) => {
+      import s.implicits._
+      val en = TextOps.langMarkers.toMap.apply("en")
+      val scored = documents(s, d)
+        .select(col("source"),
+          Classifier.intMarginOf(col("text"), en,
+            Seq(-400L, 7L, -1L, 120L, -3L, 5L)).as("margin"))
+      scored
+        .crossJoin(broadcast(
+          Seq(-500L, -250L, 0L, 250L, 500L).toDF("threshold")))
+        .filter(col("margin") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("n_curated"))
+    }),
     // language-ID (marker-token heuristic)
     "q_lang_id" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -684,6 +746,18 @@ object SparkEntry {
       val (_, assigned) = ivfIndex(s, d)
       Similarity.semDedupWith(assigned, 0.4)
         .select(col("cid"), col("cl").cast("long").as("cl"))
+    }),
+    // SemDeDup MECHANISM over the FIXED codebook (q_centroid_assign's):
+    // with a SQL-expressible quantizer the whole cluster-then-dedup pass —
+    // within-list self-join, round-6 cosine >= tau, min-id keep — replays
+    // in DuckDB and goes hash-green (the trained variant above stays
+    // rows-only; same executor code path in both)
+    "q_semdedup_fixed" -> ((s, d) => {
+      val indexed = Similarity.ivfAssign(embeddings(s, d), col("vec_id"),
+        col("embedding"), fixedCodebook(s, d))
+      Similarity.semDedupWith(indexed, 0.4)
+        .select(col("cid").cast("long").as("cid"),
+          col("cl").cast("long").as("cl"))
     }),
 
     // ---- Training-data pipeline: similarity search ----
@@ -1241,6 +1315,58 @@ object SparkEntry {
                  - (abs(length(text) - (n_tokens - 1) - 5 * n_tokens) * 50)
                    // n_tokens)) AS BIGINT) AS quality
          FROM c""",
+    // fixed integer model [-400, 7, -1, 120, -3, 5] over the exact-integer
+    // features [1, n_tokens, n_chars, stop_hits, n_digits, n_word_tokens]
+    // (feature mirrors identical to the green q_doc_stats oracle)
+    "q_lr_margin" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(toks, x -> x = 'the'))
+              + len(list_filter(toks, x -> x = 'a'))
+              + len(list_filter(toks, x -> x = 'of'))
+              + len(list_filter(toks, x -> x = 'and'))
+              + len(list_filter(toks, x -> x = 'is')) AS BIGINT) AS stop_hits,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+             AS n_word_tokens
+           FROM t)
+         SELECT doc_id,
+           CAST(-400 + 7 * n_tokens - n_chars + 120 * stop_hits
+                - 3 * n_digits + 5 * n_word_tokens AS BIGINT) AS margin
+         FROM f""",
+    // same fixed model and features as q_lr_margin, aggregated per
+    // candidate threshold (all-integer counts)
+    "q_lr_sweep" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(toks, x -> x = 'the'))
+              + len(list_filter(toks, x -> x = 'a'))
+              + len(list_filter(toks, x -> x = 'of'))
+              + len(list_filter(toks, x -> x = 'and'))
+              + len(list_filter(toks, x -> x = 'is')) AS BIGINT) AS stop_hits,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+             AS n_word_tokens
+           FROM t),
+         m AS (SELECT source,
+           -400 + 7 * n_tokens - n_chars + 120 * stop_hits
+               - 3 * n_digits + 5 * n_word_tokens AS margin
+           FROM f),
+         th AS (SELECT unnest([-500, -250, 0, 250, 500]) AS threshold)
+         SELECT CAST(th.threshold AS BIGINT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN m.source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_curated
+         FROM m CROSS JOIN th
+         WHERE m.margin >= th.threshold
+         GROUP BY 1""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),
@@ -1966,6 +2092,27 @@ object SparkEntry {
          FROM s
          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY dot DESC, cidx) = 1""",
+    "q_semdedup_fixed" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         cn AS (SELECT vec_id AS cidx,
+                  list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                    AS cu
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id, cn.cidx,
+                  list_inner_product(e.v, cn.cu) AS dot
+                FROM e CROSS JOIN cn),
+         a AS (SELECT vec_id, cidx AS cl
+               FROM sc
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cidx) = 1),
+         av AS (SELECT a.vec_id, a.cl, e.v FROM a JOIN e USING (vec_id)),
+         dom AS (SELECT DISTINCT l.vec_id
+                 FROM av l JOIN av r ON l.cl = r.cl AND r.vec_id < l.vec_id
+                 WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.4)
+         SELECT CAST(av.vec_id AS BIGINT) AS cid, CAST(av.cl AS BIGINT) AS cl
+         FROM av WHERE av.vec_id NOT IN (SELECT vec_id FROM dom)""",
     "q_pq_codes" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

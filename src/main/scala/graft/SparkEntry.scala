@@ -807,6 +807,18 @@ object SparkEntry {
       Similarity.ivfPqTopKWith(indexed, cents, cb, embeddings(s, d),
         col("vec_id"), col("embedding"), Seq(0L, 1L, 2L), 5, nprobe = 8)
     }),
+    // PQ-ADC search against the FIXED codebook (raw, unnormalized on both
+    // sides): table construction + m-lookup scoring + rounded-score
+    // ranking all replay in SQL — with q_pq_codes this oracles the PQ
+    // search path end to end (the trained variant stays rows-only)
+    "q_pq_adc_topk" -> ((s, d) => {
+      val cb = fixedPqCodebook(s, d)
+      Similarity.pqCosineTopKWith(
+        Similarity.pqEncode(embeddings(s, d), col("vec_id"),
+          col("embedding"), cb, normalize = false),
+        cb, embeddings(s, d), col("vec_id"), col("embedding"),
+        Seq(0L, 1L, 2L), 5, normalizeQueries = false)
+    }),
     // PQ encode against a FIXED codebook (vec_id 0..3 sliced 4×16): the
     // zero-shuffle argmin-L2 map pass every PQ pipeline runs at corpus
     // scale, oracled — the trained-model variant above stays rows-only
@@ -2113,6 +2125,43 @@ object SparkEntry {
                  WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.4)
          SELECT CAST(av.vec_id AS BIGINT) AS cid, CAST(av.cl AS BIGINT) AS cl
          FROM av WHERE av.vec_id NOT IN (SELECT vec_id FROM dom)""",
+    // ADC over the same fixed codebook as q_pq_codes: per-query subspace
+    // inner products (the table), summed at the candidate's codes, ranked
+    // by the ROUNDED score with ties to the lower cid (the engine ranks
+    // rounded scores too — boundedTopK over round(adc, 6))
+    "q_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         ss AS (SELECT unnest(range(4)) AS s),
+         sub AS (SELECT e.vec_id, ss.s,
+                   list_slice(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv
+                 FROM e CROSS JOIN ss),
+         cbs AS (SELECT e.vec_id AS j, ss.s,
+                   list_slice(e.v, ss.s * 16 + 1, ss.s * 16 + 16) AS cw
+                 FROM e CROSS JOIN ss WHERE e.vec_id < 4),
+         dist AS (SELECT sub.vec_id, sub.s, cbs.j,
+                    list_distance(sub.sv, cbs.cw) AS dd
+                  FROM sub JOIN cbs ON sub.s = cbs.s),
+         codes AS (SELECT vec_id, s, j
+                   FROM dist
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                              ORDER BY dd, j) = 1),
+         tbl AS (SELECT sub.vec_id AS qid, cbs.s, cbs.j,
+                   list_inner_product(sub.sv, cbs.cw) AS ip
+                 FROM sub JOIN cbs ON sub.s = cbs.s
+                 WHERE sub.vec_id IN (0, 1, 2)),
+         sc AS (SELECT tbl.qid, codes.vec_id AS cid, sum(tbl.ip) AS adc_raw
+                FROM codes JOIN tbl ON codes.s = tbl.s AND codes.j = tbl.j
+                WHERE codes.vec_id <> tbl.qid
+                GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+           round(adc_raw, 6) AS adc,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY round(adc_raw, 6) DESC, cid)
+                AS BIGINT) AS rn
+         FROM sc
+         QUALIFY rn <= 5""",
     "q_pq_codes" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

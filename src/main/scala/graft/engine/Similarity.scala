@@ -707,10 +707,13 @@ object Similarity {
     * (encode within lists, probe then ADC) for IVF-PQ. */
   def pqCosineTopKWith(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
                        emb: DataFrame, id: Column, vec: Column,
-                       queryIds: Seq[Long], k: Int): DataFrame = {
+                       queryIds: Seq[Long], k: Int,
+                       normalizeQueries: Boolean = true): DataFrame = {
     val queries = emb.select(id.as("qid"), asDouble(vec).as("qv"))
       .filter(col("qid").isin(queryIds: _*))
-      .select(col("qid"), pqAdcTableCol(normalized(col("qv")), codebooks).as("tbl"))
+      .select(col("qid"), pqAdcTableCol(
+        if (normalizeQueries) normalized(col("qv")) else col("qv"),
+        codebooks).as("tbl"))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

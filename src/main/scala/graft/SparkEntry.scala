@@ -269,6 +269,21 @@ object SparkEntry {
     "q_topk_revenue" -> ((s, d) =>
       Analytics.topKByGroup(lineitem(s, d), col("l_suppkey"),
         col("l_extendedprice") * (lit(1) - col("l_discount")), 10)),
+    // Exact heavy hitters via Misra-Gries sketch + candidate recount: the
+    // derived key is two populations — 20 hot keys holding most of the mass
+    // and a ~7919-key uniform cold tail — so the sketch (capacity 667 for
+    // share=3000ppm) MUST evict constantly, and the MG superset guarantee is
+    // what makes the exact recount complete. Oracle is the plain
+    // GROUP BY ... HAVING over the same derived key: the sketch is plan
+    // surgery, the answer is exact.
+    "q_heavy_hitters" -> ((s, d) =>
+      Analytics.heavyHitters(
+        lineitem(s, d).select(
+          when(col("l_linenumber") <= 3,
+            concat(lit("hot_"), col("l_orderkey") % 20))
+            .otherwise(concat(lit("cold_"), col("l_orderkey") % 7919))
+            .as("k")),
+        col("k"), 3000L)),
     // A6 sum by group + hourly time bucket (Grafana timeseries panel)
     "q_hourly_by_type" -> ((s, d) =>
       Analytics.sumByTimeBucket(events(s, d), col("ts"), col("event_type"),
@@ -313,6 +328,27 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) =>
       Analytics.percentilesByGroup(events(s, d), col("event_type"),
         col("value"))),
+
+    // Semi-structured JSON extraction: events.props is a JSON payload
+    // column; parse with an EXPLICIT schema (map-only codegen'd from_json —
+    // inference is sample-bounded via Ingest.inferJsonSchema, never a
+    // full-corpus scan) and aggregate on the extracted typed field.
+    "q_json_extract" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      Ingest.withJsonFields(
+        events(s, d).select(col("event_id"), col("value"), col("props")),
+        "props", StructType(Seq(StructField("k", LongType))))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+    }),
+
+    // One-pass per-column dataset profile (row/null/distinct counts, numeric
+    // min/max) — exact distincts here as the oracle twin; profileApprox
+    // (HLL++, no Expand) is the corpus-scale default, spec'd against this.
+    "q_profile" -> ((s, d) =>
+      Analytics.profile(events(s, d),
+        numericCols = Seq("event_id", "user_id", "value"),
+        otherCols = Seq("event_type", "props"))),
 
     // ---- Filter/predicate suite (SURVEY §2.2: P5, P8, P9, P10) ----
     "q_filter_suite" -> ((s, d) =>
@@ -1214,6 +1250,14 @@ object SparkEntry {
       """SELECT l_suppkey AS grp,
          round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
          FROM lineitem GROUP BY 1 ORDER BY total DESC, grp LIMIT 10""",
+    "q_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN l_linenumber <= 3
+                       THEN 'hot_' || (l_orderkey % 20)
+                       ELSE 'cold_' || (l_orderkey % 7919) END AS key
+                    FROM lineitem),
+         tot AS (SELECT count(*) AS n FROM k)
+         SELECT key, count(*)::BIGINT AS cnt FROM k GROUP BY 1
+         HAVING count(*) * 1000000 >= (SELECT n FROM tot) * 3000""",
     "q_hourly_by_type" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
          round(SUM(value), 2) AS total
@@ -2364,6 +2408,32 @@ object SparkEntry {
            AS m_start,
          last_day(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH) AS m_end
          FROM orders""",
+    "q_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           min(event_id)::DOUBLE AS min_v, max(event_id)::DOUBLE AS max_v
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE
+         FROM events
+         UNION ALL
+         SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props), NULL::DOUBLE, NULL::DOUBLE
+         FROM events""",
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         COUNT(*) AS cnt, round(SUM(value), 2) AS total
+         FROM events GROUP BY 1""",
     "q_filter_suite" ->
       """SELECT o_orderpriority AS grp, COUNT(*) AS n,
          round(SUM(o_totalprice), 2) AS total

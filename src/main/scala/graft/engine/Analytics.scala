@@ -289,6 +289,107 @@ object Analytics {
       percentile_approx(value,
         array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("ps"))
 
+  /** One-pass dataset profile: per column, row count, null count, distinct
+    * count, and (numeric columns) exact min/max — the data-quality summary a
+    * pipeline publishes next to every delivered table.
+    *
+    * ONE scan computes every column's stats in a single aggregate; the
+    * 1-row wide result is reshaped to long form inside the plan (explode of
+    * a literal-built struct array — no collect, no second scan). Exact
+    * multi-column distinct counts make Catalyst plan an Expand (input ×
+    * #distinct-aggs before the shuffle) — the honest cost of exactness, and
+    * the reason [[profileApprox]] (HLL++ sketches, no Expand, one ordinary
+    * partial agg) is the default at corpus scale; this exact form is its
+    * oracle twin. min/max are order-independent (no FP rounding needed).
+    */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              otherCols: Seq[String]): DataFrame =
+    profileWith(df, numericCols, otherCols, c => countDistinct(col(c)))
+
+  /** Sketch twin of [[profile]]: `approx_count_distinct` (HLL++, mergeable,
+    * relative error ~`rsd`) — a single partial-final aggregate with NO
+    * Expand, so profiling costs one map-side pass regardless of how many
+    * columns are profiled. Spec'd against the exact form. */
+  def profileApprox(df: DataFrame, numericCols: Seq[String],
+                    otherCols: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, numericCols, otherCols,
+      c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, numericCols: Seq[String],
+                          otherCols: Seq[String],
+                          distinct: String => Column): DataFrame = {
+    val all = numericCols ++ otherCols
+    require(all.nonEmpty, "profile of zero columns")
+    val aggs =
+      count(lit(1)).as("_n") +:
+        all.flatMap { c =>
+          Seq(count(col(c)).as(s"_nn_$c"), distinct(c).as(s"_nd_$c"))
+        } ++: numericCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"_min_$c"),
+            max(col(c)).cast("double").as(s"_max_$c"))
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = all.map { c =>
+      struct(lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        (if (numericCols.contains(c)) col(s"_min_$c")
+         else lit(null).cast("double")).as("min_v"),
+        (if (numericCols.contains(c)) col(s"_max_$c")
+         else lit(null).cast("double")).as("max_v"))
+    }
+    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** Exact distributed heavy hitters: every key whose frequency is at least
+    * `sharePpm` parts-per-million of the non-null rows, with its EXACT count.
+    *
+    * The naive form — `groupBy(key).count().filter(...)` — shuffles one row
+    * per DISTINCT key, which on a 100 TB corpus keyed by token or URL domain
+    * is a shuffle the size of the vocabulary. This is the sketch-then-recount
+    * pattern instead:
+    *
+    *  1. Pass 1 reduces each task to a fixed `capacity`-counter Misra–Gries
+    *     summary ([[graft.engine.expressions.FrequentKeys]]); the merged
+    *     sketch is model-sized (≤ capacity entries) and its key set is a
+    *     guaranteed SUPERSET of every qualifying key as long as the sketch's
+    *     eviction mass stays under the count threshold — asserted loudly at
+    *     runtime, and guaranteed a priori by `capacity > 2·10⁶/sharePpm`
+    *     (eviction mass ≤ n/(capacity+1) < n·sharePpm/10⁶).
+    *  2. Pass 2 recounts ONLY the ≤ capacity candidate keys: the `isin`
+    *     prefilter is map-side, and the recount groupBy shuffles at most
+    *     capacity × tasks rows. Output is therefore EXACT — independent of
+    *     sketch internals and merge order — and SQL-oracle-checkable.
+    *
+    * Two scans of the input versus one, but each is map-only + model-sized
+    * shuffle; that trade is the whole point at vocabulary scale. Threshold
+    * compare is integer (cnt·10⁶ ≥ n·sharePpm — no float boundary).
+    * Output: (key, cnt), the exact counts of qualifying keys.
+    */
+  def heavyHitters(df: DataFrame, key: Column, sharePpm: Long,
+                   capacity: Int = 0): DataFrame = {
+    require(sharePpm > 0 && sharePpm <= 1000000L, s"sharePpm in (0,1e6]: $sharePpm")
+    val cap = if (capacity > 0) capacity else (2L * 1000000L / sharePpm + 1L).toInt
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val keyed = df.select(key.cast("string").as("key"))
+    val mg = ColumnBridge.column(graft.engine.expressions
+      .FrequentKeys(ColumnBridge.expression(col("key")), cap)
+      .toAggregateExpression())
+    // Model-sized collect: ≤ capacity candidate keys + two longs.
+    val s = keyed.agg(mg.as("s"), count(col("key")).as("n"))
+      .select(col("s.entries.key").as("cands"), col("s.dec").as("dec"), col("n"))
+      .head()
+    val (cands, dec, n) = (s.getSeq[String](0), s.getLong(1), s.getLong(2))
+    require(dec * 1000000L < math.max(1L, n * sharePpm),
+      s"MG sketch too small for share=${sharePpm}ppm: eviction mass $dec of $n rows " +
+        s"exceeds the threshold — raise capacity (was $cap)")
+    keyed.where(col("key").isin(cands: _*))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(1000000L) >= lit(n) * lit(sharePpm))
+  }
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

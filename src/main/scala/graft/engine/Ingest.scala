@@ -88,4 +88,39 @@ object Ingest {
     val cleaned = df.columns.map(_.replaceAll("[\\s\\u00a0]+", " ").trim)
     df.toDF(cleaned: _*)
   }
+
+  /** Semi-structured JSON column extraction (the reference stores API
+    * payload remnants as JSON strings the same way `events.props` does;
+    * its Python side round-trips them through `json.loads` per row —
+    * fetch_data response handling). Map-only `from_json` with an EXPLICIT
+    * schema: one codegen'd Jackson parse per row, no shuffle, and the
+    * parsed struct's fields land as proper typed columns.
+    *
+    * Malformed rows yield NULL fields (PERMISSIVE) — a corrupt payload
+    * never kills a 100 TB scan; count them downstream via the parsed
+    * struct's nullness vs the raw column's.
+    */
+  def withJsonFields(df: DataFrame, jsonCol: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parsed = from_json(col(jsonCol), schema)
+    schema.fieldNames.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f, parsed.getField(f))
+    }
+  }
+
+  /** Infer the JSON column's schema from a BOUNDED sample — never from the
+    * full corpus (schema inference is a full extra scan at 100 TB; a
+    * sample-derived schema plus PERMISSIVE nulls for stragglers is the
+    * scalable contract). The sample is `limit(n)` — one partial scan that
+    * short-circuits after n rows — and inference runs on the collected
+    * strings driver-side (model-sized: n strings). */
+  def inferJsonSchema(df: DataFrame, jsonCol: String,
+                      sampleRows: Int = 1000): org.apache.spark.sql.types.StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(org.apache.spark.sql.functions.col(jsonCol))
+      .na.drop().limit(sampleRows).as[String]
+    spark.read.json(sample).schema
+  }
 }

@@ -71,6 +71,44 @@ class AnalyticsSpec extends SparkSpec {
     out(2).isNullAt(4) shouldBe true // per-key isolation
   }
 
+  test("profile: exact per-column stats in one pass") {
+    val df = Seq(
+      (Some(1L), Some(1.5), Some("a")),
+      (Some(2L), None, Some("a")),
+      (None, Some(-3.0), Some("b")),
+      (Some(2L), Some(1.5), None)
+    ).toDF("id", "v", "s")
+    val out = Analytics.profile(df, Seq("id", "v"), Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    out("id") shouldBe ((4L, 1L, 2L, Some(1.0), Some(2.0)))
+    out("v") shouldBe ((4L, 1L, 2L, Some(-3.0), Some(1.5)))
+    out("s") shouldBe ((4L, 1L, 2L, None, None))
+  }
+
+  test("profileApprox tracks exact profile; plan has no Expand") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val cols = (Seq("event_id", "user_id", "value"), Seq("event_type"))
+    val exact = Analytics.profile(ev, cols._1, cols._2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = Analytics.profileApprox(ev, cols._1, cols._2)
+    approxDf.queryExecution.executedPlan.toString should not include "Expand"
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(2L, (n * 0.06).toLong),
+        s"col $c: approx ${approx(c)} vs exact $n")
+    }
+    // non-distinct stats are identical, not approximate
+    val ex2 = Analytics.profile(ev, cols._1, cols._2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ap2 = approxDf
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    ap2 shouldBe ex2
+  }
+
   test("approxDistinctByGroup within rsd of exact on real data") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val approx = Analytics.approxDistinctByGroup(ev, col("event_type"),

@@ -350,6 +350,18 @@ object SparkEntry {
         numericCols = Seq("event_id", "user_id", "value"),
         otherCols = Seq("event_type", "props"))),
 
+    // Z-order (Morton) layout key over (user_id, micro-quantized value):
+    // the multi-dimensional clustering index behind Sink.writeZOrdered's
+    // file-skipping layout. All-integer shift/interleave math with FIXED
+    // caller-declared pow-2 ranges (stable across appends) — bit-exact in
+    // SQL. Prunability of the written layout is measured in SinkIngestSpec;
+    // this oracles the index math itself row by row.
+    "q_zorder" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        Order.zValue(
+          Seq(col("user_id"), floor(col("value") * 1e6).cast("long")),
+          Seq((0L, 2047L), (0L, (1L << 30) - 1)), bits = 8).as("z"))),
+
     // ---- Filter/predicate suite (SURVEY §2.2: P5, P8, P9, P10) ----
     "q_filter_suite" -> ((s, d) =>
       orders(s, d)
@@ -543,6 +555,33 @@ object SparkEntry {
           col("c_ts"), Seq("c_ts", "c_val"))
         .select(col("event_id"), col("user_id"), col("ts"), col("v"),
           col("asof_c_ts"), col("asof_c_val"))
+    }),
+    // Point-in-time feature join: every event enriched with the user's
+    // latest CLOSED hourly and daily rollups (published at window end — no
+    // future leakage). ONE union + window pass serves both feature tables
+    // (a fold of as-of joins would shuffle the fact once per table);
+    // oracled against DuckDB's chained native ASOF JOINs.
+    "q_pit_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val hourly = ev
+        .groupBy(col("user_id"),
+          (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR"))
+            .as("avail_ts"))
+        .agg(round(sum(col("value")), 2).as("sum_v"),
+          count(lit(1)).as("n"))
+      val daily = ev
+        .groupBy(col("user_id"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY"))
+            .as("avail_ts"))
+        .agg(round(sum(col("value")), 2).as("sum_v"))
+      Joins.pointInTimeJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        col("user_id"), col("ts"),
+        Seq(("hr", hourly, col("user_id"), col("avail_ts"), Seq("sum_v", "n")),
+          ("day", daily, col("user_id"), col("avail_ts"), Seq("sum_v"))))
+        .select(col("event_id"), col("user_id"), col("hr_sum_v"),
+          col("hr_n"), col("day_sum_v"))
     }),
     // J6 anti-join: dimension rows absent from a fact subset (customers with
     // no urgent orders — nonempty, unlike the unrestricted variant)
@@ -1110,6 +1149,41 @@ object SparkEntry {
           .withColumn("v", round(col("v") * 2, 2)),
         path, Seq("event_id"), Seq(col("event_id")))
       s.read.parquet(path).select(col("event_id"), col("v"))
+    }),
+
+    // Surgical keyed delete (right-to-be-forgotten): write the partitioned
+    // table, delete every row of users with user_id % 7 == 3, read back.
+    // Only partitions containing a victim are rewritten (spec asserts the
+    // untouched partitions' files are bit-identical by mtime+name).
+    "q_delete_keys" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sink_del_").toString + "/tbl"
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), round(col("value"), 2).as("v"))
+      Sink.overwriteDatePartitions(ev, col("ts"), path)
+      val victims = ev.select(col("user_id"))
+        .where(col("user_id") % 7 === 3).distinct()
+      Sink.deleteKeys(s, path, "user_id", victims)
+      s.read.parquet(path).select(col("event_id"), col("v"))
+    }),
+    // Row-level error quarantine: events re-delivered as CSV with a
+    // deterministic 10% corruption (qty='bad' where event_id % 10 == 0);
+    // strict-schema PERMISSIVE read routes bad rows to _corrupt_record
+    // instead of dropping or crashing — one scan, nothing lost.
+    "q_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_quar_").toString + "/in"
+      Sink.writeCsv(
+        events(s, d).select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit("bad"))
+            .otherwise(floor(col("value") * 1e6).cast("long").cast("string"))
+            .as("qty")),
+        dir)
+      Ingest.csvFlagQuarantine(s, dir, StructType(Seq(
+        StructField("event_id", LongType), StructField("qty", LongType))))
+        .groupBy(col("is_quarantined"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
     }),
 
     // training-corpus shard delivery: size-bounded parquet shards + manifest
@@ -2243,6 +2317,15 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, round(round(value, 2) * 2, 2) AS v FROM events
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+    "q_delete_keys" ->
+      """SELECT event_id, round(value, 2) AS v FROM events
+         WHERE user_id % 7 <> 3""",
+    "q_quarantine" ->
+      """SELECT (event_id % 10 = 0) AS is_quarantined, count(*) AS n,
+           CAST(sum(CASE WHEN event_id % 10 = 0 THEN NULL
+               ELSE CAST(floor(value * 1000000.0) AS BIGINT) END) AS BIGINT)
+             AS qty_sum
+         FROM events GROUP BY 1""",
     "q_stream_hourly" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events)
          SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
@@ -2430,6 +2513,23 @@ object SparkEntry {
          SELECT 'props', count(*), count(*) - count(props),
            count(DISTINCT props), NULL::DOUBLE, NULL::DOUBLE
          FROM events""",
+    "q_zorder" ->
+      """WITH b AS (SELECT event_id,
+           least(255, greatest(0, coalesce(user_id, 0) >> 3)) AS b1,
+           least(255, greatest(0,
+             coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0) >> 22))
+             AS b2
+         FROM events)
+         SELECT event_id,
+           ((((b1 >> 0) & 1) << 1) | (((b2 >> 0) & 1) << 0) |
+            (((b1 >> 1) & 1) << 3) | (((b2 >> 1) & 1) << 2) |
+            (((b1 >> 2) & 1) << 5) | (((b2 >> 2) & 1) << 4) |
+            (((b1 >> 3) & 1) << 7) | (((b2 >> 3) & 1) << 6) |
+            (((b1 >> 4) & 1) << 9) | (((b2 >> 4) & 1) << 8) |
+            (((b1 >> 5) & 1) << 11) | (((b2 >> 5) & 1) << 10) |
+            (((b1 >> 6) & 1) << 13) | (((b2 >> 6) & 1) << 12) |
+            (((b1 >> 7) & 1) << 15) | (((b2 >> 7) & 1) << 14))::BIGINT AS z
+         FROM b""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          COUNT(*) AS cnt, round(SUM(value), 2) AS total
@@ -2480,6 +2580,22 @@ object SparkEntry {
            c.c_ts AS asof_c_ts, c.c_val AS asof_c_val
          FROM v ASOF LEFT JOIN c
            ON v.user_id = c.c_uid AND v.ts >= c.c_ts""",
+    "q_pit_join" ->
+      """WITH hourly AS (SELECT user_id,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+             round(sum(value), 2) AS sum_v, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         daily AS (SELECT user_id,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS avail_ts,
+             round(sum(value), 2) AS sum_v
+           FROM events GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+           h.sum_v AS hr_sum_v, h.n AS hr_n, d.sum_v AS day_sum_v
+         FROM events e
+           ASOF LEFT JOIN hourly h
+             ON e.user_id = h.user_id AND e.ts >= h.avail_ts
+           ASOF LEFT JOIN daily d
+             ON e.user_id = d.user_id AND e.ts >= d.avail_ts""",
     "q_customers_no_orders" ->
       """SELECT c_custkey FROM customer
          WHERE c_custkey NOT IN

@@ -89,6 +89,47 @@ object Ingest {
     df.toDF(cleaned: _*)
   }
 
+  /** Row-level error quarantine for CSV ingest: strict schema, PERMISSIVE
+    * scan — rows that fail the schema (wrong arity, untypeable fields) keep
+    * their RAW text in `_corrupt_record` and get `is_quarantined = true`;
+    * clean rows parse to typed columns. The reference drops or crashes on
+    * malformed collector output row-by-row in Python; at 100 TB the
+    * contract is: one scan, no row lost, bad rows routed — sink the result
+    * `partitionBy("is_quarantined")` and the split costs ZERO extra passes
+    * (good data and the quarantine land as separate partition dirs of the
+    * same write).
+    *
+    * NOT `spark.read.csv` + `columnNameOfCorruptRecord`: the CSV file
+    * source converts only the columns a consumer projects, so with a
+    * narrow projection the failing conversion never runs and the corrupt
+    * slot stays null — `is_quarantined` would silently depend on the
+    * downstream column list (measured on this Spark build; the
+    * parser-columnPruning conf does not restore full-row conversion).
+    * Reading lines as TEXT and parsing with `from_csv` pins the
+    * conversion set to the declared schema inside one expression, so the
+    * flag is projection-independent by construction (spec-pinned).
+    *
+    * Header handling: the header line (fieldnames joined by ',') is
+    * filtered per file — requires the header to match `schema` field
+    * names, i.e. files written by [[Sink.writeCsv]] or equivalent. */
+  def csvFlagQuarantine(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv, lit}
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record")
+    val withCorrupt = schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val header = schema.fieldNames.mkString(",")
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    spark.read.text(path)
+      .filter(col("value") =!= lit(header))
+      .select(from_csv(col("value"), withCorrupt, opts).as("_p"))
+      .select((schema.fieldNames.map(f => col(s"_p.$f")) :+
+        col("_p._corrupt_record").as("_corrupt_record")): _*)
+      .withColumn("is_quarantined", col("_corrupt_record").isNotNull)
+  }
+
   /** Semi-structured JSON column extraction (the reference stores API
     * payload remnants as JSON strings the same way `events.props` does;
     * its Python side round-trips them through `json.loads` per row —

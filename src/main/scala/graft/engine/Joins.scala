@@ -33,6 +33,70 @@ object Joins {
     l.join(broadcast(r), Seq("_nk"), how).drop("_nk")
   }
 
+  /** Point-in-time (feature-store) join: enrich each fact row with the
+    * LATEST row of EVERY feature table as of the fact timestamp — the
+    * no-future-leakage join a training-set builder needs when features are
+    * periodic rollups published after their window closes.
+    *
+    * All feature tables share the fact's entity key, so instead of folding
+    * N [[asofJoin]]s (N shuffles of the ever-wider fact), everything unions
+    * into ONE frame — each feature row carrying its values as one struct
+    * column, null elsewhere — and a single per-key ordered window runs one
+    * `last(struct, ignoreNulls)` per feature. One shuffle and one sort
+    * total, independent of feature-table count; each feature's match is a
+    * whole row carried as a struct (never per-column `last`, which would
+    * stitch fields from different feature rows across genuine nulls).
+    *
+    * At equal timestamps the feature row sorts BEFORE the fact row (a
+    * value published exactly at the fact instant is visible — same
+    * convention as [[asofJoin]] and DuckDB/pandas ASOF `>=`). Each feature
+    * table must be unique per (key, ts). Output: all fact columns, then
+    * `<prefix>_<col>` for each feature's carried columns (null when no
+    * feature row precedes the fact).
+    *
+    * `features`: (prefix, table, key, ts, carried value columns). */
+  def pointInTimeJoin(fact: DataFrame, key: Column, ts: Column,
+                      features: Seq[(String, DataFrame, Column, Column, Seq[String])]): DataFrame = {
+    require(features.nonEmpty, "no feature tables")
+    val prefixes = features.map(_._1)
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate feature prefixes: $prefixes")
+    val factCols = fact.columns
+    val structTypes = features.map { case (_, fdf, _, _, vals) =>
+      org.apache.spark.sql.types.StructType(vals.map(c => fdf.schema(c)))
+    }
+    def nullStructsExcept(live: Int): Seq[Column] =
+      features.indices.map { i =>
+        if (i == live) {
+          val (_, _, _, _, vals) = features(i)
+          struct(vals.map(c => col(c).as(c)): _*).as(s"_f$i")
+        } else lit(null).cast(structTypes(i)).as(s"_f$i")
+      }
+    val factSide = fact.select(
+      (key.as("_k") +: ts.as("_ts") +: lit(1).as("_side") +:
+        features.indices.map(i => lit(null).cast(structTypes(i)).as(s"_f$i"))) ++:
+        factCols.map(c => col(c)): _*)
+    val featureSides = features.zipWithIndex.map {
+      case ((_, fdf, fKey, fTs, _), i) =>
+        fdf.select(
+          (fKey.as("_k") +: fTs.as("_ts") +: lit(0).as("_side") +:
+            nullStructsExcept(i)) ++:
+            factCols.map(c => lit(null).cast(fact.schema(c).dataType).as(c)): _*)
+    }
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = featureSides.foldLeft(factSide)(_ unionByName _)
+    val withLasts = features.indices.foldLeft(carried) { (df, i) =>
+      df.withColumn(s"_f$i", last(col(s"_f$i"), ignoreNulls = true).over(w))
+    }
+    withLasts.filter(col("_side") === 1)
+      .select(factCols.map(col) ++
+        features.zipWithIndex.flatMap { case ((prefix, _, _, _, vals), i) =>
+          vals.map(c => col(s"_f$i.$c").as(s"${prefix}_$c"))
+        }: _*)
+  }
+
   /** AS-OF join: for each left row, the LATEST right row with
     * rTs <= left ts, per key — without a range join (which explodes
     * quadratically per key) and without a per-key collect.

@@ -51,6 +51,67 @@ object Sink {
     }
   }
 
+  /** Surgical keyed delete from a date-partitioned parquet table (written
+    * by [[overwriteDatePartitions]]): the right-to-be-forgotten / retention
+    * op. Rewrites ONLY the partitions that actually contain a target key:
+    *
+    *  1. A partition-pruned, column-pruned probe scan (key + p_date pages
+    *     only) semi-joins the broadcast key set → the affected date list
+    *     (driver-held, bounded by the table's partition count).
+    *  2. Only those partitions are re-read (partition filter → pruned scan),
+    *     anti-joined against the keys, and dynamically overwritten in place
+    *     (same S13 idempotent protocol).
+    *
+    * A 2-key delete on a 100 TB table touches the handful of dates those
+    * keys lived in — never a full rewrite. Returns the affected dates.
+    * Keys arrive as a DataFrame so huge deletion lists stay distributed;
+    * the affected-DATES list is what must stay bounded. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 keys: DataFrame): Seq[java.sql.Date] = {
+    val table = spark.read.parquet(path)
+    val keyed = keys.toDF(keyCol)
+    val affected = table
+      .join(broadcast(keyed), Seq(keyCol), "left_semi")
+      .select(col("p_date")).distinct()
+      .collect().map(_.getDate(0)).toSeq.sortBy(_.toString)
+    if (affected.nonEmpty) {
+      // Overwriting a path the plan also reads is (rightly) rejected, so the
+      // survivors materialize first. localCheckpoint holds ONLY the affected
+      // partitions minus the deleted keys — delete-scope-sized, not
+      // table-sized — and is released right after the write (un-released
+      // checkpoint blocks tax every later query; see SCALE.md session
+      // hygiene).
+      val survivors = table
+        .filter(col("p_date").isin(affected: _*)) // partition-pruned re-read
+        .join(broadcast(keyed), Seq(keyCol), "left_anti")
+        .localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        survivors
+          .repartition(col("p_date"))
+          .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
+        // Dynamic overwrite only replaces partitions PRESENT in the written
+        // frame — a partition whose every row was deleted would silently
+        // keep its old files. Drop those directories explicitly.
+        val survived = survivors.select(col("p_date")).distinct()
+          .collect().map(_.getDate(0).toString).toSet
+        affected.filterNot(d => survived(d.toString)).foreach { d =>
+          delete(new java.io.File(s"$path/p_date=$d"))
+        }
+      } finally {
+        survivors.unpersist(blocking = false)
+        prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+    affected
+  }
+
   /** S14: keyed upsert into a parquet table — read-merge-rewrite with the
     * incoming side winning on key conflict. The commit is pluggable:
     *  - [[StagedSwap]] (default): write to a temp path, swap directories via
@@ -258,6 +319,56 @@ object Sink {
       .agg(count(lit(1)).as("rows"), sum(col("_w")).as("weight"))
     manifest.write.mode(SaveMode.Overwrite).parquet(path + "._manifest")
     spark.read.parquet(path + "._manifest")
+  }
+
+  /** Z-order-clustered parquet layout: range-partition and sort by the
+    * Morton index of `zCols` ([[Order.zValue]]), then write size-bounded
+    * files — every written file gets a tight min/max envelope on EVERY
+    * clustered column, so parquet stats prune files/row-groups for
+    * predicates on ANY of them, not just a leading sort key. This is the
+    * layout lever for multi-dimension point/range lookups over a 100 TB
+    * table (a linear sort serves only its first column; a second predicate
+    * column spans the full range inside every file and nothing skips).
+    *
+    * The z column is dropped before writing — it is a layout key, not
+    * data; ranges are caller-declared (stable across daily appends).
+    * Prunability is MEASURED in SinkIngestSpec: fraction of files whose
+    * [min,max] on the NON-leading column intersects a point query,
+    * z-ordered vs linear-sorted. */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String],
+                    ranges: Seq[(Long, Long)], path: String,
+                    numFiles: Int, bits: Int = 8): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    val z = Order.zValue(zCols.map(col), ranges, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Parquet with per-column bloom filters — the point-lookup complement to
+    * [[writeZOrdered]]: min/max envelopes prune RANGES, but on a
+    * high-cardinality key whose values interleave across files (user ids,
+    * document hashes) every envelope spans everything and nothing skips. A
+    * bloom filter per row group answers "is this exact value possibly
+    * here?" in O(1), so an equality predicate skips row groups regardless
+    * of value interleaving; readers (Spark's parquet scan included) consult
+    * it automatically for pushed `=`/`IN` filters. False-positive rate is
+    * set by `ndv` (expected distinct values per row group) — undersizing
+    * ndv inflates FPs and silently voids the skipping, so size it to the
+    * real per-file cardinality. Spec asserts the written artifact: filter
+    * present per row group, membership true for present values, false for
+    * a sweep of absent ones. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "no bloom columns")
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    configured.parquet(path)
   }
 
   /** S11: CSV sink (utf-8, header), append or overwrite. */

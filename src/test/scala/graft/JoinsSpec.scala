@@ -49,6 +49,67 @@ class JoinsSpec extends SparkSpec {
     out(3).getDouble(out(3).fieldIndex("asof_px")) shouldBe 50.0  // per-key isolation
   }
 
+  test("pointInTimeJoin: per-feature latest-as-of rows, one window pass") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val f1 = Seq(("u", t(1), 10.0, Some(1L)), ("u", t(5), 50.0, None))
+      .toDF("k", "fts", "sc", "cnt") // ts=5 row has a GENUINE null field
+    val f2 = Seq(("u", t(3), "x"), ("v", t(0), "y")).toDF("k", "fts", "tag")
+    val fact = Seq(("u", t(0), 1L), ("u", t(1), 2L), ("u", t(4), 3L),
+      ("u", t(6), 4L), ("v", t(2), 5L)).toDF("k", "ts", "fid")
+    val out = Joins.pointInTimeJoin(fact, col("k"), col("ts"),
+        Seq(("a", f1, col("k"), col("fts"), Seq("sc", "cnt")),
+          ("b", f2, col("k"), col("fts"), Seq("tag"))))
+      .orderBy("fid").collect()
+    def g(i: Int, c: String): AnyRef = {
+      val r = out(i); val j = r.fieldIndex(c)
+      if (r.isNullAt(j)) null else r.get(j).asInstanceOf[AnyRef]
+    }
+    g(0, "a_sc") shouldBe null            // before any feature row
+    g(1, "a_sc") shouldBe 10.0            // equal-ts feature visible
+    g(1, "a_cnt") shouldBe 1L
+    g(1, "b_tag") shouldBe null           // other table not yet published
+    g(2, "a_sc") shouldBe 10.0
+    g(2, "b_tag") shouldBe "x"
+    g(3, "a_sc") shouldBe 50.0            // newer feature row wins...
+    g(3, "a_cnt") shouldBe null           // ...with its OWN null, not stitched
+    g(4, "a_sc") shouldBe null            // per-key isolation
+    g(4, "b_tag") shouldBe "y"
+    // one window pass: exactly one Window operator in the physical plan
+    val plan = Joins.pointInTimeJoin(fact, col("k"), col("ts"),
+      Seq(("a", f1, col("k"), col("fts"), Seq("sc")),
+        ("b", f2, col("k"), col("fts"), Seq("tag"))))
+      .queryExecution.executedPlan.toString
+    "Window \\[".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("pointInTimeJoin == folded asofJoin on the same inputs") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rnd = new scala.util.Random(5)
+    // (k, ts) pairs unique BY CONSTRUCTION (values derived from the pair) —
+    // the per-table uniqueness contract, without nondeterministic dedup
+    val f1 = (0 until 30).map(i => (s"u${rnd.nextInt(4)}", rnd.nextInt(50)))
+      .distinct.map { case (k, m) => (k, t(m), (k.hashCode % 97 + m).toDouble) }
+      .toDF("k", "fts", "sc")
+    val f2 = (0 until 20).map(i => (s"u${rnd.nextInt(4)}", rnd.nextInt(50)))
+      .distinct.map { case (k, m) => (k, t(m), s"v$k$m") }
+      .toDF("k", "fts", "tag")
+    val fact = (0 until 40).map(i => (s"u${rnd.nextInt(4)}", t(rnd.nextInt(50)), i.toLong))
+      .toDF("k", "ts", "fid")
+    val pit = Joins.pointInTimeJoin(fact, col("k"), col("ts"),
+        Seq(("x", f1, col("k"), col("fts"), Seq("sc")),
+          ("y", f2, col("k"), col("fts"), Seq("tag"))))
+      .select("fid", "x_sc", "y_tag").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val folded = Joins.asofJoin(
+        Joins.asofJoin(fact, col("k"), col("ts"), f1, col("k"), col("fts"),
+          Seq("sc")).withColumnRenamed("asof_sc", "x_sc"),
+        col("k"), col("ts"), f2, col("k"), col("fts"), Seq("tag"))
+      .withColumnRenamed("asof_tag", "y_tag")
+      .select("fid", "x_sc", "y_tag").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    pit shouldBe folded
+  }
+
   test("saltedJoin == plain join on skewed data") {
     // 90% of fact rows share one key — the classic hot-key shape
     val fact = (1 to 200).map(i =>

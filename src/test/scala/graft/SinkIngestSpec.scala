@@ -201,4 +201,151 @@ class SinkIngestSpec extends SparkSpec {
     Ingest.csvWithCharsetFallback(spark, f.toString).columns shouldBe
       Array("col one", "col two")
   }
+
+  test("deleteKeys: rewrites only partitions containing target keys; " +
+    "emptied partitions vanish") {
+    val path = tmpDir() + "/gdpr"
+    val rows = for {
+      day <- 1 to 5; i <- 0 until 20
+    } yield (s"u${day}_$i", Timestamp.valueOf(f"2024-03-0$day 10:00:00"),
+      day * 100 + i)
+    Sink.overwriteDatePartitions(rows.toDF("uid", "ts", "v"), col("ts"), path)
+    def files(day: Int): Set[(String, Long)] = {
+      val dir = new java.io.File(s"$path/p_date=2024-03-0$day")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (1 to 5).map(files)
+    // delete two keys from day 2, ALL keys from day 4
+    val victims = (Seq("u2_3", "u2_7") ++ (0 until 20).map(i => s"u4_$i"))
+      .toDF("uid")
+    val affected = Sink.deleteKeys(spark, path, "uid", victims)
+    affected.map(_.toString) shouldBe Seq("2024-03-02", "2024-03-04")
+    val after = (1 to 5).map(files)
+    // untouched partitions: identical files, same mtimes (no rewrite)
+    after(0) shouldBe before(0)
+    after(2) shouldBe before(2)
+    after(4) shouldBe before(4)
+    after(1) should not be before(1) // day 2 rewritten
+    after(3) shouldBe empty          // day 4 fully deleted
+    val left = spark.read.parquet(path).select("uid").as[String]
+      .collect().toSet
+    left should have size 78 // 100 - 2 - 20
+    left should contain noneOf ("u2_3", "u2_7", "u4_0")
+    left should contain allOf ("u2_0", "u1_0", "u5_19")
+    // idempotent: re-deleting the same keys touches nothing
+    Sink.deleteKeys(spark, path, "uid", victims) shouldBe empty
+  }
+
+  test("csvFlagQuarantine: bad rows keep raw text, good rows parse typed") {
+    val dir = tmpDir()
+    val f = Paths.get(dir, "q.csv")
+    Files.write(f,
+      ("id,qty\n" +
+        "1,10\n" +
+        "2,notanumber\n" +
+        "3,30\n").getBytes("UTF-8"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val out = Ingest.csvFlagQuarantine(spark, f.toString, schema)
+    val good = out.filter(!col("is_quarantined"))
+      .select("id", "qty").as[(Long, Long)].collect().sorted
+    good shouldBe Array((1L, 10L), (3L, 30L))
+    // a data column must ride along: a corrupt-only projection is rejected
+    // by the CSV source (see csvFlagQuarantine Scaladoc)
+    val bad = out.filter(col("is_quarantined"))
+      .select("id", "_corrupt_record").as[(Option[Long], String)].collect()
+    bad.map(_._2) shouldBe Array("2,notanumber")
+    // one-pass split: partitioned write routes rows by the flag
+    val split = dir + "/split"
+    out.write.partitionBy("is_quarantined").parquet(split)
+    // the flag reads back as a STRING partition value (partition-type
+    // inference has no boolean)
+    spark.read.parquet(split)
+      .filter(col("is_quarantined") === "true").count() shouldBe 1L
+    spark.read.parquet(split)
+      .filter(col("is_quarantined") === "false").count() shouldBe 2L
+  }
+
+  test("writeWithBloom: row groups carry a working bloom filter for the key") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.values.bloomfilter.BloomFilter
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir() + "/bloomed"
+    val present = (0 until 2000).map(i => s"doc_${i * 7}")
+    Sink.writeWithBloom(present.toDF("doc_key").repartition(2), path,
+      Seq("doc_key"), ndv = 2000)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files should not be empty
+    var checkedGroups = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+      try {
+        val presentHere = spark.read.parquet(f.getAbsolutePath)
+          .collect().map(_.getString(0))
+        reader.getFooter.getBlocks.forEach { block =>
+          val chunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == "doc_key").get
+          val bf: BloomFilter = reader.getBloomFilterDataReader(block)
+            .readBloomFilter(chunk)
+          bf should not be null
+          // every present value answers "maybe" — no false negatives
+          presentHere.foreach { v =>
+            bf.findHash(bf.hash(Binary.fromString(v))) shouldBe true
+          }
+          // absent values answer "no" almost always (FPP ~1% at this ndv)
+          val absentHits = (0 until 1000)
+            .count(i => bf.findHash(bf.hash(Binary.fromString(s"missing_$i"))))
+          absentHits should be < 100
+          checkedGroups += 1
+        }
+      } finally reader.close()
+    }
+    checkedGroups should be >= 2
+  }
+
+  test("writeZOrdered: per-file envelopes prune the non-leading column; " +
+    "linear sort does not") {
+    import graft.engine.Order
+    // Two independent uniform dims — the adversarial case for a linear
+    // sort (second column spans its full range inside every file).
+    val rows = (0 until 4096).map { i =>
+      val a = (i * 2654435761L) % 1024      // pseudo-random, deterministic
+      val b = (i * 40503L + 7) % 1024
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b").repartition(8)
+    val ranges = Seq((0L, 1023L), (0L, 1023L))
+    val zPath = tmpDir() + "/ztbl"
+    val linPath = tmpDir() + "/lintbl"
+    Sink.writeZOrdered(df, Seq("a", "b"), ranges, zPath, numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(linPath)
+
+    def hitFraction(path: String): Double = {
+      val envs = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("b").as("lo"), max("b").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      envs.length shouldBe 16
+      // fraction of files a point predicate b = 512 must read
+      envs.count { case (lo, hi) => lo <= 512L && 512L <= hi } /
+        envs.length.toDouble
+    }
+    val zHit = hitFraction(zPath)
+    val linHit = hitFraction(linPath)
+    linHit shouldBe 1.0 // every linear file spans the full b range
+    zHit should be <= 0.5 // z-order: only files whose b-envelope covers 512
+    // identical data, different layout
+    spark.read.parquet(zPath).collect().map(_.getLong(0)).sorted shouldBe
+      spark.read.parquet(linPath).collect().map(_.getLong(0)).sorted
+  }
 }

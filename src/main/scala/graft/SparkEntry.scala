@@ -583,6 +583,60 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("hr_sum_v"),
           col("hr_n"), col("day_sum_v"))
     }),
+    // Interval-overlap join via time-grid bucketing: the theta join
+    // (ls <= re AND rs <= le) made EQUI — each interval explodes onto
+    // ≤2 grid cells, pairs hash-join on the cell, and each pair survives
+    // only in the cell of its overlap start (exactly-once, no distinct).
+    // Intervals: view/click events open a (event_id % 7 + 1)-minute window;
+    // overlap measured exactly in epoch micros. Oracle is the plain
+    // theta join — the grid is plan surgery, not semantics.
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = events(s, d)
+      def side(t: String, p: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${p}_id"), col("ts").as(s"${p}_s"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (col("event_id") % 7 + 1) * lit(60000000L)).as(s"${p}_e"))
+      Joins.intervalOverlapJoin(
+          side("view", "l"), col("l_s"), col("l_e"),
+          side("click", "r"), col("r_s"), col("r_e"), gridSeconds = 480)
+        .select(col("l_id"), col("r_id"), col("overlap_us"))
+    }),
+    // Keyed snapshot diff (CDC between two table versions): full-outer on
+    // the key, null-safe compare, unchanged keys dropped — delta-sized
+    // output. Snapshots derived deterministically from orders (A drops
+    // key%10==0, B drops key%7==0 and re-grades key%3==0).
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = orders(s, d)
+      val snapA = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val snapB = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, lit("RE-GRADED"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      Cdc.snapshotDiff(snapA, snapB, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"))
+    }),
+    // SCD Type-2 build from a change log: consecutive same-state rows per
+    // user collapse into versions carrying valid_from/valid_to/is_current —
+    // the dimension shape q_pit_join/q_asof_join consume. Total order is
+    // (ts, event_id) per the order-sensitivity rule.
+    "q_scd2" -> ((s, d) =>
+      Cdc.scd2(
+          events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+          col("user_id"), col("ts"), col("event_id"), Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("attr"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+    // Multi-level rollup report: all grouping prefixes in ONE Expand +
+    // single-shuffle aggregate (vs one groupBy per level). Revenue summed
+    // as exact integer cents — cross-engine bit-exact, no float-boundary
+    // exposure on the grand total.
+    "q_rollup_report" -> ((s, d) =>
+      Analytics.rollupReport(orders(s, d),
+        Seq((col("o_orderpriority"), "priority"),
+          (col("o_orderstatus"), "status")), "ALL",
+        Seq(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("revenue_cents")))),
     // J6 anti-join: dimension rows absent from a fact subset (customers with
     // no urgent orders — nonempty, unlike the unrestricted variant)
     "q_customers_no_orders" -> ((s, d) =>
@@ -2596,6 +2650,59 @@ object SparkEntry {
              ON e.user_id = h.user_id AND e.ts >= h.avail_ts
            ASOF LEFT JOIN daily d
              ON e.user_id = d.user_id AND e.ts >= d.avail_ts""",
+    "q_interval_overlap" ->
+      """WITH v AS (SELECT event_id AS l_id, ts AS l_s,
+                      ts + to_minutes(event_id % 7 + 1) AS l_e
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS r_id, ts AS r_s,
+                 ts + to_minutes(event_id % 7 + 1) AS r_e
+               FROM events WHERE event_type = 'click')
+         SELECT l_id, r_id,
+           epoch_us(least(l_e, r_e)) - epoch_us(greatest(l_s, r_s)) AS overlap_us
+         FROM v JOIN c ON l_s <= r_e AND r_s <= l_e""",
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                    FROM orders WHERE o_orderkey % 10 <> 0),
+         b AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'RE-GRADED'
+                      ELSE o_orderpriority END AS o_orderpriority
+               FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT * FROM (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderstatus AS old_o_orderstatus,
+             a.o_orderpriority AS old_o_orderpriority,
+             b.o_orderstatus AS new_o_orderstatus,
+             b.o_orderpriority AS new_o_orderpriority,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                  THEN 'update' END AS change_type
+           FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+         WHERE change_type IS NOT NULL""",
+    "q_scd2" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         starts AS (
+           SELECT user_id, ts, event_id, event_type FROM marked
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS attr, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM starts""",
+    "q_rollup_report" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
     "q_customers_no_orders" ->
       """SELECT c_custkey FROM customer
          WHERE c_custkey NOT IN

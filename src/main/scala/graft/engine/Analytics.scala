@@ -390,6 +390,31 @@ object Analytics {
       .where(col("cnt") * lit(1000000L) >= lit(n) * lit(sharePpm))
   }
 
+  /** Multi-level rollup report in ONE pass: every prefix of `dims` (total,
+    * per-dim1, per-(dim1,dim2), …) aggregated together via `ROLLUP` — the
+    * report the reference builds with one pandas groupby per level. Spark
+    * plans a single Expand (×(dims+1) rows map-side) feeding ONE partial +
+    * final hash aggregate: one shuffle total vs one per level, and the
+    * expanded rows are pre-aggregated map-side so the shuffle carries group
+    * counts, not data. Subtotal rows' null dims are coalesced to `sentinel`
+    * so the output needs no GROUPING_ID (whose bit order differs across
+    * engines) — dims must therefore be non-null (caller pre-coalesces real
+    * nulls). `dims` are (expression, output name); `aggs` must alias every
+    * aggregate column.
+    */
+  def rollupReport(df: DataFrame, dims: Seq[(Column, String)], sentinel: String,
+                   aggs: Seq[Column]): DataFrame = {
+    val dimNames = dims.map(_._2)
+    val rolled = df
+      .rollup(dims.map { case (d, nm) => d.as(nm) }: _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val isDim = dimNames.toSet
+    rolled.select(rolled.columns.map { c =>
+      if (isDim(c)) coalesce(col(c).cast("string"), lit(sentinel)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

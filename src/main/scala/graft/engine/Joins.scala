@@ -135,6 +135,51 @@ object Joins {
         rightVals.map(c => col(s"_rrow.$c").as(s"asof_$c")): _*)
   }
 
+  /** Interval-overlap join WITHOUT a nested-loop plan: pairs of rows whose
+    * closed time intervals [lStart,lEnd] and [rStart,rEnd] intersect.
+    * A plain `ON ls <= re AND rs <= le` is a pure theta join — Spark plans
+    * BroadcastNestedLoopJoin/Cartesian, O(n·m) compared at any scale.
+    * Instead both sides explode onto an integer time grid (`gridSeconds`):
+    * each interval emits one row per grid cell it covers, the join becomes
+    * an EQUI hash join on the cell, and a pair is kept only in the single
+    * cell containing the overlap start (`floor(max(ls,rs)/g)`) — so every
+    * overlapping pair is emitted exactly once with NO distinct/dedup pass.
+    *
+    * Cost: rows_per_side × (interval_len/grid + 1) shuffled, hash-joined on
+    * the cell — pick `gridSeconds` near the typical interval length so the
+    * blow-up stays ≤ ~2×. Timestamps are compared at microsecond precision
+    * (exact integers — testdata ts carries micros); touching endpoints
+    * overlap with `overlap_us = 0`. Column names of the two inputs must be
+    * disjoint (caller pre-aliases); output is all left columns, all right
+    * columns, and `overlap_us` (BIGINT).
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: Column, lEnd: Column,
+                          right: DataFrame, rStart: Column, rEnd: Column,
+                          gridSeconds: Long): DataFrame = {
+    require(gridSeconds > 0, s"gridSeconds must be positive: $gridSeconds")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"overlapping column names: $dup")
+    val g = gridSeconds * 1000000L
+    // floor division valid for any sign: (x - pmod(x,g)) is g-divisible and
+    // < 2^53, so the double division is exact
+    def cellOf(c: Column): Column = ((c - pmod(c, lit(g))) / lit(g)).cast("long")
+    val l = left
+      .withColumn("_ls", unix_micros(lStart))
+      .withColumn("_le", unix_micros(lEnd))
+      .withColumn("_cell", explode(sequence(cellOf(col("_ls")), cellOf(col("_le")))))
+    val r = right
+      .withColumn("_rs", unix_micros(rStart))
+      .withColumn("_re", unix_micros(rEnd))
+      .withColumn("_rcell", explode(sequence(cellOf(col("_rs")), cellOf(col("_re")))))
+    l.join(r,
+        col("_cell") === col("_rcell") &&
+          col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+          col("_cell") === cellOf(greatest(col("_ls"), col("_rs"))))
+      .withColumn("overlap_us",
+        least(col("_le"), col("_re")) - greatest(col("_ls"), col("_rs")))
+      .drop("_ls", "_le", "_cell", "_rs", "_re", "_rcell")
+  }
+
   /** Skew-mitigating equi-join (the manual fallback when AQE's skew-join
     * split isn't available or the skew is in a single key): the left (fact)
     * side salts its key into `salts` sub-keys using a deterministic hash of

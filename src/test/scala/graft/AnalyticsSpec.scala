@@ -139,4 +139,30 @@ class AnalyticsSpec extends SparkSpec {
       a99 shouldBe p99 +- math.max(1.0, p99 * 0.03)
     }
   }
+
+  test("rollupReport == union of the per-level groupBys, nulls sentineled, one Expand") {
+    val df = Seq(
+      ("p1", "s1", 10L), ("p1", "s1", 5L), ("p1", "s2", 7L), ("p2", "s1", 3L)
+    ).toDF("p", "s", "v")
+    val got = Analytics.rollupReport(df,
+        Seq((col("p"), "priority"), (col("s"), "status")), "ALL",
+        Seq(sum(col("v")).as("tot")))
+      .select("priority", "status", "n_rows", "tot")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array(
+      ("ALL", "ALL", 4L, 25L),
+      ("p1", "ALL", 3L, 22L),
+      ("p1", "s1", 2L, 15L),
+      ("p1", "s2", 1L, 7L),
+      ("p2", "ALL", 1L, 3L),
+      ("p2", "s1", 1L, 3L))
+    // single-pass shape: the plan is one Expand feeding one aggregate — not
+    // a union of per-level groupBys (which would plan Union, no Expand)
+    val plan = Analytics.rollupReport(df,
+        Seq((col("p"), "priority"), (col("s"), "status")), "ALL",
+        Seq(sum(col("v")).as("tot")))
+      .queryExecution.executedPlan.toString
+    plan should include("Expand")
+    plan should not include "Union"
+  }
 }

@@ -126,6 +126,53 @@ class JoinsSpec extends SparkSpec {
     lo shouldBe 200
   }
 
+  test("intervalOverlapJoin: hand fixture — overlap, touch, disjoint, cross-cell") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // grid = 60 s; intervals chosen to cover: same-cell overlap, endpoint
+    // touch (overlap_us = 0), disjoint in the same cell, and a pair whose
+    // overlap START sits in the second covered cell (dedup-cell rule)
+    val l = Seq(
+      (1L, t("2024-01-01 00:00:10"), t("2024-01-01 00:00:50")),
+      (2L, t("2024-01-01 00:02:00"), t("2024-01-01 00:03:30"))
+    ).toDF("l_id", "l_s", "l_e")
+    val r = Seq(
+      (10L, t("2024-01-01 00:00:40"), t("2024-01-01 00:01:10")), // overlaps 1 (10 s)
+      (11L, t("2024-01-01 00:00:50"), t("2024-01-01 00:00:55")), // touches 1 at 00:50
+      (12L, t("2024-01-01 00:00:55"), t("2024-01-01 00:00:59")), // disjoint from 1
+      (13L, t("2024-01-01 00:03:00"), t("2024-01-01 00:04:00"))  // overlap of 2 starts in cell 3
+    ).toDF("r_id", "r_s", "r_e")
+    val got = Joins.intervalOverlapJoin(l, col("l_s"), col("l_e"),
+        r, col("r_s"), col("r_e"), gridSeconds = 60)
+      .select("l_id", "r_id", "overlap_us")
+      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    got shouldBe Array(
+      (1L, 10L, 10000000L),
+      (1L, 11L, 0L),
+      (2L, 13L, 30000000L))
+  }
+
+  test("intervalOverlapJoin == naive theta join, emitted exactly once, and plans NO nested loop") {
+    def t(base: Long) = new Timestamp(1704067200000L + base * 1000L)
+    val l = (0 until 120).map(i => (i.toLong, t(i * 37L), t(i * 37L + 55)))
+      .toDF("l_id", "l_s", "l_e")
+    val r = (0 until 150).map(i => (i.toLong, t(i * 29L + 11), t(i * 29L + 11 + 40)))
+      .toDF("r_id", "r_s", "r_e")
+    val fast = Joins.intervalOverlapJoin(l, col("l_s"), col("l_e"),
+      r, col("r_s"), col("r_e"), gridSeconds = 50)
+    val naive = l.join(r, col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select(col("l_id"), col("r_id"),
+        unix_micros(least(col("l_e"), col("r_e"))) -
+          unix_micros(greatest(col("l_s"), col("r_s"))) as "overlap_us")
+    val a = fast.select("l_id", "r_id", "overlap_us")
+      .as[(Long, Long, Long)].collect().sorted
+    val b = naive.as[(Long, Long, Long)].collect().sorted
+    a shouldBe b
+    a.distinct.length shouldBe a.length // exactly-once, no duplicate pairs
+    val physical = fast.queryExecution.executedPlan.toString
+    physical should not include "BroadcastNestedLoopJoin"
+    physical should not include "CartesianProduct"
+  }
+
   test("resumePoints: incomplete last day resumes same day, complete next day") {
     def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     // k1's last day (Jan 2) has only 2 distinct hours → resume same day;

@@ -987,6 +987,12 @@ object SparkEntry {
       Sampling.assignSplit(documents(s, d), col("doc_id"),
         Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
         .select(col("doc_id"), col("source"), col("split"))),
+    // contrastive negative sampling: 3 deterministic self-pair-free uniform
+    // negatives per doc via the seeded position index + one hash join (no
+    // cartesian); md5/integer arithmetic end to end → oracled
+    "q_negative_pairs" -> ((s, d) =>
+      Sampling.negativeSamples(documents(s, d), col("doc_id"), k = 3,
+        seed = 7L)),
     // deterministic seeded corpus shuffle: exact global position under the
     // md5(id:seed) order + round-robin shard — distributed rank (range
     // repartition + zipWithIndex over one sort shuffle), never a
@@ -1266,6 +1272,17 @@ object SparkEntry {
       runAvailableNow(s, out, "hourly", d,
         _.select(col("bucket"), col("grp"), round(col("total"), 2).as("total")))
     }),
+    // Sliding-window stream (2 h windows every 1 h): each event lands in 2
+    // overlapping windows; append emits windows whose END clears the
+    // watermark — closed form: per-event expansion onto both covering
+    // window starts, same HAVING rule as the tumbling oracle
+    "q_stream_slide" -> ((s, d) => {
+      val out = graft.streaming.Streams.slidingSumStream(
+        streamingEvents(s, d), "ts", col("event_type"), col("value"))
+      runAvailableNow(s, out, "slide", d,
+        _.select(col("win_start"), col("grp"),
+          round(col("total"), 2).as("total"), col("n")))
+    }),
     // Stream-stream interval join: click events enriched with same-user view
     // events up to 1 h earlier. AvailableNow over one file = one micro-batch,
     // so the inner join emits every match — the closed-form oracle is the
@@ -1351,6 +1368,14 @@ object SparkEntry {
     "q_delta_lag" -> ((s, d) =>
       Analytics.deltaVsPrev(events(s, d), col("event_type"), col("ts"),
         col("event_id"), col("value"))),
+    // integer-exact EWMA smoothing per user (decay 1/2, depth 20): cents ×
+    // power-of-two weights summed in BIGINT — bit-identical cross-engine,
+    // one Window operator for all 21 lags
+    "q_ewma" -> ((s, d) =>
+      Analytics.ewmaScaledByKey(events(s, d), col("user_id"), col("ts"),
+          col("event_id"), col("value"))
+        .select(col("event_id").as("id"), col("user_id"),
+          col("ewma_scaled"))),
     // gap-based sessionization per user, 30-minute timeout (oracled)
     "q_sessionize" -> ((s, d) =>
       Analytics.sessionize(events(s, d), col("user_id"), col("ts"),
@@ -1978,6 +2003,30 @@ object SparkEntry {
                    ::DOUBLE / 4294967296.0 AS u
                FROM sc)
          SELECT doc_id, bucket, n_tokens FROM b WHERE u < rate""",
+    "q_negative_pairs" ->
+      """WITH r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY
+               md5(CAST(doc_id AS VARCHAR) || ':7')
+                 || CAST(doc_id AS VARCHAR)) - 1 AS pos
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents),
+         d AS (SELECT r.doc_id AS anchor_id, r.pos, t.t,
+                 CAST(('0x' || substr(md5(CAST(r.doc_id AS VARCHAR) || ':' ||
+                   CAST(t.t AS VARCHAR) || ':7'), 1, 8))::UBIGINT AS BIGINT)
+                   % (nn.n - 1) AS j0
+               FROM r, (SELECT unnest([1, 2, 3]) AS t) t, nn)
+         SELECT d.anchor_id, CAST(d.t AS BIGINT) AS t, r2.doc_id AS neg_id
+         FROM d JOIN r r2
+           ON r2.pos = CASE WHEN d.j0 >= d.pos THEN d.j0 + 1 ELSE d.j0 END""",
+    "q_ewma" -> {
+      val terms = (0 to 20).map(k =>
+        s"coalesce(lag(vc, $k) OVER w, 0) * ${1L << (20 - k)}")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT event_id AS id, user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS vc FROM events)
+         SELECT id, user_id, CAST($terms AS BIGINT) AS ewma_scaled
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, id)"""
+    },
     "q_train_val_split" ->
       """SELECT doc_id, source,
            CASE WHEN u < 0.9 THEN 'train'
@@ -2387,6 +2436,16 @@ object SparkEntry {
          FROM events, mx
          GROUP BY 1, 2, mx.m
          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
+    "q_stream_slide" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         w AS (SELECT date_trunc('hour', ts) - to_hours(k.k) AS win_start,
+                 event_type, value
+               FROM events, (SELECT unnest([0, 1]) AS k) k)
+         SELECT win_start, event_type AS grp, round(sum(value), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+         FROM w, mx
+         GROUP BY win_start, event_type, mx.m
+         HAVING win_start + INTERVAL 2 HOUR <= m - INTERVAL 2 HOUR""",
     // run 2's emissions = full rollup restricted to windows whose end lies
     // in (wm after run 1, wm after run 2] — i.e. closed by the restart run.
     // Boundary windows aggregate BOTH runs' rows: state survived the

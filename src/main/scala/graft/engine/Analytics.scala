@@ -390,6 +390,30 @@ object Analytics {
       .where(col("cnt") * lit(1000000L) >= lit(n) * lit(sharePpm))
   }
 
+  /** Exponentially-weighted moving value per key (sensor smoothing /
+    * trend-following over the reading stream) — integer-exact, so unlike
+    * textbook float EWMA it is bit-identical across engines and
+    * partitionings (the float-boundary policy). Decay is fixed at 1/2 per
+    * step and truncated at `depth` lags: weights are powers of two, values
+    * quantize to integer cents (floor — no .5 ties), and the weighted sum
+    * stays in BIGINT:
+    * `ewma_scaled(t) = Σ_{k=0..depth} floor(100·v_{t−k}) · 2^(depth−k)`
+    * (missing history contributes 0; normalize by 100·(2^(depth+1)−1) for
+    * the smoothed value). At depth 20 the dropped tail weighs < 10⁻⁶ of the
+    * total. One window shuffle on the key; the `depth+1` lag expressions
+    * share a single Window operator. (ts, tieBreak) must totally order each
+    * key — the order-sensitivity rule. */
+  def ewmaScaledByKey(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                      value: Column, depth: Int = 20): DataFrame = {
+    require(depth >= 0 && depth < 40, s"depth out of range: $depth")
+    val w = Window.partitionBy(key).orderBy(ts.asc, tieBreak.asc)
+    val cents = floor(value * 100).cast("long")
+    df.withColumn("ewma_scaled",
+      (0 to depth).map(k =>
+        coalesce(lag(cents, k).over(w), lit(0L)) * lit(1L << (depth - k)))
+        .reduce(_ + _))
+  }
+
   /** Multi-level rollup report in ONE pass: every prefix of `dims` (total,
     * per-dim1, per-(dim1,dim2), …) aggregated together via `ROLLUP` — the
     * report the reference builds with one pandas groupby per level. Spark

@@ -156,6 +156,45 @@ object Sampling {
       .drop("_s")
   }
 
+  /** Contrastive negative sampling: for each row, `k` pseudo-random OTHER
+    * rows of the corpus as negatives — deterministic, self-pair-free,
+    * exactly uniform over the n−1 other rows. A contrastive training set
+    * (anchor, positive, negatives…) needs this at corpus scale without a
+    * cartesian "sample others per anchor" scan.
+    *
+    * Mechanism: a seeded global position index ([[Order.seededShuffle]]'s
+    * md5 total order) makes rows addressable by integer position; each
+    * (anchor, t ∈ 1..k) draws `j0 = md5₃₂(id:t:seed) mod (n−1)` and skips
+    * its own slot (`j = j0 + 1` when `j0 >= pos`) — a bijection from
+    * [0, n−2] onto the other positions, so uniformity needs no rejection
+    * loop; ONE hash join on the drawn position resolves negative ids.
+    * Cost: the index build (one range-shuffle sort, reused for anchors and
+    * lookups via localCheckpoint — at 100 TB sink the (id, pos) index to
+    * parquet once instead) + a k·n ⋈ n equi join. All integer/md5
+    * arithmetic → cross-engine exact, oracle-checkable.
+    * Output: (anchor_id, t, neg_id). */
+  def negativeSamples(df: DataFrame, id: Column, k: Int, seed: Long,
+                      numParts: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val indexed = Order.seededShuffle(df.select(id.as("anchor_id")),
+        col("anchor_id"), seed, numShards = 1, numParts = numParts)
+      .select(col("anchor_id"), col("pos"))
+      .localCheckpoint() // materialize once: count + anchors + lookup side
+    val n = indexed.count()
+    require(n > 1, s"need at least 2 rows to draw negatives (got $n)")
+    val drawn = indexed
+      .withColumn("t", explode(array((1 to k).map(t => lit(t.toLong)): _*)))
+      .withColumn("_j0",
+        conv(substring(md5(concat(col("anchor_id").cast("string"), lit(":"),
+          col("t").cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+          .cast("long") % lit(n - 1))
+      .withColumn("_j",
+        when(col("_j0") >= col("pos"), col("_j0") + 1).otherwise(col("_j0")))
+    drawn.join(indexed.select(col("pos").as("_j"),
+        col("anchor_id").as("neg_id")), "_j")
+      .select(col("anchor_id"), col("t"), col("neg_id"))
+  }
+
   /** Deterministic train/val/test split assignment: bucket =
     * first-32-bits-of-md5(id) / 2³², assigned to the first split whose
     * cumulative fraction exceeds it. A pure function of the id — stable

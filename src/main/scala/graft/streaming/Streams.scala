@@ -32,6 +32,22 @@ object Streams {
       .agg(sum(value).as("total"))
       .select(col("win.start").as("bucket"), col("grp"), col("total"))
 
+  /** Sliding-window aggregate: overlapping windows of `size` advancing
+    * every `slide` — the trailing-window rollup (A10/P11+'s rollingByKey)
+    * as a stream. Spark expands each event onto its size/slide covering
+    * windows map-side; state is bounded to windows still inside the
+    * watermark horizon. Append emits each window exactly once, when the
+    * watermark passes its end. */
+  def slidingSumStream(events: DataFrame, ts: String, key: Column,
+                       value: Column, size: String = "2 hours",
+                       slide: String = "1 hour",
+                       lateness: String = "2 hours"): DataFrame =
+    events.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), size, slide).as("win"), key.as("grp"))
+      .agg(sum(value).as("total"), count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("grp"), col("total"), col("n"))
+
   /** S14/U3 as a stream: exactly-once-per-key within the watermark horizon
     * (duplicate re-deliveries from upstream retries are dropped). */
   def dedupStream(events: DataFrame, ts: String, keys: Seq[String],

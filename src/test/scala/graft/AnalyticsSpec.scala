@@ -140,6 +140,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaScaledByKey: hand-computed weighted sums, per-key isolation, tie-break order") {
+    val df = Seq(
+      ("a", t("2024-01-01 00:00:00"), 1L, 1.0),
+      ("a", t("2024-01-01 01:00:00"), 2L, 2.0),
+      ("a", t("2024-01-01 02:00:00"), 3L, 3.0),
+      ("b", t("2024-01-01 00:30:00"), 4L, 10.0),
+      // same ts as id=6: tie broken by id, so id=5 is the EARLIER reading
+      ("c", t("2024-01-01 00:00:00"), 5L, 1.0),
+      ("c", t("2024-01-01 00:00:00"), 6L, 2.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = Analytics.ewmaScaledByKey(df, col("k"), col("ts"), col("id"),
+        col("v"), depth = 2)
+      .select("id", "ewma_scaled").as[(Long, Long)].collect().toMap
+    // weights (current, lag1, lag2) = (4, 2, 1) on cents
+    got shouldBe Map(
+      1L -> 400L,            // 100*4
+      2L -> (200 * 4 + 100 * 2L),
+      3L -> (300 * 4 + 200 * 2 + 100L),
+      4L -> 4000L,           // fresh key: no history
+      5L -> 400L,
+      6L -> (200 * 4 + 100 * 2L))
+  }
+
+  test("ewmaScaledByKey: partitioning-independent and exact vs driver-side recurrence") {
+    val rows = (0 until 400).map { i =>
+      (s"k${i % 3}", t(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"),
+        i.toLong, (i * 37 % 1000) / 10.0 - 17.3)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val a = Analytics.ewmaScaledByKey(df, col("k"), col("ts"), col("id"),
+        col("v"), depth = 20)
+      .select("id", "ewma_scaled").as[(Long, Long)].collect().toMap
+    val b = Analytics.ewmaScaledByKey(df.repartition(13), col("k"), col("ts"),
+        col("id"), col("v"), depth = 20)
+      .select("id", "ewma_scaled").as[(Long, Long)].collect().toMap
+    a shouldBe b
+    // driver-side truth: same truncated weighted sum in BigInt
+    rows.groupBy(_._1).values.foreach { g =>
+      val ord = g.sortBy(r => (r._2.getTime, r._3))
+      ord.zipWithIndex.foreach { case ((_, _, id, _), i) =>
+        val expect = (0 to math.min(20, i)).map { k =>
+          BigInt(math.floor(ord(i - k)._4 * 100).toLong) * BigInt(1L << (20 - k))
+        }.sum
+        BigInt(a(id)) shouldBe expect
+      }
+    }
+  }
+
   test("rollupReport == union of the per-level groupBys, nulls sentineled, one Expand") {
     val df = Seq(
       ("p1", "s1", 10L), ("p1", "s1", 5L), ("p1", "s2", 7L), ("p2", "s1", 3L)

@@ -187,4 +187,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplit(docs, col("doc_id"), Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+
+  test("negativeSamples: k per anchor, never self, valid ids, deterministic " +
+    "under repartitioning, seed-sensitive, broad coverage") {
+    val ids = spark.range(0, 50).select(col("id"))
+    val out = Sampling.negativeSamples(ids, col("id"), k = 5, seed = 11L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    out.length shouldBe 250
+    out.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).sorted.toSeq shouldBe (1L to 5L) // exactly t = 1..k each
+    }
+    all(out.map(r => r._1 != r._3)) shouldBe true   // self-pair-free
+    all(out.map(_._3)) should (be >= 0L and be < 50L)
+    // pure function of (id, t, seed): layout-independent
+    val re = Sampling.negativeSamples(ids.repartition(7), col("id"),
+        k = 5, seed = 11L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    re shouldBe out
+    val other = Sampling.negativeSamples(ids, col("id"), k = 5, seed = 12L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    other should not be out
+    // uniform draws: with 250 draws over 49 others, nearly every id is
+    // someone's negative (expected miss fraction e^-5.1 ≈ 0.6%)
+    out.map(_._3).distinct.length.toDouble should be > 50 * 0.6
+  }
+
+  test("negativeSamples: two rows give each other as the only negative; " +
+    "singleton corpus rejected") {
+    val two = spark.range(0, 2).select(col("id"))
+    val out = Sampling.negativeSamples(two, col("id"), k = 2, seed = 1L)
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, _, n) => n shouldBe (1L - a) }
+    intercept[IllegalArgumentException] {
+      Sampling.negativeSamples(spark.range(0, 1).select(col("id")),
+        col("id"), k = 1, seed = 1L)
+    }
+  }
 }

@@ -30,6 +30,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingSumStream: each event in both covering windows; append emits closed windows only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.slidingSumStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", col("k"), col("v"))
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    try {
+      mem.addData((t("2024-01-01 10:10:00"), "a", 1.0),
+        (t("2024-01-01 10:50:00"), "a", 2.0),
+        (t("2024-01-01 11:20:00"), "a", 4.0))
+      q.processAllAvailable()
+      // watermark → 14:00: windows ending ≤ 14:00 close; the 16:00 event's
+      // own windows stay open
+      mem.addData((t("2024-01-01 16:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM slide").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getDouble(3),
+          r.getLong(4))).toSet
+      rows shouldBe Set(
+        ("2024-01-01 09:00:00.0", "a", 3.0, 2L), // 10:10 + 10:50
+        ("2024-01-01 10:00:00.0", "a", 7.0, 3L), // all three
+        ("2024-01-01 11:00:00.0", "a", 4.0, 1L)) // 11:20 only
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

@@ -328,6 +328,14 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) =>
       Analytics.percentilesByGroup(events(s, d), col("event_type"),
         col("value"))),
+    // winsorization: clamp values at per-group exact p05/p95 — integer-cent
+    // compares, so no float boundary on the clamp (oracled)
+    "q_winsorize" -> ((s, d) =>
+      Analytics.winsorizeByGroup(
+          events(s, d).select(col("event_id").as("id"),
+            col("event_type").as("grp"), col("value")),
+          col("grp"), col("value"), 0.05, 0.95)
+        .select(col("id"), col("grp"), col("v_cents"))),
 
     // Semi-structured JSON extraction: events.props is a JSON payload
     // column; parse with an EXPLICIT schema (map-only codegen'd from_json —
@@ -1013,6 +1021,17 @@ object SparkEntry {
     // integer micro-nats, mean per doc (oracled)
     "q_bigram_lm" -> ((s, d) =>
       TextOps.bigramLmScore(documents(s, d), col("doc_id"), col("text"))),
+    // collocation mining: top bigrams by count with micro-nat PMI — the
+    // phrase / tokenizer-merge-candidate signal (oracled)
+    "q_collocations" -> ((s, d) =>
+      TextOps.collocations(documents(s, d), col("text"), minCount = 5L,
+        k = 500)),
+    // inverted index: (term, doc_id, pos, df) postings above a df floor —
+    // the search-index build pass (oracled; this corpus's 31-term synthetic
+    // vocabulary is all mid-frequency, so the floor keeps the full index)
+    "q_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(documents(s, d), col("doc_id"), col("text"),
+        minDf = 5L, maxDf = 1000000L)),
     // content-defined chunking: rolling-hash cut rule, shift-robust chunk
     // fingerprints for sub-document dedup (rows-only: the per-row rolling-
     // hash kernel isn't SQL-expressible; coverage/bounds/shift-resync laws
@@ -1462,6 +1481,48 @@ object SparkEntry {
            round(quantile_cont(value, 0.95), 6) AS p95,
            round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY 1""",
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type AS grp,
+             CAST(floor(quantile_cont(value, 0.05) * 100) AS BIGINT) AS lo,
+             CAST(floor(quantile_cont(value, 0.95) * 100) AS BIGINT) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_id AS id, e.event_type AS grp,
+           least(greatest(CAST(floor(e.value * 100) AS BIGINT), b.lo), b.hi)
+             AS v_cents
+         FROM events e JOIN b ON b.grp = e.event_type""",
+    "q_collocations" ->
+      """WITH p AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         bgs AS (SELECT term || ' ' ||
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+                 FROM p),
+         c2 AS (SELECT bg, count(*) AS n FROM bgs WHERE bg IS NOT NULL
+                GROUP BY 1),
+         uni AS (SELECT term, count(*) AS c FROM p GROUP BY 1),
+         tot AS (SELECT (SELECT sum(n) FROM c2) AS nbi,
+                        (SELECT sum(c) FROM uni) AS nuni)
+         SELECT bg, CAST(n AS BIGINT) AS n,
+           CAST(round(ln((CAST(n AS DOUBLE) * nuni * nuni) /
+             (CAST(nbi AS DOUBLE) * u1.c * u2.c)) * 1e6) AS BIGINT)
+             AS pmi_micro
+         FROM c2, tot,
+           uni u1, uni u2
+         WHERE u1.term = string_split(bg, ' ')[1]
+           AND u2.term = string_split(bg, ' ')[2]
+           AND n >= 5
+         ORDER BY n DESC, bg LIMIT 500""",
+    "q_inverted_index" ->
+      """WITH p AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           FROM documents),
+         d AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+         SELECT p.term, p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+           CAST(d.df AS BIGINT) AS df
+         FROM p JOIN d ON d.term = p.term
+         WHERE d.df BETWEEN 5 AND 1000000""",
     "q_dim_activity_range" ->
       """SELECT s.s_suppkey AS grp,
          round(COALESCE(SUM(l.l_extendedprice), 0), 2) AS total

@@ -289,6 +289,30 @@ object Analytics {
       percentile_approx(value,
         array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("ps"))
 
+  /** Winsorization: clamp a metric at its per-group exact [pLo, pHi]
+    * percentiles — the robust-cleaning step before training on heavy-tailed
+    * metrics (a handful of sensor spikes otherwise set the feature scale).
+    * The clamp decision is integer: bounds and values floor-quantize to
+    * cents before comparing, so a sub-cent cross-engine difference in the
+    * interpolated percentile cannot flip a row (the float-boundary policy).
+    * One exact-percentile aggregate (group-cardinality output, broadcast by
+    * AQE) + a map-only clamp; huge-group corpora swap in the
+    * [[percentilesApproxByGroup]] sketch for the bounds. Output: the input
+    * columns + `v_cents` (clamped metric in cents, BIGINT). */
+  def winsorizeByGroup(df: DataFrame, grp: Column, value: Column,
+                       pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"bad percentile band [$pLo, $pHi]")
+    val bounds = df.groupBy(grp.as("_bg")).agg(
+      floor(percentile(value, lit(pLo)) * 100).cast("long").as("_lo"),
+      floor(percentile(value, lit(pHi)) * 100).cast("long").as("_hi"))
+    df.join(bounds, grp === col("_bg"))
+      .withColumn("v_cents",
+        least(greatest(floor(value * 100).cast("long"), col("_lo")),
+          col("_hi")))
+      .drop("_bg", "_lo", "_hi")
+  }
+
   /** One-pass dataset profile: per column, row count, null count, distinct
     * count, and (numeric columns) exact min/max — the data-quality summary a
     * pipeline publishes next to every delivered table.

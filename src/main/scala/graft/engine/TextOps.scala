@@ -673,6 +673,63 @@ object TextOps {
         round(avg(col("nll")), 2).as("mean_nll_micro"))
   }
 
+  /** Collocation extraction: the top-`k` bigrams by corpus count with their
+    * PMI (pointwise mutual information, ln p(ab)/(p(a)p(b))) — the phrase
+    * mining / tokenizer-merge-candidate signal ("new york" scores high,
+    * "of the" near zero). Corpus-scale shape: bigram and unigram count
+    * tables are vocabulary-sized (the only shuffles carry (string, long)
+    * rows), totals reduce from those tables, the two unigram joins are
+    * AQE-sized, and the top-k compiles to TakeOrderedAndProject. The PMI
+    * ratio is ONE fixed-shape expression over exact integer counts —
+    * micro-nat quantized like every transcendental here, so it is
+    * oracle-checkable. Output: (bg, n, pmi_micro), highest count first,
+    * bigram tie-break. */
+  def collocations(docs: DataFrame, text: Column, minCount: Long = 5L,
+                   k: Int = 500): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad params ($minCount, $k)")
+    val base = spreadForCpu(docs).select(text.as("_x"))
+    val pairs = base.select(explode(ngramArray(col("_x"), 2)).as("bg"))
+    val bgAll = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    val uni = base.select(explode(tokens(col("_x"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = bgAll.agg(sum(col("n")).as("nbi"))
+      .crossJoin(uni.agg(sum(col("c")).as("nuni")))
+    bgAll.filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("_w1"), col("c").as("c1")),
+        substring_index(col("bg"), " ", 1) === col("_w1"))
+      .join(uni.select(col("tok").as("_w2"), col("c").as("c2")),
+        substring_index(col("bg"), " ", -1) === col("_w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bg"), col("n"),
+        round(log((col("n").cast("double") * col("nuni") * col("nuni")) /
+          (col("nbi").cast("double") * col("c1") * col("c2"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("n").desc, col("bg").asc)
+      .limit(k)
+  }
+
+  /** Inverted index (search-index build): `(term, doc_id, pos, df)`
+    * postings with 0-based token positions, restricted to terms whose
+    * document frequency lies in `[minDf, maxDf]` — the selectivity band a
+    * search index actually serves (ubiquitous terms are stopword noise;
+    * near-unique terms bloat the index for no recall). One explode builds
+    * the posting stream; the df table reduces to the (bounded) qualifying
+    * vocabulary, so the postings⋈df join broadcasts under AQE and the
+    * corpus-token-sized posting stream itself never shuffles. At 100 TB
+    * sink the result `partitionBy` on a term-hash prefix for serving.
+    * Uniqueness of (term, doc_id, pos) is inherited from the input ids. */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df band [$minDf, $maxDf]")
+    val posts = spreadForCpu(docs).select(id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+    val dfs = posts.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    posts.join(dfs, "term")
+  }
+
   /** Greedy sequence packing for pretraining batches: concatenate documents
     * per group in a deterministic total order and split the token stream
     * into fixed-budget training sequences — a document belongs to the

@@ -140,6 +140,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("winsorizeByGroup: clamps at interpolated per-group percentile cents, groups independent") {
+    // the 0.005 offset parks every value AND every interpolated bound at
+    // ~x.5 cents, so floor(×100) is 1-ulp-robust (never at a cent boundary)
+    val a = (1 to 20).map(i => ("a", i.toLong, i + 0.005))
+    val b = Seq(("b", 100L, 5.005), ("b", 101L, 6.005), ("b", 102L, 7.005))
+    val got = Analytics.winsorizeByGroup((a ++ b).toDF("grp", "id", "v"),
+        col("grp"), col("v"), 0.05, 0.95)
+      .select("id", "v_cents").as[(Long, Long)].collect().toMap
+    // group a: p05 = 1.005 + 0.95·1 = 1.955 → 195 ¢; p95 = 19.055 → 1905 ¢
+    got(1L) shouldBe 195L    // below lo → clamped up
+    got(2L) shouldBe 200L    // inside band → untouched cents
+    got(10L) shouldBe 1000L
+    got(20L) shouldBe 1905L  // above hi → clamped down
+    // group b has its own bounds: p05 = 5.105 → 510 ¢, p95 = 6.905 → 690 ¢
+    got(100L) shouldBe 510L
+    got(101L) shouldBe 600L
+    got(102L) shouldBe 690L
+  }
+
   test("ewmaScaledByKey: hand-computed weighted sums, per-key isolation, tie-break order") {
     val df = Seq(
       ("a", t("2024-01-01 00:00:00"), 1L, 1.0),

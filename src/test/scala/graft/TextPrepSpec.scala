@@ -341,4 +341,40 @@ class TextPrepSpec extends SparkSpec {
     out(2) shouldBe ((3L, 4L, 0.25, 0.0, 0.0))
     out(3) shouldBe ((4L, 4L, 1.0, 0.666667, 0.5))
   }
+  test("collocations: hand-computed PMI, minCount cut, count-then-bigram order") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, col("text"), minCount = 2L, k = 10)
+      .as[(String, Long, Long)].collect()
+    // bigrams: "a b"×3, "b a"×1, "b c"×1, "b x"×1 → only "a b" survives;
+    // N_bi = 6, unigrams a:3 b:3 c:1 x:1 → N_uni = 8;
+    // pmi = ln(3·8·8 / (6·3·3)) = ln(32/9) = 1.2685113… → 1268511 µnats
+    got shouldBe Array(("a b", 3L, 1268511L))
+  }
+
+  test("collocations: independent tokens score ~0, attracted pairs positive, repelled negative") {
+    // "x y" always adjacent (attraction); "p"/"q" never adjacent (repulsion
+    // → filtered by minCount anyway); mixed corpus for a near-zero pair
+    val docs = (1 to 50).map(i => (i.toLong, "x y m " + (if (i % 2 == 0) "m n" else "n m")))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, col("text"), minCount = 5L, k = 100)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got("x y") should be > 0L
+    // "m n" and "n m" each occur in half the docs next to ubiquitous m/n →
+    // their PMI sits well below the perfectly-attracted "x y"
+    got("m n") should be < got("x y")
+  }
+
+  test("invertedIndex: positions 0-based, df band keeps mid-frequency terms only") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, col("doc_id"), col("text"),
+        minDf = 2L, maxDf = 2L)
+      .select("term", "doc_id", "pos", "df")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    // a: df 2 (docs 1,2) kept; b: df 1 dropped; c: df 2 kept (3 postings —
+    // df counts DOCS, not occurrences); d: df 1 dropped
+    got shouldBe Array(
+      ("a", 1L, 0L, 2L), ("a", 1L, 2L, 2L), ("a", 2L, 0L, 2L),
+      ("c", 2L, 1L, 2L), ("c", 3L, 0L, 2L), ("c", 3L, 1L, 2L))
+  }
 }

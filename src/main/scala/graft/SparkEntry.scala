@@ -1120,6 +1120,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"))
     }),
 
+    // END-TO-END corpus release: clean (exact dedup → near-dup canonicals →
+    // quality floor) → 13-gram Bloom decontamination vs the src0 "bench"
+    // slice → 90/5/5 split → per-split deterministic shuffle + round-robin
+    // shard. Rows-only (trained minhash detector inside); FlowsSpec pins
+    // bit-exact parity with the hand-composed stage chain, and every stage
+    // is hash-green oracled on its own (q_corpus_clean,
+    // q_bloom_contamination, q_train_val_split, q_global_shuffle).
+    "q_corpus_release" -> ((s, d) => {
+      val docs = documents(s, d)
+      val en = TextOps.langMarkers.toMap.apply("en")
+      val bloom = benchBlooms.computeIfAbsent(d, dir =>
+        NearDup.benchShingleBloom(
+          documents(s, dir).filter(col("source") === "src0"),
+          col("doc_id"), col("text")))
+      Flows.corpusRelease(docs.filter(col("source") =!= "src0"),
+          col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+          en, Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+          seed = 42L, numShards = 4, contamTau = 0.5,
+          benchBloom = Some(bloom))
+        .select(col("doc_id"), col("quality"), col("split"), col("pos"),
+          col("shard"))
+    }),
+
     // per-domain frequency cap: URLs synthesized from doc_id on BOTH sides
     // (37 registrable domains), normalized (lowercase scheme/host, default
     // port, fragment, utm params), capped at 5 docs/domain by md5 rank via

@@ -156,6 +156,57 @@ object Flows {
       .filter(col("quality") >= minQuality)
   }
 
+  /** End-to-end corpus RELEASE — the delivery pipeline a pretraining run
+    * consumes, composed from this engine's individually-oracled stages:
+    * [[corpusClean]] (exact dedup → near-dup cluster canonicals → quality
+    * floor) → Bloom-prefiltered long-n-gram benchmark decontamination
+    * ([[NearDup.bloomContaminationPairs]], the GPT-3/Llama 13-gram recipe)
+    * → [[Sampling.assignSplit]] → per-split [[Order.seededShuffle]]
+    * (train-order position + round-robin shard, contiguous within each
+    * split so every split ships as its own shard set). Every stage is a
+    * deterministic pure function of (content, ids, seed): re-releasing the
+    * same inputs is bit-identical — FlowsSpec pins exact parity with the
+    * hand-composed stage chain plus the release invariants. The caller
+    * sinks each split via [[Sink.writeShards]] for size-bounded shard
+    * files + manifest.
+    *
+    * Scale: linear composition — no stage adds shuffles beyond its own
+    * documented ones, and the shuffle/shard sort runs on the already-
+    * reduced release set. Output: the released docs' columns + `quality`,
+    * `split`, `pos` (0-based within split), `shard`. */
+  def corpusRelease(docs: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchId: Column, benchText: Column,
+                    stopwords: Seq[String], splits: Seq[(String, Double)],
+                    seed: Long, numShards: Int, numParts: Int = 32,
+                    tau: Double = 0.1, minQuality: Long = 300L,
+                    contamTau: Double = 0.8, contamN: Int = 13,
+                    nearDupPairs: (DataFrame, Column, Column, Double) => DataFrame =
+                      NearDup.minhashLshPairs(_, _, _, _),
+                    benchBloom: Option[Array[Byte]] = None): DataFrame = {
+    // each checkpoint materializes a reused stage once: `cleaned` feeds the
+    // Bloom probe, the exact-verify pairs AND the anti-join (3 consumers),
+    // `released` feeds one sort per split — without them every consumer
+    // re-runs the whole upstream chain (measured 9.1 → 3.6 s at sf0.1)
+    val cleaned = corpusClean(docs, id, text, stopwords, tau, minQuality,
+      nearDupPairs).localCheckpoint()
+    // the bench bloom is a pure function of the bench suite — callers
+    // releasing repeatedly against one suite pass it prebuilt
+    // (benchShingleBloom's build-once contract) instead of re-aggregating
+    // the bench shingles every release
+    val bloom = benchBloom.getOrElse(
+      NearDup.benchShingleBloom(bench, benchId, benchText, contamN))
+    val dirty = NearDup.bloomContaminationPairsWith(cleaned, id, text, bench,
+        benchId, benchText, contamTau, bloom, contamN)
+      .select(col("corpus_id")).distinct()
+    val released = Sampling.assignSplit(
+      cleaned.join(dirty, id === col("corpus_id"), "left_anti"), id, splits)
+      .localCheckpoint()
+    splits.map { case (name, _) =>
+      Order.seededShuffle(released.filter(col("split") === name), id, seed,
+        numShards, numParts)
+    }.reduce(_ unionByName _)
+  }
+
   /** Quality-weighted corpus mixing — the curation end-game: score every
     * document with the corpus-trained unigram LM
     * ([[TextOps.lmQualityScore]]), bucket by ascending NLL thresholds

@@ -193,4 +193,47 @@ class FlowsSpec extends SparkSpec {
     Flows.dailyCorpusIncrement(v2, day1, col("doc_id"), col("text"),
       en, tau = 0.3).count() shouldBe 0L
   }
+
+  test("corpusRelease == the hand-composed stage chain, bit-exact; release invariants hold") {
+    import graft.engine.{NearDup, Order, Sampling, TextOps}
+    val allDocs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = allDocs.filter(col("source") =!= "src0")
+    val bench = allDocs.filter(col("source") === "src0")
+    val en = TextOps.langMarkers.toMap.apply("en")
+    val splits = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    def run() = Flows.corpusRelease(docs, col("doc_id"), col("text"), bench,
+        col("doc_id"), col("text"), en, splits, seed = 42L, numShards = 4,
+        contamTau = 0.5)
+      .select(col("doc_id"), col("split"), col("pos"), col("shard"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val got = run()
+    got shouldBe run() // deterministic re-release
+
+    // hand-composed chain from the individually-oracled stages
+    val cleaned = Flows.corpusClean(docs, col("doc_id"), col("text"), en)
+    val dirty = NearDup.bloomContaminationPairs(cleaned, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"), 0.5)
+      .select(col("corpus_id")).distinct()
+    val assigned = Sampling.assignSplit(
+      cleaned.join(dirty, col("doc_id") === col("corpus_id"), "left_anti"),
+      col("doc_id"), splits)
+    val expect = splits.map { case (nm, _) =>
+      Order.seededShuffle(assigned.filter(col("split") === nm),
+        col("doc_id"), 42L, 4, 32)
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("split"), col("pos"), col("shard"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    got shouldBe expect
+
+    // invariants: no contaminated doc ships; per-split pos is a permutation;
+    // shards balanced within 1
+    val dirtyIds = dirty.as[Long].collect().toSet
+    got.map(_._1).toSet.intersect(dirtyIds) shouldBe empty
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq shouldBe rows.indices.map(_.toLong)
+      val byShard = rows.groupBy(_._4).values.map(_.size)
+      all(rows.map(_._4)) should (be >= 0L and be < 4L)
+      (byShard.max - byShard.min) should be <= 1
+    }
+  }
 }

@@ -328,6 +328,15 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) =>
       Analytics.percentilesByGroup(events(s, d), col("event_type"),
         col("value"))),
+    // ordered funnel: view → click → purchase per user, stage i+1 counted
+    // only at-or-after the user's stage-i time; integer-ppm conversions
+    "q_funnel" -> ((s, d) =>
+      Analytics.funnel(events(s, d), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))),
+    // retention cohorts: first-activity-day cohorts × whole-week offsets —
+    // integer day-diff//7, no calendar-week-convention ambiguity
+    "q_retention" -> ((s, d) =>
+      Analytics.retentionCohorts(events(s, d), col("user_id"), col("ts"))),
     // winsorization: clamp values at per-group exact p05/p95 — integer-cent
     // compares, so no float boundary on the clamp (oracled)
     "q_winsorize" -> ((s, d) =>
@@ -1505,6 +1514,39 @@ object SparkEntry {
            round(quantile_cont(value, 0.95), 6) AS p95,
            round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY 1""",
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t0 ON t0.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts >= t0.t GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t1 ON t1.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= t1.t GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM u) AS total,
+                      (SELECT count(*) FROM t0) AS n0,
+                      (SELECT count(*) FROM t1) AS n1,
+                      (SELECT count(*) FROM t2) AS n2)
+         SELECT CAST(0 AS BIGINT) AS stage_ix, 'view' AS stage,
+           CAST(n0 AS BIGINT) AS n_users,
+           CAST(CASE WHEN total > 0 THEN (n0 * 1000000) // total
+                     ELSE 0 END AS BIGINT) AS conv_ppm FROM n
+         UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+           CAST(CASE WHEN n0 > 0 THEN (n1 * 1000000) // n0
+                     ELSE 0 END AS BIGINT) FROM n
+         UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+           CAST(CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1
+                     ELSE 0 END AS BIGINT) FROM n""",
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                    FROM events GROUP BY 1)
+         SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+             AS BIGINT) AS offset_weeks,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+         FROM events e JOIN f ON f.user_id = e.user_id
+         GROUP BY 1, 2""",
     "q_winsorize" ->
       """WITH b AS (SELECT event_type AS grp,
              CAST(floor(quantile_cont(value, 0.05) * 100) AS BIGINT) AS lo,

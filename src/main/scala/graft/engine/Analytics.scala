@@ -289,6 +289,62 @@ object Analytics {
       percentile_approx(value,
         array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("ps"))
 
+  /** Ordered funnel: how many users progress through `stages` IN ORDER
+    * (stage i+1 counts only at-or-after that user's stage-i time — the
+    * product-analytics conversion table). Per user, stage times chain as
+    * conditional minima over ONE user-partitioned window (no ORDER BY →
+    * no per-partition sort; all stage columns share the single hash
+    * shuffle), then one aggregate counts users per reached stage.
+    * `conv_ppm` = floor(n_i·10⁶ / n_{i−1}) — integer, cross-engine exact.
+    * Output: (stage_ix, stage, n_users, conv_ppm), stage 0's conv vs the
+    * total user count. */
+  def funnel(df: DataFrame, user: Column, ts: Column, stage: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be distinct and nonempty: $stages")
+    val w = Window.partitionBy(user)
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
+      val cond =
+        if (i == 0) stage === s
+        else stage === s && ts >= col(s"_t${i - 1}")
+      acc.withColumn(s"_t$i", min(when(cond, ts)).over(w))
+    }
+    val perUser = staged.groupBy(user.as("_u"))
+      .agg(first(col("_t0")).as("_t0"),
+        stages.indices.drop(1).map(i => first(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = perUser.agg(
+      count(lit(1)).as("_n_total"),
+      stages.indices.map(i =>
+        count(when(col(s"_t$i").isNotNull, 1)).as(s"_n$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (s, i) =>
+        val prev = if (i == 0) col("_n_total") else col(s"_n${i - 1}")
+        struct(lit(i.toLong).as("stage_ix"), lit(s).as("stage"),
+          col(s"_n$i").as("n_users"),
+          when(prev > 0, floor(col(s"_n$i") * lit(1000000L) / prev))
+            .otherwise(lit(0L)).cast("long").as("conv_ppm"))
+      }: _*)).as("_f"))
+      .select(col("_f.stage_ix"), col("_f.stage"), col("_f.n_users"),
+        col("_f.conv_ppm"))
+  }
+
+  /** Retention cohorts: users grouped by their FIRST-activity day, counted
+    * per whole-week offset of later activity — the cohort retention matrix.
+    * Two shuffles: the per-user first-activity aggregate, then the
+    * (cohort, offset) distinct-count; the user→cohort join reuses the same
+    * user-hash partitioning. Offsets are integer floor(day-diff / 7) — no
+    * calendar-week-convention ambiguity across engines. Output:
+    * (cohort_day DATE, offset_weeks, n_active). */
+  def retentionCohorts(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val firsts = df.groupBy(user.as("_u"))
+      .agg(to_date(min(ts)).as("cohort_day"))
+    df.select(user.as("_au"), to_date(ts).as("_day"))
+      .join(firsts, col("_au") === col("_u"))
+      .withColumn("offset_weeks",
+        floor(datediff(col("_day"), col("cohort_day")) / 7).cast("long"))
+      .groupBy(col("cohort_day"), col("offset_weeks"))
+      .agg(countDistinct(col("_au")).as("n_active"))
+  }
+
   /** Winsorization: clamp a metric at its per-group exact [pLo, pHi]
     * percentiles — the robust-cleaning step before training on heavy-tailed
     * metrics (a handful of sensor spikes otherwise set the feature scale).

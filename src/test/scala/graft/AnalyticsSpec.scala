@@ -140,6 +140,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: order enforced, equal-ts counts, counts monotone, ppm conversions") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 11:00:00"), "click"),
+      (1L, t("2024-01-01 12:00:00"), "purchase"),
+      // u2 clicked BEFORE viewing → click doesn't count; re-click after does not exist
+      (2L, t("2024-01-01 09:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      // u3 view + click at the SAME instant (>= counts), no purchase
+      (3L, t("2024-01-01 10:00:00"), "view"),
+      (3L, t("2024-01-01 10:00:00"), "click"),
+      // u4 purchases without the earlier stages → counts nowhere
+      (4L, t("2024-01-01 10:00:00"), "purchase")
+    ).toDF("uid", "ts", "et")
+    val got = Analytics.funnel(ev, col("uid"), col("ts"), col("et"),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_ix")
+      .as[(Long, String, Long, Long)].collect()
+    got shouldBe Array(
+      (0L, "view", 3L, 750000L),     // 3 of 4 users viewed
+      (1L, "click", 2L, 666666L),    // u1 + u3 (equal-ts); u2's early click out
+      (2L, "purchase", 1L, 500000L)) // u1 only; u4's bare purchase out
+  }
+
+  test("retentionCohorts: first-day cohorts, floor-week offsets, distinct actives") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), // cohort 2024-01-01
+      (1L, t("2024-01-03 10:00:00")), // offset 0 (2 days)
+      (1L, t("2024-01-08 10:00:00")), // offset 1 (7 days)
+      (1L, t("2024-01-08 12:00:00")), // same user+week → still 1 distinct
+      (2L, t("2024-01-02 10:00:00")), // cohort 2024-01-02
+      (2L, t("2024-01-16 10:00:00"))  // offset 2 (14 days)
+    ).toDF("uid", "ts")
+    val got = Analytics.retentionCohorts(ev, col("uid"), col("ts"))
+      .select(col("cohort_day").cast("string"), col("offset_weeks"),
+        col("n_active"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array(
+      ("2024-01-01", 0L, 1L),
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-02", 0L, 1L),
+      ("2024-01-02", 2L, 1L))
+  }
+
   test("winsorizeByGroup: clamps at interpolated per-group percentile cents, groups independent") {
     // the 0.005 offset parks every value AND every interpolated bound at
     // ~x.5 cents, so floor(×100) is 1-ulp-robust (never at a cent boundary)

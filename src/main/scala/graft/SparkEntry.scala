@@ -254,6 +254,74 @@ object SparkEntry {
       .join(s.read.parquet(snap), Seq("bucket", "grp"), "left_anti")
   }
 
+  /** Two-run checkpointed LEFT OUTER stream-stream interval join — outer
+    * (NULL-padded) rows can only be emitted by a batch whose watermark
+    * proves no match will arrive, which is necessarily a batch AFTER the
+    * left row's own. Run 1 streams every day before the last; run 2, on
+    * the SAME checkpoint, sees only the appended final day — so inner
+    * matches spanning the runs exercise checkpointed join state, and the
+    * NULL emissions exercise watermark eviction across a restart. The
+    * effective eviction threshold is the FINAL watermark: each AvailableNow
+    * execution appends a trailing no-data batch after its last data batch
+    * (spark.sql.streaming.noDataMicroBatches, default on), in which the
+    * just-advanced watermark `wm = min(max l_ts, max r_ts) − lateness`
+    * evicts-and-NULL-emits every unmatched left row with `l_ts < wm` (all
+    * admissible right times `≤ l_ts` are then below the watermark; global
+    * wm is the MIN across the two sides' watermarks). Closed-form oracle =
+    * full inner interval join ∪ unmatched left rows below that final wm.
+    * Boundary robustness is empirical, like the ANN argmax oracles: the
+    * nearest unmatched click sits ≥ 67 s from wm at every testdata SF
+    * (measured: 6281/647/68 s at sf0.001/0.01/0.1), so the engine's ±1 ms
+    * state-watermark adjustment cannot flip a row. Cross-run matches (run-2 left ⋈ run-1 right state) are
+    * covered: right state above run-1's watermark survives run 1. */
+  private def runLeftJoinRestart(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_loj",
+      d.replaceAll("[^a-zA-Z0-9]", "_"))
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    wipe(base)
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+    val cut = ev.agg(date_trunc("day", max(col("ts")))).head.getTimestamp(0)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    def runOnce(): Unit = {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = s.readStream.schema(ev.schema).parquet(src.toString)
+        val left = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+            col("event_id").as("l_id"))
+        val right = s.readStream.schema(ev.schema).parquet(src.toString)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+            col("event_id").as("r_id"))
+        val out = graft.streaming.Streams.leftOuterIntervalJoinStreams(
+          left, "l_user", "l_ts", right, "r_user", "r_ts")
+          .select(col("l_id"), col("r_id"))
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode(graft.streaming.Streams.hourlySumMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    def appendDays(f: DataFrame): Unit =
+      f.coalesce(1).write.mode("append").parquet(src.toString)
+    appendDays(ev.filter(col("ts") < lit(cut)))
+    runOnce()
+    appendDays(ev.filter(col("ts") >= lit(cut)))
+    runOnce()
+    s.read.parquet(sink)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A9 top-K revenue (piechart panel, pv_dashboard.json). */
   def entry(spark: SparkSession): DataFrame =
@@ -345,6 +413,98 @@ object SparkEntry {
             col("event_type").as("grp"), col("value")),
           col("grp"), col("value"), 0.05, 0.95)
         .select(col("id"), col("grp"), col("v_cents"))),
+    // Fixed-iteration damped PageRank over the supplier→customer→nation
+    // link graph (crawl-authority ranking for corpus curation, made
+    // deterministic: ppb ranks, BIGINT floor arithmetic, 3 rounds —
+    // replayed CTE-for-CTE in DuckDB)
+    "q_pagerank" -> ((s, d) => {
+      val sc = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val cn = customer(s, d)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+      Graph.pageRank(sc.unionByName(cn), col("src"), col("dst"))
+    }),
+    // Incremental MV maintenance: prior rollup STATE + the new days' delta
+    // merge into exactly the state a full rebuild produces — the corpus is
+    // never re-read (both inputs are range-PRUNED scans via eventsRange).
+    // Integer micro-unit state, exact floor mean derived at read time.
+    "q_incr_state" -> ((s, d) => {
+      def keys = Seq(to_date(col("ts")).as("day"), col("event_type").as("grp"))
+      val prev = MatView.aggState(
+        Tables.eventsRange(s, d, "2024-01-01 00:00:00", "2024-01-25 00:00:00"),
+        keys, col("value"))
+      val delta = MatView.aggState(
+        Tables.eventsRange(s, d, "2024-01-25 00:00:00", "2030-01-01 00:00:00"),
+        keys, col("value"))
+      MatView.withMean(MatView.mergeStates(Seq(prev, delta), Seq("day", "grp")))
+    }),
+    // Data-quality expectation suite: all row rules ride ONE full-scan
+    // aggregate; each uniqueness rule is one keyed shuffle (count-surplus).
+    // The composite-key rule fails by design (32 surplus rows at sf0.01) —
+    // a gate that can't fail verifies nothing.
+    "q_expectations" -> ((s, d) =>
+      Expectations.check(orders(s, d),
+        rowRules = Seq(
+          "not_null:o_custkey" -> col("o_custkey").isNull,
+          "in_set:o_orderstatus" -> !col("o_orderstatus").isin("O", "F", "P"),
+          "range:o_totalprice" ->
+            (col("o_totalprice") < 0 || col("o_totalprice") > 450000)),
+        uniqueRules = Seq(
+          "unique:o_orderkey" -> Seq("o_orderkey"),
+          "unique:o_custkey,o_orderdate" -> Seq("o_custkey", "o_orderdate")))),
+    // Multi-generation schema-drift ingest: two simulated feed generations
+    // (one missing event_type + carrying an extra column, one with value
+    // serialized as string) conform BY NAME to one target schema — typed
+    // NULLs for missing columns, extras dropped, casts per field; map-only
+    // per input, then union.
+    "q_conform_union" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val target = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val genA = events(s, d).filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      val genB = events(s, d).filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("string").as("value"))
+      Ingest.conformUnion(Seq(genA, genB), target)
+    }),
+    // Gap-filled 15-minute resample: corpus → (type, bucket) grain in one
+    // partial-agg pass; the dense grid (keys × sequence) is grid-sized and
+    // left-joins the grain with zero fill — missing intervals become
+    // explicit (0.0, 0) rows, the dense-series contract downstream
+    // imputers/models need.
+    "q_resample_fill" -> ((s, d) =>
+      Analytics.resampleFill(events(s, d), col("event_type"), col("ts"),
+        col("value"), 900L, "2024-01-01 00:00:00", "2024-01-30 23:45:00")),
+    // Backtest of the reference's historical-mean forecaster: per (type,
+    // day, hour) cell, the prediction is the expanding mean over STRICTLY
+    // earlier days (no leakage); exact integer micro-units throughout. The
+    // corpus collapses to the grain in one partial-agg pass; the window
+    // runs over grain-sized data only.
+    "q_forecast_backtest" -> ((s, d) =>
+      Forecast.backtestHistMean(events(s, d), col("event_type"), col("ts"),
+        col("value"))),
+    // per-key scorecard over the backtest: cells scored + floor MAE
+    "q_forecast_mae" -> ((s, d) =>
+      Forecast.maeByKey(Forecast.backtestHistMean(events(s, d),
+        col("event_type"), col("ts"), col("value")))),
+    // Mergeable distinct-count rollup: daily HLL sketch STATE per type,
+    // merged to the whole range and estimated only at the read boundary —
+    // the non-additive MV pattern (daily sketch tables make COUNT DISTINCT
+    // maintainable without corpus re-reads). Rows-only: Datasketches
+    // registers aren't SQL-replayable; merge laws are spec'd (MatViewSpec).
+    "q_sketch_rollup" -> ((s, d) => {
+      val daily = MatView.distinctSketchState(events(s, d),
+        Seq(col("event_type").as("grp"), to_date(col("ts")).as("day")),
+        col("user_id"))
+      MatView.sketchEstimate(
+        MatView.mergeDistinctSketches(Seq(daily), Seq("grp")))
+    }),
 
     // Semi-structured JSON extraction: events.props is a JSON payload
     // column; parse with an EXPLICIT schema (map-only codegen'd from_json —
@@ -1381,6 +1541,12 @@ object SparkEntry {
     // advanced watermark — totals for windows straddling the day cut carry
     // run-1 state across the restart. See [[runRestart]].
     "q_stream_restart" -> ((s, d) => runRestart(s, d)),
+    // LEFT OUTER stream-stream interval join over a checkpointed two-run
+    // rig: run 2's advanced watermark both joins the new day and NULL-emits
+    // every provably-unmatchable click (all admissible view times below the
+    // watermark). See [[runLeftJoinRestart]] for the closed form + measured
+    // boundary margins.
+    "q_stream_left_join" -> ((s, d) => runLeftJoinRestart(s, d)),
     // Stream-static dim enrichment (J2 as a stream): events joined to the
     // customer dim on user_id. Stateless — no watermark, no join state; the
     // static side is re-planned (and broadcast) each micro-batch. One
@@ -1556,6 +1722,168 @@ object SparkEntry {
            least(greatest(CAST(floor(e.value * 100) AS BIGINT), b.lo), b.hi)
              AS v_cents
          FROM events e JOIN b ON b.grp = e.event_type""",
+    // 3 damped rounds unrolled CTE-for-CTE; every step BIGINT floor
+    // arithmetic, so the replay is bit-exact (no float order to diverge)
+    "q_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             UNION ALL
+             SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer)),
+         o AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         c1 AS (SELECT e.dst AS node, SUM(r0.r // o.d) AS c
+                FROM e JOIN o ON o.src = e.src
+                JOIN r0 ON r0.node = e.src GROUP BY 1),
+         r1 AS (SELECT n.node,
+                  (15 * CAST(1000000000 AS BIGINT) + 85 * COALESCE(c1.c, 0))
+                    // 100 AS r
+                FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+         c2 AS (SELECT e.dst AS node, SUM(r1.r // o.d) AS c
+                FROM e JOIN o ON o.src = e.src
+                JOIN r1 ON r1.node = e.src GROUP BY 1),
+         r2 AS (SELECT n.node,
+                  (15 * CAST(1000000000 AS BIGINT) + 85 * COALESCE(c2.c, 0))
+                    // 100 AS r
+                FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+         c3 AS (SELECT e.dst AS node, SUM(r2.r // o.d) AS c
+                FROM e JOIN o ON o.src = e.src
+                JOIN r2 ON r2.node = e.src GROUP BY 1),
+         r3 AS (SELECT n.node,
+                  (15 * CAST(1000000000 AS BIGINT) + 85 * COALESCE(c3.c, 0))
+                    // 100 AS r
+                FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+         SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3""",
+    // the merged state is definitionally the full rebuild — the oracle IS
+    // the one-shot GROUP BY; Euclidean floor mean matches pmod on Spark side
+    "q_incr_state" ->
+      """WITH q AS (SELECT CAST(ts AS DATE) AS day, event_type AS grp,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+           FROM events)
+         SELECT day, grp, CAST(SUM(vm) AS BIGINT) AS sum_micro,
+           COUNT(vm) AS cnt, MIN(vm) AS min_micro, MAX(vm) AS max_micro,
+           CASE WHEN COUNT(vm) > 0 THEN
+             CAST((SUM(vm) - (((SUM(vm) % COUNT(vm)) + COUNT(vm))
+               % COUNT(vm))) // COUNT(vm) AS BIGINT)
+           END AS avg_micro
+         FROM q GROUP BY 1, 2""",
+    "q_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+         rows_long AS (
+           SELECT 'not_null:o_custkey' AS rule,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations FROM orders
+           UNION ALL
+           SELECT 'in_set:o_orderstatus',
+             CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'range:o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 450000
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+         uniq AS (
+           SELECT 'unique:o_orderkey' AS rule,
+             (SELECT n_rows FROM n) - (SELECT count(*) FROM
+               (SELECT 1 FROM orders GROUP BY o_orderkey)) AS n_violations
+           UNION ALL
+           SELECT 'unique:o_custkey,o_orderdate',
+             (SELECT n_rows FROM n) - (SELECT count(*) FROM
+               (SELECT 1 FROM orders GROUP BY o_custkey, o_orderdate))),
+         allr AS (SELECT * FROM rows_long UNION ALL SELECT * FROM uniq)
+         SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           (SELECT n_rows FROM n) AS n_rows,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS pass
+         FROM allr""",
+    // string→double round-trips exactly in both engines (shortest-repr
+    // printing), so genB's serialized values compare bit-equal
+    "q_conform_union" ->
+      """SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type, value
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, CAST(NULL AS BIGINT), event_type,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE)
+         FROM events WHERE event_id % 2 = 1""",
+    "q_resample_fill" ->
+      """WITH c AS (SELECT
+             epoch_ns(TIMESTAMP '2024-01-01 00:00:00') // 1000000000 AS f,
+             epoch_ns(TIMESTAMP '2024-01-30 23:45:00') // 1000000000 AS t),
+         p AS (SELECT event_type AS grp,
+                 epoch_ns(ts) // 1000000000 AS s, value
+               FROM events, c
+               WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-31 00:00:00'),
+         g AS (SELECT grp, s - (((s - f) % 900 + 900) % 900) AS bs,
+                 round(SUM(value), 2) AS total, COUNT(value) AS n
+               FROM p, c GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT grp FROM g),
+         grid AS (SELECT keys.grp,
+                    (f + 900 * gs.generate_series) AS bs
+                  FROM keys, c CROSS JOIN
+                    generate_series(0, 2879) gs(generate_series))
+         SELECT grid.grp, make_timestamp(grid.bs * 1000000) AS bucket,
+           coalesce(g.total, 0) AS total,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n
+         FROM grid LEFT JOIN g ON g.grp = grid.grp AND g.bs = grid.bs""",
+    "q_forecast_backtest" ->
+      """WITH g AS (
+           SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s,
+             COUNT(value) AS n
+           FROM events GROUP BY 1, 2, 3),
+         w AS (
+           SELECT grp, day, h, s, n,
+             SUM(s) OVER (PARTITION BY grp, h ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+             SUM(n) OVER (PARTITION BY grp, h ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+           FROM g),
+         f AS (
+           SELECT grp, day, h,
+             CASE WHEN n > 0 THEN
+               CAST((s - (((s % n) + n) % n)) // n AS BIGINT) END
+               AS actual_micro,
+             CASE WHEN pn > 0 THEN
+               CAST((ps - (((ps % pn) + pn) % pn)) // pn AS BIGINT) END
+               AS pred_micro
+           FROM w)
+         SELECT grp, day, h, actual_micro, pred_micro,
+           CAST(abs(actual_micro - pred_micro) AS BIGINT) AS abs_err_micro
+         FROM f""",
+    "q_forecast_mae" ->
+      """WITH g AS (
+           SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s,
+             COUNT(value) AS n
+           FROM events GROUP BY 1, 2, 3),
+         w AS (
+           SELECT grp, day, h, s, n,
+             SUM(s) OVER (PARTITION BY grp, h ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+             SUM(n) OVER (PARTITION BY grp, h ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+           FROM g),
+         f AS (
+           SELECT grp,
+             CASE WHEN n > 0 THEN
+               CAST((s - (((s % n) + n) % n)) // n AS BIGINT) END
+               AS actual_micro,
+             CASE WHEN pn > 0 THEN
+               CAST((ps - (((ps % pn) + pn) % pn)) // pn AS BIGINT) END
+               AS pred_micro
+           FROM w),
+         e AS (SELECT grp, abs(actual_micro - pred_micro) AS err FROM f
+               WHERE actual_micro IS NOT NULL AND pred_micro IS NOT NULL),
+         m AS (SELECT grp, count(*) AS n_cells, SUM(err) AS se
+               FROM e GROUP BY 1)
+         SELECT grp, n_cells,
+           CAST((se - (((se % n_cells) + n_cells) % n_cells)) // n_cells
+             AS BIGINT) AS mae_micro
+         FROM m""",
     "q_collocations" ->
       """WITH p AS (SELECT doc_id,
              unnest(string_split(text, ' ')) AS term,
@@ -2595,6 +2923,30 @@ object SparkEntry {
          FROM e l JOIN e r ON l.user_id = r.user_id
           AND l.event_type = 'click' AND r.event_type = 'view'
           AND r.us BETWEEN l.us - 3600000000 AND l.us""",
+    // closed form for the two-run left-outer rig: full inner interval join
+    // ∪ NULL rows for unmatched clicks below the FINAL watermark (min of
+    // the two sides' whole-data maxima − 2 h lateness — AvailableNow runs a
+    // trailing no-data batch, so the last watermark advance still evicts;
+    // µs-integer time arithmetic)
+    "q_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000 AS us
+                    FROM events),
+         wm AS (SELECT least(
+             (SELECT max(us) FROM e WHERE event_type = 'click'),
+             (SELECT max(us) FROM e WHERE event_type = 'view'))
+             - 7200000000 AS w),
+         ij AS (SELECT l.event_id AS l_id, r.event_id AS r_id
+                FROM e l JOIN e r ON l.user_id = r.user_id
+                 AND l.event_type = 'click' AND r.event_type = 'view'
+                 AND r.us BETWEEN l.us - 3600000000 AND l.us),
+         um AS (SELECT l.event_id AS l_id FROM e l, wm
+                WHERE l.event_type = 'click' AND l.us < w
+                  AND NOT EXISTS (SELECT 1 FROM e r
+                    WHERE r.event_type = 'view' AND r.user_id = l.user_id
+                      AND r.us BETWEEN l.us - 3600000000 AND l.us))
+         SELECT l_id, r_id FROM ij
+         UNION ALL SELECT l_id, CAST(NULL AS BIGINT) FROM um""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
            (epoch_ns(ts) // 1000)::BIGINT AS ts_us

@@ -103,6 +103,52 @@ object Analytics {
           .as("hist_avg_micro"))
   }
 
+  /** Gap-filled fixed-step resample — the dense time grid every energy
+    * dashboard and model-feature job needs (the reference's Grafana panels
+    * render missing intervals as gaps; its imputer fills them: a dense
+    * regular series is the contract downstream).
+    *
+    * Two-stage shape chosen for 100 TB: (1) the corpus collapses to the
+    * (key, bucket) grain in ONE partial-agg shuffle — integer floor
+    * bucketing on epoch seconds, no calendar functions in the hot path;
+    * (2) the DENSE grid (distinct keys × `sequence(from, to, step)`) is
+    * grid-sized, not data-sized — built from the already-aggregated key
+    * list, exploded, and left-joined against the grain with zeros
+    * coalesced in. The grid join shuffles grain-sized tables only.
+    * `from`/`to` are ISO instants (inclusive ends, UTC).
+    */
+  def resampleFill(df: DataFrame, key: Column, ts: Column, value: Column,
+                   stepSec: Long, fromIso: String, toIso: String): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    def sec(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    val (fromS, toS) = (sec(fromIso), sec(toIso))
+    require(toS >= fromS, s"empty resample range [$fromIso, $toIso]")
+    require((toS - fromS) % stepSec == 0,
+      s"[$fromIso, $toIso] must span whole $stepSec-second steps — a ragged " +
+        "final bucket would hold data the grid can't address")
+    val bucket = timestamp_seconds(
+      (unix_timestamp(ts) - pmod(unix_timestamp(ts) - lit(fromS),
+        lit(stepSec))).as("b"))
+    val grain = df
+      // plain ts bounds (scan-pushable); < to+step ⟺ floor-second ≤ the
+      // last instant of the final bucket, so the bucket stamped `to` is
+      // complete and no bucket beyond the grid can form
+      .filter(ts >= timestamp_seconds(lit(fromS)) &&
+        ts < timestamp_seconds(lit(toS + stepSec)))
+      .groupBy(key.as("grp"), bucket.as("bucket"))
+      .agg(round(sum(value), 2).as("total"), count(value).as("n"))
+    val buckets = grain.sparkSession.range(0, (toS - fromS) / stepSec + 1)
+      .select(timestamp_seconds(lit(fromS) + col("id") * stepSec)
+        .as("bucket"))
+    val grid = grain.select(col("grp")).distinct().crossJoin(buckets)
+    grid.join(grain, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** J5 left join with a range condition in the ON clause, null-sum coalesced
     * to 0 — the geomap panel
     * (reference: docker/grafana/dashboards/pv_dashboard.json).

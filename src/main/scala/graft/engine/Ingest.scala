@@ -150,6 +150,30 @@ object Ingest {
     }
   }
 
+  /** Conform heterogeneous-schema batches to one target schema and union
+    * them — the multi-generation ingest problem (the reference's regional
+    * CSV feeds drift columns across years; nambu vs namdong files carry
+    * different headers for the same facts). Per input: columns are matched
+    * BY NAME to the target (position-independent), missing columns become
+    * typed NULLs, extra columns are dropped, and present columns `cast` to
+    * the target type (Spark cast semantics: unparseable → NULL under the
+    * session's non-ANSI mode, loud under ANSI). Map-only per input — no
+    * shuffle, no driver data; safe to feed 10⁵ daily files.
+    */
+  def conformUnion(dfs: Seq[DataFrame],
+                   target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(dfs.nonEmpty, "conformUnion needs at least one input")
+    val conformed = dfs.map { df =>
+      val have = df.schema.fieldNames.toSet
+      df.select(target.fields.toSeq.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    conformed.reduce(_ unionByName _)
+  }
+
   /** Infer the JSON column's schema from a BOUNDED sample — never from the
     * full corpus (schema inference is a full extra scan at 100 TB; a
     * sample-derived schema plus PERMISSIVE nulls for stragglers is the

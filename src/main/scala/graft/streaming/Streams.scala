@@ -93,11 +93,32 @@ object Streams {
   def intervalJoinStreams(left: DataFrame, lKey: String, lTs: String,
                           right: DataFrame, rKey: String, rTs: String,
                           tolerance: String = "1 hour",
-                          lateness: String = "2 hours"): DataFrame =
+                          lateness: String = "2 hours",
+                          joinType: String = "inner"): DataFrame =
     left.withWatermark(lTs, lateness).join(
       right.withWatermark(rTs, lateness),
       expr(s"$lKey = $rKey AND $rTs BETWEEN $lTs - INTERVAL '$tolerance' " +
-        s"AND $lTs"))
+        s"AND $lTs"),
+      joinType)
+
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoinStreams]],
+    * but a left event that the watermark proves can never match (every
+    * admissible right timestamp `[lTs - tolerance, lTs]` is below the
+    * watermark, i.e. `lTs < wm`) is emitted once with NULL right columns —
+    * the streaming "activity without its trigger" probe. The null emission
+    * necessarily happens in a LATER batch than the left row's own (only a
+    * subsequent batch's advanced watermark can prove no-match) — under
+    * AvailableNow that later batch is the trailing no-data batch each
+    * execution appends, so a run's outer emissions reflect its FINAL
+    * watermark; the two-run checkpointed rig (`q_stream_left_join`) pins
+    * the semantics across a restart. Join state on both sides is evicted
+    * at the same thresholds as the inner variant. */
+  def leftOuterIntervalJoinStreams(left: DataFrame, lKey: String, lTs: String,
+                                   right: DataFrame, rKey: String, rTs: String,
+                                   tolerance: String = "1 hour",
+                                   lateness: String = "2 hours"): DataFrame =
+    intervalJoinStreams(left, lKey, lTs, right, rKey, rTs, tolerance,
+      lateness, "leftOuter")
 
   case class KeyProgress(grp: String, lastTs: Timestamp, hoursSeen: Int,
                          lastDay: String)

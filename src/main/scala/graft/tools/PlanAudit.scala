@@ -33,10 +33,17 @@ object PlanAudit {
         // (one-row) aggregate or an explicit top-k
         val singleParts = plan.linesIterator
           .count(_.contains("Exchange SinglePartition"))
+        // each keyless FINAL aggregate (one output row) legitimately owns
+        // one single-partition exchange — count them exactly (partial-side
+        // keyless aggregates print functions=[partial_...] and don't)
+        val keylessFinalAggs = plan.linesIterator.count(l =>
+          (l.contains("HashAggregate(keys=[], functions=[") ||
+            l.contains("SortAggregate(key=[], functions=[")) &&
+            !l.contains("functions=[partial_"))
         val benignSingles = plan.linesIterator.count(l =>
           l.contains("TakeOrderedAndProject") || l.contains("CollectLimit")) +
-          (if (plan.contains("Exchange SinglePartition") &&
-            plan.contains("HashAggregate(keys=[], ")) 1 else 0)
+          math.min(keylessFinalAggs,
+            plan.linesIterator.count(_.contains("Exchange SinglePartition")))
         if (singleParts > benignSingles)
           flags += s"Exchange SinglePartition x$singleParts (benign $benignSingles)"
         // an unpartitioned window funnels through a single-partition

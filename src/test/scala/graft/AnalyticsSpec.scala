@@ -9,6 +9,37 @@ class AnalyticsSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("resampleFill: dense grid, zero fill, boundary buckets exact") {
+    val df = Seq(
+      ("a", t("2024-01-01 00:03:00"), 1.0),
+      ("a", t("2024-01-01 00:17:00"), 2.0),
+      ("a", t("2024-01-01 00:18:00"), 3.0),
+      ("a", t("2024-01-01 00:59:59"), 4.0), // last instant of the 00:45 bucket
+      ("a", t("2024-01-01 01:00:00"), 99.0), // beyond to+step → excluded
+      ("b", t("2024-01-01 00:30:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val out = Analytics.resampleFill(df, col("k"), col("ts"), col("v"),
+        900L, "2024-01-01 00:00:00", "2024-01-01 00:45:00")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3))).toSet
+    out shouldBe Set(
+      ("a", "2024-01-01 00:00:00.0", 1.0, 1L),
+      ("a", "2024-01-01 00:15:00.0", 5.0, 2L),
+      ("a", "2024-01-01 00:30:00.0", 0.0, 0L),
+      ("a", "2024-01-01 00:45:00.0", 4.0, 1L),
+      ("b", "2024-01-01 00:00:00.0", 0.0, 0L),
+      ("b", "2024-01-01 00:15:00.0", 0.0, 0L),
+      ("b", "2024-01-01 00:30:00.0", 7.0, 1L),
+      ("b", "2024-01-01 00:45:00.0", 0.0, 0L))
+  }
+
+  test("resampleFill rejects a range that is not whole steps") {
+    val df = Seq(("a", t("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Analytics.resampleFill(df, col("k"), col("ts"), col("v"), 900L,
+        "2024-01-01 00:00:00", "2024-01-01 00:40:00")
+  }
+
   test("rollingByKey: trailing-days frame at day granularity") {
     val df = Seq(
       ("a", t("2024-01-01 05:00:00"), 1.0),

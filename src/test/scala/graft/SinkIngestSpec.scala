@@ -11,6 +11,26 @@ class SinkIngestSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft_test_").toString
 
+  test("conformUnion: name-matched, typed-null-filled, extras dropped, " +
+    "casts applied, column order independent") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    // gen1: complete but scrambled order + an extra column
+    val g1 = Seq((1.5, "junk", "a", 1)).toDF("v", "extra", "name", "id")
+    // gen2: missing `name`, `v` arrives as string, id is already long
+    val g2 = Seq((2L, "2.25")).toDF("id", "v")
+    // gen3: int v widens to double
+    val g3 = Seq((3L, "c", 3)).toDF("id", "name", "v")
+    val out = Ingest.conformUnion(Seq(g1, g2, g3), target)
+    out.schema.fields.map(f => (f.name, f.dataType)) shouldBe Array(
+      ("id", LongType), ("name", StringType), ("v", DoubleType))
+    out.orderBy("id").collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), r.getDouble(2))) shouldBe Array(
+      (1L, Some("a"), 1.5), (2L, None, 2.25), (3L, Some("c"), 3.0))
+  }
+
   test("S13 dynamic date-partition overwrite replaces only incoming days") {
     val path = tmpDir() + "/tbl"
     def t(s: String) = Timestamp.valueOf(s)

@@ -299,6 +299,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leftOuterIntervalJoinStreams: NULL emission only after the " +
+    "watermark proves no match; matched and in-horizon rows never NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = MemoryStream[(Timestamp, String, Double)]
+    val wx = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.leftOuterIntervalJoinStreams(
+      gen.toDF().toDF("g_ts", "g_plant", "g_mw"), "g_plant", "g_ts",
+      wx.toDF().toDF("w_ts", "w_station", "w_temp"), "w_station", "w_ts")
+    val q = out.writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    def rows() = spark.sql("SELECT g_mw, w_temp FROM loj").collect()
+      .map(r => (r.getDouble(0), Option(r.get(1)))).toSet
+    try {
+      // 10:00 matches the 09:30 weather (within [09:00, 10:00]); 10:45's
+      // admissible window [09:45, 10:45] holds no weather at all
+      wx.addData((t("2024-01-01 09:30:00"), "p1", 21.5))
+      gen.addData((t("2024-01-01 10:00:00"), "p1", 5.0),
+        (t("2024-01-01 10:45:00"), "p1", 7.0))
+      q.processAllAvailable()
+      // watermark is still at its floor: the unmatched 10:30 must NOT have
+      // been NULL-emitted yet — only the inner match is out
+      rows() shouldBe Set((5.0, Some(21.5)))
+      // push BOTH sides' watermarks to 18:00 (global wm = min of sides −
+      // 2 h). The pushers themselves can't match (w@17:00 ∉ [19:00, 20:00])
+      // and can't be evicted (20:00 ≥ wm)
+      gen.addData((t("2024-01-01 20:00:00"), "zz", 9.0))
+      wx.addData((t("2024-01-01 17:00:00"), "zz", 23.0))
+      q.processAllAvailable()
+      // one more tick so the advanced watermark's eviction pass runs
+      wx.addData((t("2024-01-01 17:00:30"), "zz2", 24.0))
+      q.processAllAvailable()
+      // 10:45 < wm 18:00 and provably unmatchable → exactly one NULL row;
+      // the matched 10:00 row is NOT re-emitted as NULL; the zz row at
+      // 20:00 is unmatched but still inside the horizon → no NULL row
+      rows() shouldBe Set((5.0, Some(21.5)), (7.0, None))
+    } finally q.stop()
+  }
+
   test("resumeTracker: per-key watermark + hour coverage, day rollover resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

@@ -322,6 +322,44 @@ object SparkEntry {
     s.read.parquet(sink)
   }
 
+  /** Two-tick cron rig for the foreachBatch upsert sink
+    * ([[graft.streaming.Streams.upsertSink]]): tick 1 streams every day
+    * before the last into the keyed table, tick 2 (same checkpoint) merges
+    * only the final day. Day-split ordering makes the fold equal the
+    * global keep-last per key under (ts, event_id) — the closed form. */
+  private def runStreamUpsert(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_upsert",
+      d.replaceAll("[^a-zA-Z0-9]", "_"))
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    wipe(base)
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val tbl = base.resolve("tbl").toString
+    val ev = Tables.events(s, d).select(col("user_id").as("k"), col("ts"),
+      col("event_id"), round(col("value"), 2).as("v"))
+    val cut = ev.agg(date_trunc("day", max(col("ts")))).head.getTimestamp(0)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    def runOnce(): Unit = {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.upsertSink(
+        s.readStream.schema(ev.schema).parquet(src.toString),
+        tbl, ckpt, Seq("k"), Seq("ts", "event_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    def appendDays(f: DataFrame): Unit =
+      f.coalesce(1).write.mode("append").parquet(src.toString)
+    appendDays(ev.filter(col("ts") < lit(cut)))
+    runOnce()
+    appendDays(ev.filter(col("ts") >= lit(cut)))
+    runOnce()
+    s.read.parquet(tbl).select(col("k"), col("event_id"), col("v"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A9 top-K revenue (piechart panel, pv_dashboard.json). */
   def entry(spark: SparkSession): DataFrame =
@@ -455,6 +493,47 @@ object SparkEntry {
         uniqueRules = Seq(
           "unique:o_orderkey" -> Seq("o_orderkey"),
           "unique:o_custkey,o_orderdate" -> Seq("o_custkey", "o_orderdate")))),
+    // Markov transition matrix: which event type follows which, per-user
+    // ordered streams under the (ts, event_id) total order — state²-sized
+    // output from one window shuffle
+    "q_transitions" -> ((s, d) =>
+      Analytics.transitionCounts(events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))),
+    // Distribution-drift monitor (PSI): value distribution of the first
+    // half of January vs the second, per type, over the histogram's
+    // declared buckets — ppm shares with a 1-ppm floor, micro-nat ln terms
+    "q_drift_psi" -> ((s, d) =>
+      Analytics.psiByGroup(
+        Tables.eventsRange(s, d, "2024-01-01 00:00:00", "2024-01-16 00:00:00"),
+        Tables.eventsRange(s, d, "2024-01-16 00:00:00", "2030-01-01 00:00:00"),
+        col("event_type"), col("value"), 0L, 20000L, 20)),
+    // Hashing-trick featurization: fixed 64-slot space, no vocabulary pass,
+    // cross-engine md5 slots — sparse (doc, slot, cnt) long form
+    "q_hash_features" -> ((s, d) =>
+      TextOps.hashFeatures(documents(s, d), col("doc_id"), col("text"), 64)),
+    // Equi-width histogram over a declared [0, 200.00) cent range, 20
+    // buckets — one partial-agg pass, clamped integer bucket arithmetic
+    "q_histogram" -> ((s, d) =>
+      Analytics.histogram(events(s, d), col("event_type"), col("value"),
+        0L, 20000L, 20)),
+    // Equi-depth bins (per-group ntile under the (value, id) total order) —
+    // the ML feature-binning twin: equal counts per bin, group-bounded sort
+    "q_equidepth_bins" -> ((s, d) =>
+      Analytics.equiDepthBins(events(s, d), col("event_type"), col("value"),
+        col("event_id"), 10)),
+    // Runtime-filter selective join: the nation-3 customer sliver condenses
+    // to a Bloom filter; the codegen'd might-contain probe prefilters the
+    // orders scan map-side so only the sliver enters the join shuffle.
+    // Exact: FPs die in the join — the oracle is the plain join.
+    "q_bloom_join" -> ((s, d) => {
+      val dim = customer(s, d).filter(col("c_nationkey") === 3)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Joins.bloomPrefilteredJoin(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_custkey"), dim, col("c_custkey"),
+        expectedDistinct = 10000L)
+        .select(col("o_orderkey"), col("c_custkey"))
+    }),
     // Multi-generation schema-drift ingest: two simulated feed generations
     // (one missing event_type + carrying an extra column, one with value
     // serialized as string) conform BY NAME to one target schema — typed
@@ -792,6 +871,22 @@ object SparkEntry {
             .otherwise(col("o_orderpriority")).as("o_orderpriority"))
       Cdc.snapshotDiff(snapA, snapB, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_orderpriority"))
+    }),
+    // CDC MERGE round trip: applyDelta(A, snapshotDiff(A, B)) must BE B —
+    // the algebraic law that makes delta-shipped replication sound. The
+    // oracle is simply snapshot B itself.
+    "q_apply_delta" -> ((s, d) => {
+      val o = orders(s, d)
+      val snapA = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val snapB = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, lit("RE-GRADED"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      Cdc.applyDelta(snapA,
+        Cdc.snapshotDiff(snapA, snapB, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_orderpriority")),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
     }),
     // SCD Type-2 build from a change log: consecutive same-state rows per
     // user collapse into versions carrying valid_from/valid_to/is_current —
@@ -1547,6 +1642,24 @@ object SparkEntry {
     // watermark). See [[runLeftJoinRestart]] for the closed form + measured
     // boundary margins.
     "q_stream_left_join" -> ((s, d) => runLeftJoinRestart(s, d)),
+    // foreachBatch keyed-upsert sink over two cron ticks + one checkpoint:
+    // at-least-once batch re-delivery made exactly-once by the last-batch
+    // marker; the folded table equals the global keep-last per user.
+    "q_stream_sink_upsert" -> ((s, d) => runStreamUpsert(s, d)),
+    // Per-key streaming anomaly alerts (flatMapGroupsWithState, Append):
+    // a reading deviating > 50.00 from the key's RUNNING mean alerts, with
+    // the mean accumulated in (ts, cents) order — integer cross-multiplied
+    // test, so the single-batch run equals the cumulative-window SQL
+    // closed form exactly.
+    "q_stream_alerts" -> ((s, d) => {
+      val out = graft.streaming.Streams.alertStream(
+        streamingEvents(s, d), "ts", "event_type", "value", 5000L)
+      runAvailableNow(s, out, "alerts", d,
+        _.select(col("grp"), col("tsUs").as("ts_us"),
+          col("vCents").as("v_cents"), col("nPrior").as("n_prior"),
+          col("sumPriorCents").as("sum_prior_cents")),
+        graft.streaming.Streams.alertStreamMode)
+    }),
     // Stream-static dim enrichment (J2 as a stream): events joined to the
     // customer dim on user_id. Stateless — no watermark, no join state; the
     // static side is re-planned (and broadcast) each micro-batch. One
@@ -1797,6 +1910,75 @@ object SparkEntry {
            CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
              AS pass
          FROM allr""",
+    "q_bloom_join" ->
+      """SELECT o_orderkey, c_custkey FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_nationkey = 3""",
+    "q_transitions" ->
+      """WITH o AS (SELECT event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT s AS from_state, nxt AS to_state, count(*) AS n
+         FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+    "q_drift_psi" ->
+      """WITH rh AS (SELECT event_type AS grp,
+             (least(19999, greatest(0,
+               CAST(floor(value * 100) AS BIGINT))) * 20) // 20000 AS bucket,
+             count(*) AS rc
+           FROM events
+           WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY 1, 2),
+         ch AS (SELECT event_type AS grp,
+             (least(19999, greatest(0,
+               CAST(floor(value * 100) AS BIGINT))) * 20) // 20000 AS bucket,
+             count(*) AS cc
+           FROM events
+           WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY 1, 2),
+         groups AS (SELECT grp FROM rh UNION SELECT grp FROM ch),
+         spine AS (SELECT grp, gs.generate_series AS bucket
+                   FROM groups CROSS JOIN generate_series(0, 19)
+                     gs(generate_series)),
+         rt AS (SELECT grp, sum(rc) AS rtot FROM rh GROUP BY 1),
+         ct AS (SELECT grp, sum(cc) AS ctot FROM ch GROUP BY 1),
+         j AS (SELECT s.grp, s.bucket,
+                 greatest(1, (COALESCE(rh.rc, 0) * 1000000) // rt.rtot)
+                   AS p_ppm,
+                 greatest(1, (COALESCE(ch.cc, 0) * 1000000) // ct.ctot)
+                   AS q_ppm
+               FROM spine s
+               LEFT JOIN rh ON rh.grp = s.grp AND rh.bucket = s.bucket
+               LEFT JOIN ch ON ch.grp = s.grp AND ch.bucket = s.bucket
+               JOIN rt ON rt.grp = s.grp JOIN ct ON ct.grp = s.grp)
+         SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+           CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST((p_ppm - q_ppm) *
+             CAST(round(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 1000000)
+               AS BIGINT) AS BIGINT) AS term
+         FROM j""",
+    "q_hash_features" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term
+           FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 64 AS BIGINT)
+             AS slot,
+           count(*) AS cnt
+         FROM tok GROUP BY 1, 2""",
+    "q_histogram" ->
+      """WITH p AS (SELECT event_type AS grp,
+             least(19999, greatest(0,
+               CAST(floor(value * 100) AS BIGINT) - 0)) AS d
+           FROM events WHERE value IS NOT NULL)
+         SELECT grp, CAST((d * 20) // 20000 AS BIGINT) AS bucket,
+           count(*) AS cnt
+         FROM p GROUP BY 1, 2""",
+    "q_equidepth_bins" ->
+      """SELECT event_id AS id, event_type AS grp,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+             ORDER BY value, event_id) AS BIGINT) AS bin
+         FROM events WHERE value IS NOT NULL""",
     // string→double round-trips exactly in both engines (shortest-repr
     // printing), so genB's serialized values compare bit-equal
     "q_conform_union" ->
@@ -2947,6 +3129,25 @@ object SparkEntry {
                       AND r.us BETWEEN l.us - 3600000000 AND l.us))
          SELECT l_id, r_id FROM ij
          UNION ALL SELECT l_id, CAST(NULL AS BIGINT) FROM um""",
+    "q_stream_sink_upsert" ->
+      """WITH r AS (SELECT user_id AS k, event_id, round(value, 2) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT k, event_id, v FROM r WHERE rn = 1""",
+    "q_stream_alerts" ->
+      """WITH p AS (SELECT event_type AS grp, epoch_ns(ts) // 1000 AS us,
+             CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+         w AS (SELECT grp, us, vc,
+             CAST(COALESCE(SUM(vc) OVER (PARTITION BY grp ORDER BY us, vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS sp,
+             COUNT(*) OVER (PARTITION BY grp ORDER BY us, vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np
+           FROM p)
+         SELECT grp, us AS ts_us, vc AS v_cents, np AS n_prior,
+           sp AS sum_prior_cents
+         FROM w WHERE np >= 5 AND abs(vc * np - sp) > 5000 * np""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
            (epoch_ns(ts) // 1000)::BIGINT AS ts_us
@@ -3198,6 +3399,12 @@ object SparkEntry {
          SELECT l_id, r_id,
            epoch_us(least(l_e, r_e)) - epoch_us(greatest(l_s, r_s)) AS overlap_us
          FROM v JOIN c ON l_s <= r_e AND r_s <= l_e""",
+    // the applied table IS snapshot B — the whole point of the law
+    "q_apply_delta" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'RE-GRADED'
+                ELSE o_orderpriority END AS o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
                     FROM orders WHERE o_orderkey % 10 <> 0),

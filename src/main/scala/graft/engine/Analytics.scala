@@ -103,6 +103,110 @@ object Analytics {
           .as("hist_avg_micro"))
   }
 
+  /** Equi-width histogram per group over a DECLARED [loCents, hiCents)
+    * range — the profiling/monitoring companion to the exact percentiles:
+    * one partial-agg shuffle of (group, bucket) pairs, arithmetic entirely
+    * in integers (values floor to cents, bucket = clamped multiply-then-
+    * floor-divide), so buckets are cross-engine exact. Out-of-range values
+    * clamp into the edge buckets (they are signal, not errors — the
+    * winsorize convention). A data-driven range would need a prior pass;
+    * declaring it keeps this single-pass at 100 TB.
+    */
+  def histogram(df: DataFrame, key: Column, value: Column, loCents: Long,
+                hiCents: Long, nBuckets: Int): DataFrame = {
+    require(hiCents > loCents, s"empty range [$loCents, $hiCents)")
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    val vc = floor(value * lit(100.0)).cast("long")
+    val span = hiCents - loCents
+    df.filter(value.isNotNull)
+      .select(key.as("grp"),
+        least(lit(span - 1), greatest(lit(0L), vc - lit(loCents))).as("_d"))
+      // integral `div` (never Column `/`, which is double division — the
+      // cross-engine bucketing rule)
+      .groupBy(col("grp"), expr(s"(_d * $nBuckets) div $span")
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** First-order Markov transition counts over per-key ordered event
+    * streams — the path-analysis companion to [[funnel]]/[[sessionize]]
+    * (which step follows which, aggregated over all users). One window
+    * shuffle on the key under the (ts, tieBreak) total order (the
+    * order-sensitivity rule), then a (from, to)-sized aggregate — output
+    * is state², never data-sized. Exact counts; normalize to probabilities
+    * downstream at whatever precision the consumer wants.
+    */
+  def transitionCounts(df: DataFrame, key: Column, ts: Column,
+                       tieBreak: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tb"))
+    df.select(key.as("_k"), ts.as("_t"), tieBreak.as("_tb"), state.as("_s"))
+      .withColumn("_next", lead(col("_s"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_s").as("from_state"), col("_next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT sample
+    * of a metric, per group over the [[histogram]]'s declared buckets —
+    * the standard distribution-drift monitor (training-serving skew /
+    * feature drift: PSI < 0.1 stable, > 0.25 shifted). Two histogram
+    * passes (one per sample — each a single partial-agg scan), then all
+    * arithmetic on the group×bucket spine, which is model-sized.
+    *
+    * Integer contract: shares rise as ppm with a 1-ppm epsilon floor (the
+    * standard zero-bucket guard, and it keeps ln finite); the ln ratio
+    * quantizes per-bucket to integer micro-nats via the fixed-shape
+    * `round(ln(p/q)·1e6)` expression (the collocations/PMI convention —
+    * cross-engine stable, verified at three SFs there); each bucket's
+    * term is then the exact product `(p_ppm − q_ppm) · ln_micro`, summed
+    * in BIGINT. PSI in natural units = Σ term / 1e12.
+    * Output: one row per (grp, bucket) — `(grp, bucket, p_ppm, q_ppm,
+    * term)`; roll up `sum(term)` per group downstream.
+    */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, key: Column, value: Column,
+                 loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
+    val rh = histogram(ref, key, value, loCents, hiCents, nBuckets)
+      .withColumnRenamed("cnt", "_rc")
+    val ch = histogram(cur, key, value, loCents, hiCents, nBuckets)
+      .withColumnRenamed("cnt", "_cc")
+    val groups = rh.select("grp").union(ch.select("grp")).distinct()
+    val spine = groups.crossJoin(
+      ref.sparkSession.range(nBuckets).select(col("id").as("bucket")))
+    val rt = rh.groupBy("grp").agg(sum("_rc").as("_rt"))
+    val ct = ch.groupBy("grp").agg(sum("_cc").as("_ct"))
+    spine
+      .join(rh, Seq("grp", "bucket"), "left")
+      .join(ch, Seq("grp", "bucket"), "left")
+      .join(rt, Seq("grp")).join(ct, Seq("grp"))
+      .select(col("grp"), col("bucket"),
+        expr("greatest(1L, (coalesce(_rc, 0L) * 1000000) div _rt)")
+          .as("p_ppm"),
+        expr("greatest(1L, (coalesce(_cc, 0L) * 1000000) div _ct)")
+          .as("q_ppm"))
+      .withColumn("term",
+        (col("p_ppm") - col("q_ppm")) *
+          round(log(col("p_ppm").cast("double") / col("q_ppm")) *
+            lit(1000000.0)).cast("long"))
+  }
+
+  /** Equi-depth bins (per-group ntile): assign each row its quantile bin
+    * under the (value, id) TOTAL order (explicit tie-break — the repo's
+    * order-sensitivity rule), partitioned per group so the sort is
+    * group-bounded, never a global sort. The ML-feature binning twin of
+    * the equi-width histogram: bins carry equal row counts, not equal
+    * widths.
+    */
+  def equiDepthBins(df: DataFrame, key: Column, value: Column, id: Column,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n >= 1: $n")
+    df.filter(value.isNotNull)
+      .select(id.as("id"), key.as("grp"), value.as("v"))
+      .withColumn("bin", ntile(n).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id")))
+        .cast("long"))
+      .select(col("id"), col("grp"), col("bin"))
+  }
+
   /** Gap-filled fixed-step resample — the dense time grid every energy
     * dashboard and model-feature job needs (the reference's Grafana panels
     * render missing intervals as gaps; its imputer fills them: a dense

@@ -48,6 +48,31 @@ object Cdc {
       .drop("_o", "_n")
   }
 
+  /** Apply a [[snapshotDiff]]-shaped delta onto a base snapshot — the MERGE
+    * half of the CDC round trip: inserts add rows, updates replace the
+    * compared columns, deletes drop the key. The algebraic contract
+    * (spec'd AND oracled): `applyDelta(A, snapshotDiff(A, B)) == B`
+    * bit-for-bit, which is what makes replicating a table by shipping
+    * deltas sound. One shuffle join on the key (delta-sized right side —
+    * AQE broadcasts a small delta); the base flows through map-only
+    * otherwise. Base must be unique per key (the [[snapshotDiff]]
+    * contract).
+    */
+  def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                 compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyDelta needs at least one key column")
+    val d = delta.select(
+      keys.map(col) ++ compare.map(c => col(s"new_$c")) :+
+        col("change_type"): _*)
+    val joined = base.join(d, keys, "full_outer")
+    // delete → drop; update/insert → new values; untouched key → base row
+    joined
+      .filter(coalesce(col("change_type"), lit("")) =!= "delete")
+      .select(keys.map(col) ++ compare.map(c =>
+        when(col("change_type").isin("insert", "update"), col(s"new_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Type-2 slowly-changing dimension from an append-only change log:
     * consecutive rows per key whose tracked attributes are unchanged
     * collapse into one version; each version carries

@@ -204,6 +204,45 @@ object Joins {
       .drop("_salt")
   }
 
+  /** Runtime-filter (Bloom-prefiltered) selective join — the 100 TB shape
+    * for "join a huge fact against a dim that touches a SLIVER of it":
+    * one distributed aggregate condenses the dim's join keys into a few-MB
+    * Bloom filter (driver holds only the bits — the IVF-centroid
+    * model-state pattern); a codegen'd
+    * [[graft.engine.expressions.BloomMightContain]] probe then rides the
+    * fact SCAN as a map-only prefilter, so only might-matching rows enter
+    * the join's shuffle. False positives (rate `fpp`) survive the
+    * prefilter and die in the exact join — the result is bit-identical to
+    * the plain join; false negatives are impossible. Spark's own runtime
+    * bloom rewrite (spark.sql.optimizer.runtime.bloomFilter) makes the
+    * same move opportunistically; this operator GUARANTEES it for joins
+    * the pipeline knows are selective. Keys must be BIGINT (the probe is
+    * putLong/mightContainLong on both sides).
+    *
+    * `expectedDistinct` sizes the filter (overestimating costs bits,
+    * underestimating costs fpp); an empty dim yields an empty result
+    * without scanning the fact into the shuffle. */
+  def bloomPrefilteredJoin(fact: DataFrame, factKey: Column,
+                           dim: DataFrame, dimKey: Column,
+                           expectedDistinct: Long = 1000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    val keyed = dim.select(dimKey.cast("long").as("_bk")).na.drop()
+    // stat.bloomFilter NPEs on an empty input (its aggregate yields null);
+    // the emptiness probe is one action on the DIM side — small by this
+    // operator's contract
+    if (keyed.isEmpty)
+      return fact.filter(lit(false)).join(dim, factKey === dimKey)
+    val bloom = keyed.stat.bloomFilter("_bk", math.max(1L, expectedDistinct),
+      fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.engine.expressions.BloomMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          factKey.cast("long")), bos.toByteArray))
+    fact.filter(probe).join(dim, factKey === dimKey)
+  }
+
   /** J4: fuzzy lookup — exact key match, else substring containment in either
     * direction, else a default (fetch_data/pv/database.py:211-223,
     * pv_test/init_db.py:145-177, default-Seoul fallback).

@@ -223,6 +223,25 @@ object Sink {
     spark.read.parquet(resolveVersioned(path).getOrElse(throw
       new java.io.FileNotFoundException(s"no committed version under $path")))
 
+  /** Time-travel read: the table as of version `n` (`_v<n>`), provided
+    * retention (`commitVersioned(retain = …)`) still holds it — the
+    * audit/reproducibility companion to the pointer read ("score with the
+    * exact table the model trained on"). Fails loudly on a GC'd or
+    * never-written version, listing what IS readable. */
+  def readVersion(spark: SparkSession, path: String, n: Long): DataFrame = {
+    val root = new java.io.File(path)
+    val have = listVersions(root).map(_._1).sorted
+    require(have.contains(n),
+      s"version _v$n not present under $path (readable: " +
+        s"${have.map("_v" + _).mkString(", ")}) — raise `retain` if time " +
+        "travel must reach further back")
+    spark.read.parquet(new java.io.File(root, s"_v$n").getPath)
+  }
+
+  /** Readable version numbers under a versioned table root, ascending. */
+  def versions(path: String): Seq[Long] =
+    listVersions(new java.io.File(path)).map(_._1).sorted
+
   /** Write `df` as the table's next version and atomically publish it.
     * Returns the new version directory. `retain` bounds retention GC: after
     * publish, all but the `retain` highest-numbered versions (always

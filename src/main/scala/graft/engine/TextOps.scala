@@ -552,6 +552,27 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Hashing-trick featurization (Weinberger et al. 2009): tokens map to a
+    * FIXED k-slot space via a hash, so featurizing needs no vocabulary
+    * pass, no driver state, and no join — the standard way to feed text
+    * into linear models ([[graft.engine.Classifier]]) at corpus scale.
+    * One explode + one (doc, slot) partial-agg shuffle; collisions are the
+    * accepted trade (they only blur features, never lose documents). The
+    * slot hash is the repo's cross-engine md5 convention
+    * (`conv(substr(md5(tok),1,8))` == DuckDB `('0x'||substr)::UBIGINT`),
+    * so the whole featurization is oracle-replayable.
+    * Output: (doc_id, slot, cnt) — the sparse long form; pivot to dense
+    * only at model width, never corpus-wide. */
+  def hashFeatures(docs: DataFrame, id: Column, text: Column,
+                   k: Int = 64): DataFrame = {
+    require(k >= 2, s"slot count must be >= 2: $k")
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(k.toLong)).as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Zipf coverage curve of the top-`k` vocabulary: for each rank r, the
     * cumulative fraction of ALL corpus tokens explained by ranks 1..r —
     * the tokenizer-sizing signal (how large a vocab covers 95% of the

@@ -161,8 +161,106 @@ object Streams {
       .toDF()
   }
 
+  /** Stream → keyed-upsert table, the production `foreachBatch` sink
+    * pattern (the reference's psycopg2 `ON CONFLICT DO UPDATE` loop
+    * becomes: each micro-batch MERGEs into the parquet table via
+    * [[graft.engine.Sink.upsertParquet]]). Structured Streaming guarantees
+    * foreachBatch AT-LEAST-once — after a crash between sink commit and
+    * checkpoint commit, the SAME batchId is re-delivered — so exactly-once
+    * needs the sink itself to dedupe: a `<path>._last_batch` marker records
+    * the last applied batchId and a replay with `batchId <= marker` is a
+    * no-op. (The keyed upsert is idempotent for identical re-deliveries
+    * anyway; the marker also makes it safe when the table advanced in
+    * between.) Runs under AvailableNow and blocks until the tick drains —
+    * the cron-batch shape. At scale, swap the POSIX marker for the
+    * versioned-pointer commit ([[graft.engine.Sink.PointerCommit]]) whose
+    * pointer write is the atomic unit on object stores. */
+  def upsertSink(stream: DataFrame, path: String, ckpt: String,
+                 keys: Seq[String], tieBreak: Seq[String]): Unit = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val marker = new java.io.File(path + "._last_batch")
+        val last =
+          if (marker.exists())
+            scala.io.Source.fromFile(marker).mkString.trim.toLong
+          else -1L
+        if (batchId > last) {
+          // dedupe WITHIN the batch first: upsertParquet's no-table branch
+          // writes incoming as-is, and a keyed table must be keyed from
+          // batch one
+          val deduped = graft.engine.Dedup.keepLast(batch,
+            keys.map(col), tieBreak.map(col))
+          graft.engine.Sink.upsertParquet(batch.sparkSession, deduped, path,
+            keys, tieBreak.map(col))
+          val w = new java.io.PrintWriter(marker)
+          try w.print(batchId) finally w.close()
+        }
+      }
+    val q = stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  case class Alert(grp: String, tsUs: Long, vCents: Long, nPrior: Long,
+                   sumPriorCents: Long)
+  // running (count, centSum) per key — flat tuple, codegen-friendly encoder
+  private type AlertState = (Long, Long)
+
+  /** Per-key streaming anomaly alerts via `flatMapGroupsWithState` — the
+    * flatMap variant of the typed-state API ([[resumeTracker]] covers the
+    * map variant): a group emits ZERO OR MORE alert rows per batch, one for
+    * each reading that deviates from the key's RUNNING mean by more than
+    * `thresholdCents`, judged against state accumulated across every prior
+    * batch (and prior rows of this batch, in (ts, value) order) — the
+    * streaming twin of the batch `Analytics.robustAnomalies` family, for
+    * the reference's "flag a stuck/spiking plant while ingesting" need.
+    *
+    * Integer contract: values floor to cents; the deviation test
+    * cross-multiplies (`|v·n − Σ| > thr·n`) so no division ever happens —
+    * deterministic and exactly replayable as a cumulative-window SQL
+    * closed form. Rows that tie on (ts, cents) are indistinguishable to
+    * the test, so intra-batch sort order between them cannot change the
+    * output multiset.
+    *
+    * State is two longs per key. The per-batch, per-key row buffer is
+    * sorted in the task (a micro-batch holds minutes of one key's data —
+    * bounded by trigger cadence, not stream length). The cross-multiplied
+    * magnitudes stay inside Long while `n × maxCents < 2⁶³` (~5×10¹⁴ rows
+    * per key at 10⁴ cents) — beyond that, age out state by restarting the
+    * accumulation window, which alerting semantics want anyway. */
+  def alertStream(events: DataFrame, ts: String, key: String, value: String,
+                  thresholdCents: Long, minHistory: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($key AS STRING) AS k",
+        s"unix_micros(CAST($ts AS TIMESTAMP)) AS us",
+        s"CAST(floor($value * 100) AS LONG) AS vc")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AlertState, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[AlertState]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          val out = Seq.newBuilder[Alert]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, us, vc) =>
+            if (n >= minHistory &&
+                math.abs(vc * n - sum) > thresholdCents * n)
+              out += Alert(k, us, vc, n, sum)
+            n += 1; sum += vc
+          }
+          state.update((n, sum))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Preferred output mode per transform (append for windows, update for the
     * stateful tracker) — callers wire writeStream with these. */
   val hourlySumMode: OutputMode = OutputMode.Append()
   val resumeTrackerMode: OutputMode = OutputMode.Update()
+  val alertStreamMode: OutputMode = OutputMode.Append()
 }

@@ -9,6 +9,91 @@ class AnalyticsSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("psiByGroup: zero on identical samples, hand-exact on a shift, " +
+    "epsilon floor on empty buckets") {
+    val ref = Seq(("a", 0.5), ("a", 0.6), ("a", 0.7), ("a", 1.5))
+      .toDF("k", "v")
+    val same = Analytics.psiByGroup(ref, ref, col("k"), col("v"), 0L, 200L, 2)
+      .collect()
+    all(same.map(_.getLong(4))) shouldBe 0L
+    // shifted: ref 3:1 across the two buckets, cur 1:3
+    val cur = Seq(("a", 0.5), ("a", 1.6), ("a", 1.7), ("a", 1.8))
+      .toDF("k", "v")
+    val shifted = Analytics
+      .psiByGroup(ref, cur, col("k"), col("v"), 0L, 200L, 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // p = 750000/250000 ppm, q = 250000/750000; ln(3) µnats = 1098612
+    shifted(0L) shouldBe ((750000L, 250000L, 500000L * 1098612L))
+    shifted(1L) shouldBe ((250000L, 750000L, 500000L * 1098612L))
+    // a bucket empty on one side floors to 1 ppm instead of ln(0)
+    val curOne = Seq(("a", 0.5)).toDF("k", "v")
+    val eps = Analytics.psiByGroup(ref, curOne, col("k"), col("v"), 0L, 200L, 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    eps(1L) shouldBe 1L // cur has no bucket-1 mass → epsilon, finite term
+  }
+
+  test("transitionCounts: per-key ordering with tie-break; keys independent") {
+    val df = Seq(
+      // user 1: a→b→a (b at 10:01 ties broken by id: id 2 before id 3)
+      (1L, t("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, t("2024-01-01 10:01:00"), 3L, "a"),
+      // user 2: single event → no transition
+      (2L, t("2024-01-01 10:00:00"), 4L, "c"),
+      // user 3: a→b again
+      (3L, t("2024-01-01 09:00:00"), 5L, "a"),
+      (3L, t("2024-01-01 11:00:00"), 6L, "b")
+    ).toDF("u", "ts", "id", "s")
+    val out = Analytics.transitionCounts(df, col("u"), col("ts"), col("id"),
+        col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    out shouldBe Map(("a", "b") -> 2L, ("b", "a") -> 1L)
+  }
+
+  test("histogram: clamped integer buckets, nulls excluded") {
+    val df = Seq(
+      ("a", Some(-5.0)),  // below lo → clamps into bucket 0
+      ("a", Some(0.0)),   // bucket 0
+      ("a", Some(9.99)),  // cents 999 → (999*4) div 4000 = 0
+      ("a", Some(10.0)),  // cents 1000 → bucket 1
+      ("a", Some(39.99)), // cents 3999 → bucket 3
+      ("a", Some(99.0)),  // above hi → clamps into last bucket (3)
+      ("a", None),
+      ("b", Some(25.0))   // bucket 2
+    ).toDF("k", "v")
+    val out = Analytics.histogram(df, col("k"), col("v"), 0L, 4000L, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    out shouldBe Map(
+      ("a", 0L) -> 3L, ("a", 1L) -> 1L, ("a", 3L) -> 2L,
+      ("b", 2L) -> 1L)
+  }
+
+  test("equiDepthBins: equal counts per bin, (value, id) tie-break, " +
+    "groups independent") {
+    val rows = (1 to 20).map(i => (i.toLong, "a", (i % 4).toDouble)) ++
+      (21 to 26).map(i => (i.toLong, "b", i.toDouble))
+    val out = Analytics.equiDepthBins(rows.toDF("id", "k", "v"),
+        col("k"), col("v"), col("id"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // group a: 20 rows → 10 per bin; ties on v resolved by id, so bin 1
+    // is exactly the 10 smallest (v, id) pairs
+    val aBins = out.collect { case ((id, "a"), b) => id -> b }.toMap
+    aBins.values.count(_ == 1L) shouldBe 10
+    aBins.values.count(_ == 2L) shouldBe 10
+    // v values: 1..20 % 4 → 0,1,2,3 cycling; five of each. Sorted by
+    // (v, id): all v=0 (ids 4,8,12,16,20), all v=1 (1,5,9,13,17) → bin 1
+    Seq(4L, 8L, 12L, 16L, 20L, 1L, 5L, 9L, 13L, 17L)
+      .foreach(id => aBins(id) shouldBe 1L)
+    // group b: 6 rows → 3 per bin, independent of a
+    val bBins = out.collect { case ((id, "b"), b) => id -> b }.toMap
+    bBins shouldBe Map(21L -> 1L, 22L -> 1L, 23L -> 1L,
+      24L -> 2L, 25L -> 2L, 26L -> 2L)
+  }
+
   test("resampleFill: dense grid, zero fill, boundary buckets exact") {
     val df = Seq(
       ("a", t("2024-01-01 00:03:00"), 1.0),

@@ -11,6 +11,32 @@ class CdcSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  // ---- applyDelta ----
+
+  test("applyDelta: applyDelta(A, snapshotDiff(A, B)) == B, including " +
+    "null transitions in both directions") {
+    val a = Seq(
+      (1L, Some("x")), (2L, Some("y")), (3L, Option.empty[String]),
+      (4L, Some("keep")), (6L, Some("q"))
+    ).toDF("k", "v")
+    val b = Seq(
+      (2L, Some("y2")), (3L, Some("z")), (4L, Some("keep")),
+      (5L, Some("new")), (6L, Option.empty[String])
+    ).toDF("k", "v")
+    val delta = Cdc.snapshotDiff(a, b, Seq("k"), Seq("v"))
+    val applied = Cdc.applyDelta(a, delta, Seq("k"), Seq("v"))
+    applied.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet shouldBe
+      b.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+  }
+
+  test("applyDelta: empty delta is the identity") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val delta = Cdc.snapshotDiff(a, a, Seq("k"), Seq("v"))
+    delta.count() shouldBe 0
+    Cdc.applyDelta(a, delta, Seq("k"), Seq("v"))
+      .collect().map(_.toSeq).toSet shouldBe a.collect().map(_.toSeq).toSet
+  }
+
   // ---- snapshotDiff ----
 
   test("snapshotDiff: insert / delete / update / unchanged-dropped") {

@@ -7,6 +7,50 @@ import java.sql.Timestamp
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloomPrefilteredJoin: bit-equal to the plain join, probe sits on " +
+    "the fact side before the shuffle, empty dim short-circuits") {
+    val fact = (1L to 500L).map(i => (i, i % 50)).toDF("oid", "fk")
+    val dim = Seq((3L, "a"), (7L, "b"), (999L, "zz")).toDF("dk", "attr")
+    // even at a punishing fpp the result is exact — FPs die in the join
+    val out = Joins.bloomPrefilteredJoin(fact, col("fk"), dim, col("dk"),
+      expectedDistinct = 3, fpp = 0.4)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    out.collect().map(_.toSeq).toSet shouldBe plain.collect().map(_.toSeq).toSet
+    out.count() shouldBe 20 // fk ∈ {3, 7} → 10 each
+    // the might-contain probe is a Filter on the fact branch, upstream of
+    // any exchange: assert on a FILE-backed fact (a local relation would
+    // let ConvertToLocalRelation evaluate the probe at plan time and the
+    // operator vanishes from the physical plan), and the prefilter must
+    // actually prune (with fpp=0.01 the survivors are the matching sliver
+    // plus FPs, well under the full fact)
+    val factPath = java.nio.file.Files
+      .createTempDirectory("graft_bloom_fact_").toString + "/fact"
+    fact.write.parquet(factPath)
+    val factFile = spark.read.parquet(factPath)
+    val tight = Joins.bloomPrefilteredJoin(factFile, col("fk"), dim,
+      col("dk"), expectedDistinct = 3, fpp = 0.01)
+    tight.queryExecution.executedPlan.toString should include(
+      "graft_bloom_might_contain")
+    tight.collect().map(_.toSeq).toSet shouldBe
+      plain.collect().map(_.toSeq).toSet
+    val survivors = fact.filter(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.engine.expressions.BloomMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col("fk").cast("long")),
+          {
+            val b = dim.select(col("dk").cast("long").as("_bk"))
+              .stat.bloomFilter("_bk", 3, 0.01)
+            val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos)
+            bos.toByteArray
+          }))).count()
+    survivors should be >= 20L
+    survivors should be < 500L
+    // empty dim → empty result
+    Joins.bloomPrefilteredJoin(fact, col("fk"), dim.limit(0), col("dk"),
+      expectedDistinct = 3).count() shouldBe 0L
+  }
+
   test("fuzzyLookup: exact beats containment beats default; longest key wins") {
     val fact = Seq("Brand#45", "Brand#451", "NoMatch").toDF("k")
     val dim = Seq(("Brand#45", "exact45"), ("Brand#4", "four"))

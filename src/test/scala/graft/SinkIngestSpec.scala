@@ -11,6 +11,27 @@ class SinkIngestSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft_test_").toString
 
+  test("readVersion time travel: every retained version readable, GC'd " +
+    "version fails loudly, pointer read tracks current") {
+    val path = tmpDir() + "/vt"
+    Sink.commitVersioned(Seq((1L, "v1")).toDF("id", "tag"), path, retain = 3)
+    Sink.commitVersioned(Seq((1L, "v2")).toDF("id", "tag"), path, retain = 3)
+    Sink.commitVersioned(Seq((1L, "v3")).toDF("id", "tag"), path, retain = 3)
+    Sink.versions(path) shouldBe Seq(1L, 2L, 3L)
+    (1L to 3L).foreach { n =>
+      Sink.readVersion(spark, path, n).collect().head.getString(1) shouldBe
+        s"v$n"
+    }
+    Sink.readVersioned(spark, path).collect().head.getString(1) shouldBe "v3"
+    // retain=1 on the next commit GCs everything but the newest
+    Sink.commitVersioned(Seq((1L, "v4")).toDF("id", "tag"), path, retain = 1)
+    Sink.versions(path) shouldBe Seq(4L)
+    val e = intercept[IllegalArgumentException] {
+      Sink.readVersion(spark, path, 2L)
+    }
+    e.getMessage should include("_v2 not present")
+  }
+
   test("conformUnion: name-matched, typed-null-filled, extras dropped, " +
     "casts applied, column order independent") {
     import org.apache.spark.sql.types._

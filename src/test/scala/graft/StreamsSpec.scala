@@ -337,6 +337,86 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink: keyed merge per tick; last-batch marker makes a " +
+    "replayed batchId a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsink_")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val tbl = base.resolve("tbl").toString
+    val schema = Seq((1L, t("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "v").schema
+    def run(): Unit = Streams.upsertSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      tbl, ckpt, Seq("k"), Seq("ts"))
+    def table() = spark.read.parquet(tbl).collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1).toString, r.getDouble(2))))
+      .toMap
+    // tick 1: two rows for k1 (in-batch dedup must keep the newer), one k2
+    Seq((1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 11:00:00"), 2.0),
+      (2L, t("2024-01-01 10:30:00"), 5.0))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    run()
+    table() shouldBe Map(
+      1L -> (("2024-01-01 11:00:00.0", 2.0)),
+      2L -> (("2024-01-01 10:30:00.0", 5.0)))
+    // tick 2 (same checkpoint): k1 advances, k3 appears, k2 untouched
+    Seq((1L, t("2024-01-02 09:00:00"), 3.0),
+      (3L, t("2024-01-02 09:30:00"), 7.0))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.mode("append").parquet(src.toString)
+    run()
+    val after2 = table()
+    after2 shouldBe Map(
+      1L -> (("2024-01-02 09:00:00.0", 3.0)),
+      2L -> (("2024-01-01 10:30:00.0", 5.0)),
+      3L -> (("2024-01-02 09:30:00.0", 7.0)))
+    // replayed batchId: wipe the checkpoint so batch 0 is re-delivered
+    // (now spanning BOTH files, incl. rows that would regress k1) — the
+    // marker (last=1) must skip it and leave the table untouched
+    import java.nio.file.{Files, Path}
+    Files.walk(Path.of(ckpt)).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    run()
+    table() shouldBe after2
+  }
+
+  test("alertStream: running-mean state spans batches; minHistory " +
+    "suppresses early rows; in-batch order is (ts, cents)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.alertStream(mem.toDF().toDF("ts", "k", "v"),
+      "ts", "k", "v", thresholdCents = 1000L, minHistory = 3)
+    val q = out.writeStream.format("memory").queryName("alerts")
+      .outputMode(Streams.alertStreamMode).start()
+    def alerts() = spark.sql(
+        "SELECT vCents, nPrior, sumPriorCents FROM alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // batch 1: establishes mean 10.00 over 3 rows; the 4th row (fed out
+      // of ts order to prove the in-task sort) deviates by 15 > 10
+      mem.addData(
+        (t("2024-01-01 10:03:00"), "a", 25.0), // judged LAST in the batch
+        (t("2024-01-01 10:00:00"), "a", 10.0),
+        (t("2024-01-01 10:01:00"), "a", 10.0),
+        (t("2024-01-01 10:02:00"), "a", 10.0))
+      q.processAllAvailable()
+      // first three rows are under minHistory → no alert for them ever
+      alerts() shouldBe Set((2500L, 3L, 3000L))
+      // batch 2: state carried — mean is now (30+25)/4 = 13.75; a 12.00
+      // reading is fine, a 30.00 reading deviates by 16.25
+      mem.addData((t("2024-01-01 10:04:00"), "a", 12.0),
+        (t("2024-01-01 10:05:00"), "a", 30.0))
+      q.processAllAvailable()
+      alerts() shouldBe Set((2500L, 3L, 3000L), (3000L, 5L, 6700L))
+      // independent key: its own history, no cross-talk
+      mem.addData((t("2024-01-01 10:00:00"), "b", 99.0))
+      q.processAllAvailable()
+      alerts() shouldBe Set((2500L, 3L, 3000L), (3000L, 5L, 6700L))
+    } finally q.stop()
+  }
+
   test("resumeTracker: per-key watermark + hour coverage, day rollover resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

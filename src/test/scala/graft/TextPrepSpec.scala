@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashFeatures: counts conserve tokens, slots stable per term, " +
+    "k-bounded") {
+    import graft.engine.TextOps
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "")).toDF("id", "t")
+    val out = TextOps.hashFeatures(docs, col("id"), col("t"), 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // token conservation: doc1 has 4 tokens, doc2 has 2, doc3 has 1
+    // (split("") yields one empty token — same in DuckDB string_split)
+    out.filter(_._1 == 1L).map(_._3).sum shouldBe 4L
+    out.filter(_._1 == 2L).map(_._3).sum shouldBe 2L
+    out.filter(_._1 == 3L).map(_._3).sum shouldBe 1L
+    all(out.map(_._2)) should (be >= 0L and be < 16L)
+    // the same term hashes to the same slot in every doc: "a" appears in
+    // doc1 (count 2 among its slots) and doc2 — their slot sets intersect
+    val slotsOfA = out.filter(t => t._1 == 1L && t._3 == 2L).map(_._2).toSet
+    slotsOfA should have size 1 // "a" is doc1's only repeated token
+    out.filter(_._1 == 2L).map(_._2).toSet should contain(slotsOfA.head)
+  }
+
   test("stripMarkup: tags dropped, entities decoded exactly one level, " +
     "whitespace collapsed") {
     val df = Seq((1L,

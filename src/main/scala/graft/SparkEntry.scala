@@ -493,6 +493,24 @@ object SparkEntry {
         uniqueRules = Seq(
           "unique:o_orderkey" -> Seq("o_orderkey"),
           "unique:o_custkey,o_orderdate" -> Seq("o_custkey", "o_orderdate")))),
+    // Generic per-group top-N rows via the BoundedTopK partial aggregate —
+    // the window-rerank idiom without its per-group sort (bit-exact ties)
+    "q_topn_per_group" -> ((s, d) =>
+      Analytics.topNRowsPerGroup(events(s, d), col("event_type"),
+        col("value"), col("event_id"), 5)),
+    // Additive seasonal decomposition y = trend + seasonal + residual at
+    // the hourly grain: ±12 h RANGE-frame trend, per-(type, hour-of-day)
+    // seasonal profile, Euclidean floor means — all integer micro-units
+    "q_seasonal_decompose" -> ((s, d) =>
+      Forecast.seasonalDecompose(events(s, d), col("event_type"), col("ts"),
+        col("value"))),
+    // Mix-diversity monitor: Shannon entropy (ppm shares, micro-nat ln)
+    // of each day's event-type mix — collapse of a day's diversity is the
+    // corpus-mix alarm
+    "q_mix_entropy" -> ((s, d) =>
+      Analytics.mixEntropy(
+        events(s, d).select(to_date(col("ts")).as("day"), col("event_type")),
+        col("day"), col("event_type"))),
     // Markov transition matrix: which event type follows which, per-user
     // ordered streams under the (ts, event_id) total order — state²-sized
     // output from one window shuffle
@@ -1914,6 +1932,54 @@ object SparkEntry {
       """SELECT o_orderkey, c_custkey FROM orders
          JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey = 3""",
+    "q_topn_per_group" ->
+      """WITH r AS (SELECT event_type AS grp, event_id AS id,
+             value AS score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS rn
+           FROM events WHERE value IS NOT NULL)
+         SELECT grp, id, score, rn FROM r WHERE rn <= 5""",
+    "q_seasonal_decompose" ->
+      """WITH g AS (SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s,
+             COUNT(value) AS n
+           FROM events GROUP BY 1, 2),
+         g2 AS (SELECT grp, h, s, n,
+                  epoch_ns(h) // 3600000000000 AS hidx
+                FROM g WHERE n > 0),
+         t AS (SELECT grp, h, hidx, s, n,
+                 CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS y,
+                 SUM(s) OVER w AS ws, SUM(n) OVER w AS wn
+               FROM g2 WINDOW w AS (PARTITION BY grp ORDER BY hidx
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         t2 AS (SELECT grp, h, hidx, y,
+                  CAST((ws - (((ws % wn) + wn) % wn)) // wn AS BIGINT)
+                    AS trend
+                FROM t),
+         t3 AS (SELECT grp, h, hidx, y, trend, y - trend AS detr FROM t2),
+         seas AS (SELECT grp, hidx % 24 AS hod, SUM(detr) AS sd,
+                    COUNT(*) AS sn
+                  FROM t3 GROUP BY 1, 2),
+         s2 AS (SELECT grp, hod,
+                  CAST((sd - (((sd % sn) + sn) % sn)) // sn AS BIGINT)
+                    AS seasonal
+                FROM seas)
+         SELECT t3.grp, t3.h, t3.y AS y_micro, t3.trend AS trend_micro,
+           s2.seasonal AS seasonal_micro,
+           CAST(t3.y - t3.trend - s2.seasonal AS BIGINT) AS resid_micro
+         FROM t3 JOIN s2 ON s2.grp = t3.grp AND s2.hod = t3.hidx % 24""",
+    "q_mix_entropy" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS grp, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT grp, event_type, n, sum(n) OVER (PARTITION BY grp)
+                 AS tot FROM c),
+         p AS (SELECT grp, n, tot,
+                 greatest(1, (n * 1000000) // tot) AS pp FROM t)
+         SELECT grp, count(*) AS n_cats, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(-sum(pp * CAST(round(ln(CAST(pp AS DOUBLE) / 1000000)
+             * 1000000) AS BIGINT)) AS BIGINT) AS entropy_pn
+         FROM p GROUP BY 1""",
     "q_transitions" ->
       """WITH o AS (SELECT event_type AS s,
              lead(event_type) OVER (PARTITION BY user_id

@@ -128,6 +128,51 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Generic per-group top-N ROWS by score — the
+    * [[graft.engine.expressions.BoundedTopK]] partial aggregate exposed as
+    * a general operator (the ANN rerank path made reusable): each task
+    * reduces to ≤ n entries per group BEFORE the shuffle, so no task ever
+    * assembles a group's full row set — the window-rerank
+    * (`row_number().over`) idiom without its sort hotspot, bit-exact to
+    * it (score desc, ties to the lower id; null scores skipped).
+    * Output: `(grp, id, score, rn)`.
+    */
+  def topNRowsPerGroup(df: DataFrame, key: Column, score: Column, id: Column,
+                       n: Int): DataFrame =
+    df.groupBy(key.as("grp"))
+      .agg(Similarity.boundedTopK(score, id, n).as("_tk"))
+      .select(col("grp"), posexplode(col("_tk")).as(Seq("_p", "_s")))
+      .select(col("grp"), col("_s.id").as("id"), col("_s.score").as("score"),
+        (col("_p") + 1).cast("long").as("rn"))
+
+  /** Shannon entropy of a categorical mix per group — the diversity
+    * monitor (is one source/type swallowing the corpus? did today's mix
+    * collapse?): `-Σ p ln p` over the category shares within each group.
+    * One (group, category) partial-agg pass; all division/ln on the
+    * group×category aggregate, which is model-sized.
+    *
+    * Integer contract: shares as ppm floor divisions, each category's ln
+    * quantized to micro-nats (the PMI fixed-shape convention), term
+    * products exact in BIGINT. Entropy in nats = `entropy_pn / 1e12`;
+    * zero-count categories contribute nothing (lim p→0 of p·ln p = 0 —
+    * they simply have no row). Output: `(grp, n_cats, n_rows,
+    * entropy_pn)`.
+    */
+  def mixEntropy(df: DataFrame, key: Column, category: Column): DataFrame =
+    df.groupBy(key.as("grp"), category.as("_c"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_tot",
+        sum("_n").over(Window.partitionBy("grp")))
+      // 1-ppm floor: a category rarer than 1/1e6 of its group would floor
+      // to share 0 and ln(0) — the PSI epsilon convention
+      .withColumn("_p", expr("greatest(1L, (_n * 1000000) div _tot)"))
+      .withColumn("_term", col("_p") *
+        round(log(col("_p").cast("double") / lit(1000000.0)) *
+          lit(1000000.0)).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_cats"), sum("_n").as("n_rows"),
+        (-sum("_term")).as("entropy_pn"))
+
   /** First-order Markov transition counts over per-key ordered event
     * streams — the path-analysis companion to [[funnel]]/[[sessionize]]
     * (which step follows which, aggregated over all users). One window

@@ -58,6 +58,52 @@ object Forecast {
         abs(col("actual_micro") - col("pred_micro")))
   }
 
+  /** Classical additive seasonal decomposition at the hourly grain:
+    * `y = trend + seasonal + residual` per key — trend as the ±12 h
+    * centered moving mean (RANGE frame over the integer hour index, so
+    * series gaps don't shift the window), seasonal as the per-(key,
+    * hour-of-day) mean of the detrended series, residual as the
+    * remainder. The anomaly/monitoring companion to
+    * [[backtestHistMean]] (the reference's (m,d,h) mean IS a seasonal
+    * profile; this separates it from level drift).
+    *
+    * Integer contract: micro-unit quantization before aggregation and
+    * Euclidean floor means throughout (negative detrended values floor
+    * identically to DuckDB `//`). 100 TB shape: the only corpus pass is
+    * the hourly-grain collapse; both windows and the seasonal join run on
+    * grain-sized data partitioned by key.
+    * Output: `(grp, h, y_micro, trend_micro, seasonal_micro,
+    * resid_micro)` for every hour cell holding data.
+    */
+  def seasonalDecompose(df: DataFrame, key: Column, ts: Column,
+                        value: Column): DataFrame = {
+    val vm = floor(value * lit(1000000.0) + lit(0.5)).cast("long")
+    val grain = df
+      .groupBy(key.as("grp"), date_trunc("hour", ts).as("h"))
+      .agg(sum(vm).as("_s"), count(vm).as("_n"))
+      .filter(col("_n") > 0)
+      .withColumn("hidx", expr("unix_timestamp(h) div 3600"))
+      .withColumn("y_micro", floorDiv(col("_s"), col("_n")))
+    val wt = Window.partitionBy("grp").orderBy("hidx").rangeBetween(-12, 12)
+    val trended = grain
+      .withColumn("_ws", sum("_s").over(wt))
+      .withColumn("_wn", sum("_n").over(wt))
+      .withColumn("trend_micro", floorDiv(col("_ws"), col("_wn")))
+      .withColumn("_detr", col("y_micro") - col("trend_micro"))
+    val seasonal = trended
+      .groupBy(col("grp").as("_sg"), pmod(col("hidx"), lit(24L)).as("_hod"))
+      .agg(sum("_detr").as("_sd"), count(lit(1)).as("_sn"))
+      .select(col("_sg"), col("_hod"),
+        floorDiv(col("_sd"), col("_sn")).as("seasonal_micro"))
+    trended.join(seasonal,
+        trended("grp") === seasonal("_sg") &&
+          pmod(trended("hidx"), lit(24L)) === seasonal("_hod"))
+      .select(col("grp"), col("h"), col("y_micro"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("y_micro") - col("trend_micro") - col("seasonal_micro"))
+          .as("resid_micro"))
+  }
+
   /** Per-key model scorecard over a backtest frame: cells scored, mean
     * absolute error (floor micro-units). One grain-sized aggregate.
     */

@@ -33,6 +33,35 @@ class AnalyticsSpec extends SparkSpec {
     eps(1L) shouldBe 1L // cur has no bucket-1 mass → epsilon, finite term
   }
 
+  test("topNRowsPerGroup == the row_number window idiom, ties to lower id") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 9.0), (4L, "a", 1.0),
+      (5L, "b", 2.0), (6L, "b", 2.0), (7L, "b", 2.0)
+    ).toDF("id", "k", "v")
+    val fast = Analytics.topNRowsPerGroup(df, col("k"), col("v"), col("id"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    fast shouldBe Set(
+      ("a", 2L, 9.0, 1L), ("a", 3L, 9.0, 2L), // 9.0 tie → lower id first
+      ("b", 5L, 2.0, 1L), ("b", 6L, 2.0, 2L))
+    // no Window operator in the plan — the point of the partial aggregate
+    Analytics.topNRowsPerGroup(df, col("k"), col("v"), col("id"), 2)
+      .queryExecution.executedPlan.toString should not include "Window"
+  }
+
+  test("mixEntropy: ln(k) on uniform mixes, zero on single-category, " +
+    "groups independent") {
+    val df = (Seq.tabulate(8)(i => ("u", s"c${i % 4}")) ++
+      Seq(("m", "only"), ("m", "only"))).toDF("g", "c")
+    val out = Analytics.mixEntropy(df, col("g"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // uniform 4 categories: p = 250000 ppm, ln(0.25)µ = -1386294 →
+    // entropy_pn = 4 · 250000 · 1386294 = ln(4)·1e12 quantized
+    out("u") shouldBe ((4L, 8L, 1386294000000L))
+    out("m") shouldBe ((1L, 2L, 0L))
+  }
+
   test("transitionCounts: per-key ordering with tie-break; keys independent") {
     val df = Seq(
       // user 1: a→b→a (b at 10:01 ties broken by id: id 2 before id 3)

@@ -55,6 +55,35 @@ class ForecastSpec extends SparkSpec {
     preds(("b", 5L)) shouldBe 7000000L   // only b@5 history
   }
 
+  test("seasonalDecompose: constant series → zero seasonal/residual; " +
+    "identity law; RANGE trend window ignores series gaps") {
+    // 48 consecutive hours at a constant 100.0 → trend = y, detr = 0
+    val flat = (0 until 48).map(h =>
+      ("a", ts(1 + h / 24, h % 24), 100.0)).toDF("k", "t", "v")
+    val f = Forecast.seasonalDecompose(flat, col("k"), col("t"), col("v"))
+      .collect()
+    f should have size 48
+    all(f.map(_.getLong(2))) shouldBe 100000000L // y
+    all(f.map(_.getLong(3))) shouldBe 100000000L // trend
+    all(f.map(_.getLong(4))) shouldBe 0L         // seasonal
+    all(f.map(_.getLong(5))) shouldBe 0L         // residual
+    // identity y = trend + seasonal + resid holds on arbitrary data
+    val noisy = (0 until 72).map(h =>
+      ("a", ts(1 + h / 24, h % 24), 50.0 + (h % 7) * 3.25)).toDF("k", "t", "v")
+    Forecast.seasonalDecompose(noisy, col("k"), col("t"), col("v"))
+      .collect().foreach { r =>
+        r.getLong(2) shouldBe r.getLong(3) + r.getLong(4) + r.getLong(5)
+      }
+    // an hour cell isolated by >12h of gap sees ONLY itself in the RANGE
+    // trend frame (a ROWS frame would wrongly pull the distant cells in)
+    val gappy = ((0 until 6).map(h => ("a", ts(1, h), 10.0)) :+
+      (("a", ts(2, 6), 77.0))).toDF("k", "t", "v")
+    val iso = Forecast.seasonalDecompose(gappy, col("k"), col("t"), col("v"))
+      .filter(col("h") === lit("2024-01-02 06:00:00").cast("timestamp"))
+      .collect().head
+    iso.getLong(3) shouldBe 77000000L // trend == own y at the isolated cell
+  }
+
   test("maeByKey: floor mean of abs errors, prediction-less cells excluded") {
     val df = Seq(
       ("a", ts(1, 5), 1.0), ("a", ts(2, 5), 3.0), ("a", ts(3, 5), 2.0)

@@ -254,4 +254,71 @@ class PropertySpec extends SparkSpec {
       s(agg) shouldBe s(win)
     }
   }
+
+  test("property: pageRank matches a from-scratch driver reference on " +
+    "random graphs, any iteration depth") {
+    import graft.engine.Graph
+    def reference(edges: Set[(String, String)], iters: Int,
+                  dampPct: Int): Map[String, Long] = {
+      val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      var r = nodes.map(_ -> Graph.RankUnit).toMap
+      (1 to iters).foreach { _ =>
+        val contrib = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        edges.foreach { case (u, v) => contrib(v) += r(u) / out(u) }
+        r = nodes.map(n => n ->
+          (((100L - dampPct) * Graph.RankUnit + dampPct * contrib(n)) / 100L))
+          .toMap
+      }
+      r
+    }
+    val graphGen = for {
+      nEdges <- Gen.choose(1, 24)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, 7); b <- Gen.choose(0, 7)
+      } yield (s"n$a", s"n$b"))
+      iters <- Gen.choose(1, 3)
+      damp <- Gen.oneOf(85, 50, 100)
+    } yield (edges.toSet, iters, damp)
+    forAll(graphGen, n = 12) { case (edges, iters, damp) =>
+      val spark_ = Graph.pageRank(
+          edges.toSeq.toDF("src", "dst"), col("src"), col("dst"),
+          iters = iters, dampPct = damp)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark_ shouldBe reference(edges, iters, damp)
+    }
+  }
+
+  test("property: MatView state fold is associative and commutative vs a " +
+    "one-shot rebuild on random slicings") {
+    import graft.engine.MatView
+    val dataGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        v <- Gen.option(Gen.choose(-50.0, 50.0))
+      } yield (k, v))
+      slices <- Gen.choose(2, 4)
+    } yield (rows, slices)
+    forAll(dataGen, n = 10) { case (rows, slices) =>
+      val df = rows.map { case (k, v) =>
+        (k, v.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+      }.toDF("k", "v")
+      def canon(s: org.apache.spark.sql.DataFrame) =
+        s.collect().map(r => r.getString(0) ->
+          ((Option(r.get(1)), r.getLong(2), Option(r.get(3)),
+            Option(r.get(4))))).toMap
+      val oneShot = MatView.aggState(df, Seq(col("k")), col("v"))
+      val parts = (0 until slices).map(i =>
+        MatView.aggState(
+          df.filter(pmod(xxhash64(col("k"), col("v")), lit(slices)) === i),
+          Seq(col("k")), col("v")))
+      // fold in two different orders
+      val fwd = MatView.mergeStates(parts, Seq("k"))
+      val rev = MatView.mergeStates(parts.reverse, Seq("k"))
+      canon(fwd) shouldBe canon(oneShot)
+      canon(rev) shouldBe canon(oneShot)
+    }
+  }
 }

@@ -493,6 +493,13 @@ object SparkEntry {
         uniqueRules = Seq(
           "unique:o_orderkey" -> Seq("o_orderkey"),
           "unique:o_custkey,o_orderdate" -> Seq("o_custkey", "o_orderdate")))),
+    // Blocked fuzzy record linkage over the part-name dictionary: distinct
+    // names first (exact dupes are Dedup's job — raw pairing squares the
+    // output), first-token blocking, length band, Levenshtein ≤ 4 (the
+    // noun vocabulary's nearest in-block neighbors sit at distance 3)
+    "q_record_linkage" -> ((s, d) =>
+      Joins.blockedLinkage(part(s, d), col("p_partkey"), col("p_name"),
+        n => split(n, " ").getItem(0), 4)),
     // Generic per-group top-N rows via the BoundedTopK partial aggregate —
     // the window-rerank idiom without its per-group sort (bit-exact ties)
     "q_topn_per_group" -> ((s, d) =>
@@ -1932,6 +1939,16 @@ object SparkEntry {
       """SELECT o_orderkey, c_custkey FROM orders
          JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey = 3""",
+    "q_record_linkage" ->
+      """WITH d AS (SELECT p_name AS nm, min(p_partkey) AS cid FROM part
+                    GROUP BY 1),
+         b AS (SELECT cid, nm, string_split(nm, ' ')[1] AS blk FROM d)
+         SELECT l.cid AS l_id, r.cid AS r_id, l.nm AS l_name,
+           r.nm AS r_name,
+           CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS dist
+         FROM b l JOIN b r ON l.blk = r.blk AND l.cid < r.cid
+         WHERE abs(length(l.nm) - length(r.nm)) <= 4
+           AND levenshtein(l.nm, r.nm) <= 4""",
     "q_topn_per_group" ->
       """WITH r AS (SELECT event_type AS grp, event_id AS id,
              value AS score,

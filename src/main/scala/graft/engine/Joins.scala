@@ -204,6 +204,40 @@ object Joins {
       .drop("_salt")
   }
 
+  /** Blocked fuzzy record linkage — the entity-resolution step between
+    * exact dedup and human review (the reference hand-maintains plant-name
+    * alias tables; this finds the aliases). Scale shape, in order:
+    * (1) collapse records to the DISTINCT-name dictionary (exact
+    * duplicates are [[graft.engine.Dedup]]'s job and would otherwise
+    * square the output: measured 3.1M pairs on raw sf0.1 parts vs
+    * dictionary-sized afterwards); (2) equi-join the dictionary to itself
+    * on the caller's BLOCK key — fuzzy comparison is quadratic only
+    * within a block, never across the corpus; (3) cheap length-band
+    * prefilter (edit distance ≥ length difference, so |Δlen| > maxDist
+    * can't match); (4) exact Levenshtein cut. Canonical ids are the
+    * minimum record id per name — deterministic.
+    * Output: `(l_id, r_id, l_name, r_name, dist)`, `l_id < r_id`.
+    */
+  def blockedLinkage(records: DataFrame, id: Column, name: Column,
+                     block: Column => Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist >= 1: $maxDist")
+    val dict = records.groupBy(name.as("_nm"))
+      .agg(min(id).as("_cid"))
+      .select(col("_cid"), col("_nm"), block(col("_nm")).as("_b"))
+    val l = dict.select(col("_cid").as("l_id"), col("_nm").as("l_name"),
+      col("_b"))
+    val r = dict.select(col("_cid").as("r_id"), col("_nm").as("r_name"),
+      col("_b"))
+    l.join(r, "_b")
+      .filter(col("l_id") < col("r_id"))
+      .filter(abs(length(col("l_name")) - length(col("r_name"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("l_name"), col("r_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_name"), col("r_name"),
+        col("dist"))
+  }
+
   /** Runtime-filter (Bloom-prefiltered) selective join — the 100 TB shape
     * for "join a huge fact against a dim that touches a SLIVER of it":
     * one distributed aggregate condenses the dim's join keys into a few-MB

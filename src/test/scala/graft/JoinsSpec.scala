@@ -7,6 +7,21 @@ import java.sql.Timestamp
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("blockedLinkage: dictionary collapse, block confinement, length " +
+    "band, distance cut") {
+    val recs = Seq(
+      (1L, "red gear"), (5L, "red gear"), // exact dupes → one dict entry, id 1
+      (2L, "red gea"),                    // dist 1 from "red gear"
+      (3L, "red gearbox"),                // len band |8-11| = 3 > 2 → out
+      (4L, "blue gear"),                  // other block — never compared
+      (6L, "red bear")                    // dist 1 from gear, 2 from gea
+    ).toDF("id", "nm")
+    val out = Joins.blockedLinkage(recs, col("id"), col("nm"),
+        n => split(n, " ").getItem(0), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    out shouldBe Set((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 2L))
+  }
+
   test("bloomPrefilteredJoin: bit-equal to the plain join, probe sits on " +
     "the fact side before the shuffle, empty dim short-circuits") {
     val fact = (1L to 500L).map(i => (i, i % 50)).toDF("oid", "fk")

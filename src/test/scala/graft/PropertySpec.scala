@@ -321,4 +321,45 @@ class PropertySpec extends SparkSpec {
       canon(rev) shouldBe canon(oneShot)
     }
   }
+
+  test("property: backtestHistMean matches a from-scratch expanding-mean " +
+    "reference on random series") {
+    import graft.engine.Forecast
+    def floorDiv(n: Long, d: Long): Long = Math.floorDiv(n, d)
+    val seriesGen = for {
+      n <- Gen.choose(2, 40)
+      rows <- Gen.listOfN(n, for {
+        day <- Gen.choose(1, 6)
+        h <- Gen.oneOf(4, 9)
+        m <- Gen.choose(0, 59)
+        v <- Gen.choose(-20.0, 20.0)
+      } yield (day, h, m, v))
+    } yield rows
+    forAll(seriesGen, n = 8) { rows =>
+      val df = rows.map { case (day, h, m, v) =>
+        ("k", Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00"), v)
+      }.toDF("k", "t", "v")
+      val out = Forecast.backtestHistMean(df, col("k"), col("t"), col("v"))
+        .collect().map { r =>
+          (r.getDate(1).toString, r.getLong(2)) ->
+            ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        }.toMap
+      // reference: (day, hour) cells, expanding row-weighted mean per hour
+      val cells = rows.groupBy(t => (t._1, t._2)).map { case ((d, h), rs) =>
+        (d, h, rs.map(r => math.floor(r._4 * 1e6 + 0.5).toLong).sum,
+          rs.size.toLong)
+      }.toSeq
+      cells.groupBy(_._2).foreach { case (h, hs) =>
+        val byDay = hs.sortBy(_._1)
+        var (cs, cn) = (0L, 0L)
+        byDay.foreach { case (d, _, s, n) =>
+          val key = (f"2024-01-$d%02d", h.toLong)
+          val (actual, pred) = out(key)
+          actual shouldBe floorDiv(s, n)
+          pred shouldBe (if (cn > 0) Some(floorDiv(cs, cn)) else None)
+          cs += s; cn += n
+        }
+      }
+    }
+  }
 }

@@ -68,17 +68,27 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var ranks = nodes.select(col("node"), lit(RankUnit).as("rank_ppb"))
-      for (_ <- 1 to iters) {
+      def damped(contribs: DataFrame): DataFrame =
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"((${100 - dampPct}L * $RankUnit + $dampPct * " +
+              "coalesce(contrib, 0L)) div 100)").as("rank_ppb"))
+      // round 1 needs no rank join: every rank is the constant R, so the
+      // contribution is R div outdeg straight off the edge table — one
+      // node-sized join stage fewer. Measured NEUTRAL on sf0.1 wall time
+      // (the loop is dominated by edge-table preparation: distinct +
+      // outdeg join + repartition + persist), kept for the smaller plan
+      var ranks = damped(eo
+        .select(col("dst").as("node"),
+          expr(s"$RankUnit div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib")))
+      for (_ <- 2 to iters) {
         val contribs = eo
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"),
             expr("rank_ppb div outdeg").as("c"))
           .groupBy("node").agg(sum("c").as("contrib"))
-        ranks = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"((${100 - dampPct}L * $RankUnit + $dampPct * " +
-              "coalesce(contrib, 0L)) div 100)").as("rank_ppb"))
+        ranks = damped(contribs)
       }
       // Materialize before releasing the loop invariants (the session-hygiene
       // rule: nothing this function persisted may outlive the call).

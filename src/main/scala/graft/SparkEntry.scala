@@ -585,6 +585,15 @@ object SparkEntry {
     "q_resample_fill" -> ((s, d) =>
       Analytics.resampleFill(events(s, d), col("event_type"), col("ts"),
         col("value"), 900L, "2024-01-01 00:00:00", "2024-01-30 23:45:00")),
+    // Referential-integrity gate rows (dbt relationships): the orderkey FK
+    // holds; the supplier FK is checked against a RESTRICTED dim so it
+    // fails by design — one key join + one-row aggregate per rule
+    "q_expectations_fk" -> ((s, d) =>
+      Expectations.checkFk(lineitem(s, d), col("l_orderkey"), orders(s, d),
+          col("o_orderkey"), "fk:l_orderkey->orders")
+        .unionByName(Expectations.checkFk(lineitem(s, d), col("l_suppkey"),
+          supplier(s, d).filter(col("s_nationkey") < 20), col("s_suppkey"),
+          "fk:l_suppkey->supplier[nation<20]"))),
     // Backtest of the reference's historical-mean forecaster: per (type,
     // day, hour) cell, the prediction is the expanding mean over STRICTLY
     // earlier days (no leakage); exact integer micro-units throughout. The
@@ -2092,6 +2101,29 @@ object SparkEntry {
            coalesce(g.total, 0) AS total,
            CAST(coalesce(g.n, 0) AS BIGINT) AS n
          FROM grid LEFT JOIN g ON g.grp = grid.grp AND g.bs = grid.bs""",
+    "q_expectations_fk" ->
+      """WITH r1 AS (SELECT
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS n_violations,
+             (SELECT count(*) FROM lineitem) AS n_rows),
+         r2 AS (SELECT
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey
+                        AND s.s_nationkey < 20)) AS BIGINT)
+               AS n_violations,
+             (SELECT count(*) FROM lineitem) AS n_rows)
+         SELECT 'fk:l_orderkey->orders' AS rule, n_violations, n_rows,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS pass FROM r1
+         UNION ALL
+         SELECT 'fk:l_suppkey->supplier[nation<20]', n_violations, n_rows,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+         FROM r2""",
     "q_forecast_backtest" ->
       """WITH g AS (
            SELECT event_type AS grp, CAST(ts AS DATE) AS day,

@@ -58,4 +58,24 @@ object Expectations {
       .select(col("rule"), col("n_violations"), col("n_rows"),
         when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
   }
+
+  /** Referential-integrity rule (dbt's `relationships` test): a violation
+    * is a fact row whose non-NULL key has no match in the dimension (NULL
+    * keys are a not-null rule's business, not this one's). One row out,
+    * same shape as [[check]] so gates union them. Plan: dim keys distinct
+    * (so the left join can never fan out) then ONE key-shuffle join —
+    * AQE broadcasts a small dim — feeding a one-row aggregate; the fact
+    * is never collected or scanned twice.
+    */
+  def checkFk(fact: DataFrame, factKey: Column, dim: DataFrame,
+              dimKey: Column, name: String): DataFrame = {
+    val dimKeys = dim.select(dimKey.as("_dk")).na.drop().distinct()
+    fact.select(factKey.as("_fk"))
+      .join(dimKeys, col("_fk") === col("_dk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("_fk").isNotNull && col("_dk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations"), col("n_rows"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+  }
 }

@@ -52,6 +52,21 @@ class ExpectationsSpec extends SparkSpec {
     m("unique:id") shouldBe ((0L, 0L, 1L))
   }
 
+  test("checkFk: non-null unmatched keys violate; NULL keys don't; " +
+    "duplicate dim keys never fan out the count") {
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 1L, 1L, 2L, 3L).toDF("dk") // dupes must not fan out
+    val r = Expectations.checkFk(fact, col("fk"), dim, col("dk"), "fk:t")
+      .collect().head
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      (("fk:t", 1L, 5L, 0L)) // only 9 violates; NULL passes; n_rows exact
+    // empty fact: zero violations, pass
+    val e = Expectations.checkFk(fact.limit(0), col("fk"), dim, col("dk"),
+      "fk:e").collect().head
+    (e.getLong(1), e.getLong(2), e.getLong(3)) shouldBe ((0L, 0L, 1L))
+  }
+
   test("all row rules fold into a single aggregate scan") {
     val plan = Expectations.check(df,
       rowRules = Seq(

@@ -500,6 +500,11 @@ object SparkEntry {
     "q_record_linkage" -> ((s, d) =>
       Joins.blockedLinkage(part(s, d), col("p_partkey"), col("p_name"),
         n => split(n, " ").getItem(0), 4)),
+    // Per-group feature scaling: percent-rank (rank(), ties shared) and
+    // min-max, both integer ppm over cents — the ML-prep normalization pair
+    "q_feature_scaling" -> ((s, d) =>
+      Analytics.featureScaling(events(s, d), col("event_id"),
+        col("event_type"), col("value"))),
     // Generic per-group top-N rows via the BoundedTopK partial aggregate —
     // the window-rerank idiom without its per-group sort (bit-exact ties)
     "q_topn_per_group" -> ((s, d) =>
@@ -1948,6 +1953,22 @@ object SparkEntry {
       """SELECT o_orderkey, c_custkey FROM orders
          JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey = 3""",
+    "q_feature_scaling" ->
+      """WITH b AS (SELECT event_id AS id, event_type AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT id, grp, vc,
+             rank() OVER (PARTITION BY grp ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY grp) AS n,
+             min(vc) OVER (PARTITION BY grp) AS mn,
+             max(vc) OVER (PARTITION BY grp) AS mx
+           FROM b)
+         SELECT id, grp,
+           CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                ELSE 0 END AS BIGINT) AS pr_ppm,
+           CAST(CASE WHEN mx > mn THEN ((vc - mn) * 1000000) // (mx - mn)
+                ELSE 0 END AS BIGINT) AS mm_ppm
+         FROM r""",
     "q_record_linkage" ->
       """WITH d AS (SELECT p_name AS nm, min(p_partkey) AS cid FROM part
                     GROUP BY 1),

@@ -128,6 +128,35 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group feature scaling for ranking/ML prep: percent-rank and
+    * min-max normalization of a metric, both as integer ppm (cents in,
+    * floor divisions out — no float boundary anywhere). Percent-rank uses
+    * `rank()` (ties share a rank — deterministic without an id
+    * tie-break); single-row groups and constant groups scale to 0 by
+    * convention. One hash shuffle: both window specs share the group
+    * partitioning (the ordered spec only adds the in-partition sort).
+    * Output: `(id, grp, pr_ppm, mm_ppm)`.
+    */
+  def featureScaling(df: DataFrame, id: Column, key: Column,
+                     value: Column): DataFrame = {
+    val wAll = Window.partitionBy("grp")
+    val wOrd = Window.partitionBy("grp").orderBy("vc")
+    df.filter(value.isNotNull)
+      .select(id.as("id"), key.as("grp"),
+        floor(value * lit(100.0)).cast("long").as("vc"))
+      .withColumn("_rk", rank().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_mn", min("vc").over(wAll))
+      .withColumn("_mx", max("vc").over(wAll))
+      .select(col("id"), col("grp"),
+        when(col("_n") > 1,
+          expr("((_rk - 1) * 1000000) div (_n - 1)")).otherwise(0L)
+          .as("pr_ppm"),
+        when(col("_mx") > col("_mn"),
+          expr("((vc - _mn) * 1000000) div (_mx - _mn)")).otherwise(0L)
+          .as("mm_ppm"))
+  }
+
   /** Generic per-group top-N ROWS by score — the
     * [[graft.engine.expressions.BoundedTopK]] partial aggregate exposed as
     * a general operator (the ANN rerank path made reusable): each task

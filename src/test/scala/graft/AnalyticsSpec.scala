@@ -33,6 +33,26 @@ class AnalyticsSpec extends SparkSpec {
     eps(1L) shouldBe 1L // cur has no bucket-1 mass → epsilon, finite term
   }
 
+  test("featureScaling: ppm percent-rank with shared tie ranks, min-max, " +
+    "degenerate groups scale to 0") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 40.0),
+      (5L, "one", 7.0),          // single-row group
+      (6L, "const", 5.0), (7L, "const", 5.0) // constant group
+    ).toDF("id", "k", "v")
+    val out = Analytics.featureScaling(df, col("id"), col("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // group a (n=4): ranks 1, 2, 2, 4 → pr = 0, 333333, 333333, 1000000
+    out(1L) shouldBe ((0L, 0L))
+    out(2L) shouldBe ((333333L, 333333L)) // (2000-1000)*1e6 div 3000
+    out(3L) shouldBe ((333333L, 333333L))
+    out(4L) shouldBe ((1000000L, 1000000L))
+    out(5L) shouldBe ((0L, 0L))
+    out(6L) shouldBe ((0L, 0L))
+    out(7L) shouldBe ((0L, 0L))
+  }
+
   test("topNRowsPerGroup == the row_number window idiom, ties to lower id") {
     val df = Seq(
       (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 9.0), (4L, "a", 1.0),

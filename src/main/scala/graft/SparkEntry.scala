@@ -500,6 +500,12 @@ object SparkEntry {
     "q_record_linkage" -> ((s, d) =>
       Joins.blockedLinkage(part(s, d), col("p_partkey"), col("p_name"),
         n => split(n, " ").getItem(0), 4)),
+    // Rolling 7-day MEDIAN baseline per type at the daily grain (twice the
+    // median so the even-window .5 stays integer); RANGE frame over the
+    // day index — calendar gaps shrink the window, never widen it
+    "q_rolling_median" -> ((s, d) =>
+      Analytics.rollingMedianDaily(events(s, d), col("event_type"),
+        col("ts"), col("value"), 7)),
     // Per-group feature scaling: percent-rank (rank(), ties shared) and
     // min-max, both integer ppm over cents — the ML-prep normalization pair
     "q_feature_scaling" -> ((s, d) =>
@@ -1953,6 +1959,18 @@ object SparkEntry {
       """SELECT o_orderkey, c_custkey FROM orders
          JOIN customer ON o_custkey = c_custkey
          WHERE c_nationkey = 3""",
+    // 2·median of BIGINTs is integer-exact in DOUBLE (odd → 2·mid, even →
+    // mid1+mid2, both far below 2^53) — cast back to BIGINT at the boundary
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS s_cents,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx
+           FROM events GROUP BY 1, 2, 4)
+         SELECT grp, day, CAST(s_cents AS BIGINT) AS s_cents,
+           CAST(2 * median(s_cents) OVER (PARTITION BY grp ORDER BY didx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS twice_med_cents
+         FROM daily""",
     "q_feature_scaling" ->
       """WITH b AS (SELECT event_id AS id, event_type AS grp,
              CAST(floor(value * 100) AS BIGINT) AS vc

@@ -128,6 +128,42 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Rolling MEDIAN baseline per key at the daily grain — the robust
+    * companion to [[rollingByKey]]'s trailing mean (the reference's
+    * anomaly checks compare against historical means, which one spike
+    * poisons; a median baseline doesn't — the [[robustAnomalies]]
+    * rationale, windowed). Integer contract: daily sums in cents; the
+    * output is TWICE the median (odd window → 2·mid, even → the sum of
+    * the two middle values), which keeps the interpolated .5 exactly in
+    * BIGINT. The trailing frame is RANGE over the integer day index, so
+    * calendar gaps shrink the window rather than silently widening it.
+    * 100 TB shape: the corpus collapses to the daily grain in one
+    * partial-agg pass; the windowed sort-and-pick runs on ≤ windowDays
+    * values per cell (a grain-sized array, never raw rows).
+    */
+  def rollingMedianDaily(df: DataFrame, key: Column, ts: Column,
+                         value: Column, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1: $windowDays")
+    val vc = floor(value * lit(100.0)).cast("long")
+    val daily = df.groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(vc).as("s_cents"))
+      .withColumn("_didx",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("grp").orderBy("_didx")
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("_sorted", array_sort(collect_list("s_cents").over(w)))
+      .withColumn("_n", size(col("_sorted")))
+      // _sorted is referenced by three element_at consumers — a 2+-use
+      // alias stays bound through CollapseProject (the codegen-CSE rule)
+      .select(col("grp"), col("day"), col("s_cents"),
+        expr("""CASE WHEN _n % 2 = 1
+                THEN 2 * element_at(_sorted, CAST((_n + 1) div 2 AS INT))
+                ELSE element_at(_sorted, CAST(_n div 2 AS INT)) +
+                     element_at(_sorted, CAST(_n div 2 + 1 AS INT)) END""")
+          .as("twice_med_cents"))
+  }
+
   /** Per-group feature scaling for ranking/ML prep: percent-rank and
     * min-max normalization of a metric, both as integer ppm (cents in,
     * floor divisions out — no float boundary anywhere). Percent-rank uses

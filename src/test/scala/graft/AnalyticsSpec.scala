@@ -33,6 +33,32 @@ class AnalyticsSpec extends SparkSpec {
     eps(1L) shouldBe 1L // cur has no bucket-1 mass → epsilon, finite term
   }
 
+  test("rollingMedianDaily: odd/even windows exact, gaps shrink the frame, " +
+    "median resists the spike the mean would chase") {
+    val df = Seq(
+      ("a", t("2024-01-01 01:00:00"), 10.0),
+      ("a", t("2024-01-02 01:00:00"), 20.0),
+      ("a", t("2024-01-03 01:00:00"), 31.0),
+      // 9-day gap: the 2024-01-12 window holds ONLY itself
+      ("a", t("2024-01-12 01:00:00"), 1000.0)
+    ).toDF("k", "ts", "v")
+    val out = Analytics.rollingMedianDaily(df, col("k"), col("ts"),
+        col("v"), windowDays = 3)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(3)).toMap
+    out("2024-01-01") shouldBe 2000L            // {1000} → 2·1000
+    out("2024-01-02") shouldBe 3000L            // {1000,2000} → 1000+2000
+    out("2024-01-03") shouldBe 4000L            // {1000,2000,3100} → 2·2000
+    out("2024-01-12") shouldBe 200000L          // gap → own window only
+    // the spike day's median ignores the spike when history returns
+    val df2 = df.union(Seq(("a", t("2024-01-13 01:00:00"), 12.0),
+      ("a", t("2024-01-14 01:00:00"), 14.0)).toDF("k", "ts", "v"))
+    val m14 = Analytics.rollingMedianDaily(df2, col("k"), col("ts"),
+        col("v"), windowDays = 3)
+      .filter(col("day") === lit("2024-01-14").cast("date"))
+      .collect().head.getLong(3)
+    m14 shouldBe 2800L // {100000, 1200, 1400} → 2·1400: spike not chased
+  }
+
   test("featureScaling: ppm percent-rank with shared tie ranks, min-max, " +
     "degenerate groups scale to 0") {
     val df = Seq(

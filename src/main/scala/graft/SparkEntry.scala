@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 
@@ -1752,6 +1753,26 @@ object SparkEntry {
           col("event_id"), col("value"))
         .select(col("event_id").as("id"), col("user_id"),
           col("ewma_scaled"))),
+    // cumulative rollover-meter → interval consumption: the register is
+    // SIMULATED from events (running cents sum mod 1e5 per user — a wrapping
+    // mechanical counter), then meterIntervals recovers per-tick usage with
+    // wrap healing; all integer, oracled
+    "q_meter_intervals" -> ((s, d) => {
+      val m = 100000L
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val simulated = events(s, d)
+        .withColumn("_reading", pmod(
+          sum(round(col("value") * 100, 0).cast("long")).over(run), lit(m)))
+      Analytics.meterIntervals(simulated, col("user_id"), col("ts"),
+        col("event_id"), col("_reading"), wrapModulus = Some(m))
+    }),
+    // step-hold time-weighted daily mean per user: the honest average for
+    // irregular sensor ticks; integer ms-weights, floor division (oracled)
+    "q_twa_daily" -> ((s, d) =>
+      Analytics.timeWeightedMeanDaily(events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("value"))),
     // gap-based sessionization per user, 30-minute timeout (oracled)
     "q_sessionize" -> ((s, d) =>
       Analytics.sessionize(events(s, d), col("user_id"), col("ts"),
@@ -3624,6 +3645,51 @@ object SparkEntry {
          round(value - LAG(value, 1) OVER (PARTITION BY event_type
            ORDER BY ts, event_id), 2) AS delta
          FROM events""",
+    "q_meter_intervals" ->
+      """WITH c AS (SELECT user_id AS key, ts, event_id AS id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         r AS (SELECT key, ts, id,
+             SUM(cents) OVER (PARTITION BY key ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM c),
+         m AS (SELECT key, ts, id,
+             CAST(((run % 100000) + 100000) % 100000 AS BIGINT)
+               AS reading_cents
+           FROM r),
+         l AS (SELECT key, ts, id, reading_cents,
+             LAG(reading_cents) OVER (PARTITION BY key ORDER BY ts, id)
+               AS prev
+           FROM m)
+         SELECT key, ts, id, reading_cents,
+           CAST(CASE WHEN prev IS NULL THEN NULL
+                WHEN reading_cents - prev >= 0 THEN reading_cents - prev
+                ELSE reading_cents - prev + 100000 END AS BIGINT)
+             AS used_cents,
+           COALESCE(reading_cents - prev < 0, FALSE) AS is_reset
+         FROM l""",
+    "q_twa_daily" ->
+      """WITH c AS (SELECT user_id AS key, ts, event_id AS id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CAST(ts AS DATE) AS day, epoch_ms(ts) AS ts_ms FROM events),
+         l AS (SELECT key, day, cents, ts_ms,
+             LEAD(ts_ms) OVER (PARTITION BY key ORDER BY ts, id) AS next_ms,
+             (date_diff('day', DATE '1970-01-01', day) + 1) * 86400000
+               AS day_end_ms
+           FROM c),
+         h AS (SELECT key, day, cents,
+             LEAST(COALESCE(next_ms, day_end_ms), day_end_ms) - ts_ms
+               AS hold_ms
+           FROM l),
+         g AS (SELECT key, day, COUNT(*) AS n_samples,
+             CAST(SUM(hold_ms) AS BIGINT) AS covered_ms,
+             SUM(cents * hold_ms) AS wsum
+           FROM h GROUP BY 1, 2)
+         SELECT key, day, n_samples, covered_ms,
+           CASE WHEN covered_ms > 0 THEN
+             CAST((wsum - (((wsum % covered_ms) + covered_ms) % covered_ms))
+               // covered_ms AS BIGINT)
+           END AS twa_cents
+         FROM g""",
     "q_sessionize" ->
       """WITH l AS (SELECT user_id, ts, value,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

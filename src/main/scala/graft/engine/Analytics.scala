@@ -779,6 +779,87 @@ object Analytics {
     }: _*)
   }
 
+  /** Cumulative-meter → interval-consumption conversion — the core
+    * meter-data transform of an energy pipeline (the reference ingests
+    * cumulative plant counters and charts usage; cf.
+    * fetch_data/pv/namdong_collect_pv.py's cumulative-generation columns).
+    * Per key under the (ts, id) total order:
+    *
+    *   - `delta = reading − prev_reading ≥ 0` → `used = delta` (normal tick)
+    *   - `delta < 0`, `wrapModulus = Some(m)` → `used = delta + m`
+    *     (mechanical rollover: the register wrapped past its max; valid when
+    *     true consumption per interval is < m)
+    *   - `delta < 0`, `wrapModulus = None` → `used = reading` (counter
+    *     replaced / reset to zero; usage restarts from the new register)
+    *
+    * First reading per key has no covered interval → `used` NULL.
+    * ALL-INTEGER (readings pre-quantized to cents by the caller), so the
+    * branch cut and outputs are bit-identical cross-engine. ONE window
+    * shuffle on the key; at 100 TB the key partitioning is the natural
+    * meter-id distribution and each key's series sorts within its
+    * partition. Output: (key, ts, id, reading_cents, used_cents, is_reset).
+    */
+  def meterIntervals(df: DataFrame, key: Column, ts: Column, id: Column,
+                     readingCents: Column,
+                     wrapModulus: Option[Long] = None): DataFrame = {
+    wrapModulus.foreach(m => require(m > 0, s"wrapModulus must be > 0: $m"))
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    val base = df.select(key.as("key"), ts.as("ts"), id.as("id"),
+        readingCents.cast("long").as("reading_cents"))
+      .withColumn("_prev", lag(col("reading_cents"), 1).over(w))
+    val delta = col("reading_cents") - col("_prev")
+    val onNegative = wrapModulus match {
+      case Some(m) => delta + lit(m)
+      case None    => col("reading_cents")
+    }
+    base.select(col("key"), col("ts"), col("id"), col("reading_cents"),
+      when(col("_prev").isNull, lit(null).cast("long"))
+        .when(delta >= 0, delta)
+        .otherwise(onNegative).as("used_cents"),
+      coalesce(delta < 0, lit(false)).as("is_reset"))
+  }
+
+  /** Step-hold time-weighted mean per key per UTC day — the honest average
+    * for IRREGULARLY sampled sensors (a plain `avg` over-weights bursts;
+    * the reference's panels average sensor series sampled on uneven cron
+    * ticks). Each sample's value holds from its `ts` until the next sample
+    * of the same key or the end of its day, whichever is earlier (step
+    * interpolation, truncated at the day boundary — the uncovered head of a
+    * day and any carry past midnight are excluded rather than invented).
+    *
+    * ALL-INTEGER: per-row weight is the hold in whole milliseconds,
+    * `Σ cents·hold_ms` stays well inside BIGINT (1e4 cents × 8.64e7 ms ≈
+    * 1e12/row), and the mean is Euclidean-floor-divided (`pmod`) so
+    * negative readings floor identically cross-engine. ONE window shuffle
+    * on the key (the lead), then a (key, day) partial-agg pass clustered by
+    * the same key partitioning. Output: (key, day, n_samples, covered_ms,
+    * twa_cents = floor(Σ cents·hold / Σ hold), NULL when nothing is
+    * covered — e.g. a key whose only sample is the day's last instant). */
+  def timeWeightedMeanDaily(df: DataFrame, key: Column, ts: Column,
+                            id: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    val base = df.select(key.as("key"), ts.as("ts"), id.as("id"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("_next_ms", lead(unix_millis(col("ts")), 1).over(w))
+    // day end in epoch ms via datediff — never day.cast(long), which is
+    // session-TZ-dependent (same rule as rollingByKey)
+    val dayEndMs = (datediff(col("day"), lit("1970-01-01")).cast("long")
+      + lit(1L)) * lit(86400000L)
+    val hold = least(coalesce(col("_next_ms"), dayEndMs), dayEndMs) -
+      unix_millis(col("ts"))
+    val daily = base
+      .withColumn("_hold_ms", hold)
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("_hold_ms")).as("covered_ms"),
+        sum(col("cents") * col("_hold_ms")).as("_wsum"))
+    daily.select(col("key"), col("day"), col("n_samples"), col("covered_ms"),
+      when(col("covered_ms") > 0,
+        ((col("_wsum") - pmod(col("_wsum"), col("covered_ms")))
+          / col("covered_ms")).cast("long")).as("twa_cents"))
+  }
+
   /** W7 conditional suffixing by a group property: plants with >1 distinct
     * unit get a `name_unit` suffix (reference:
     * fetch_data/pv/namdong_merge_pv_data.py:93-104, namdong_collect_pv.py:283-288).

@@ -443,6 +443,64 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("meterIntervals: normal deltas, rollover healing, reset-to-zero, " +
+    "first-reading NULL, key independence") {
+    val df = Seq(
+      // meter a: 10 → 40 → wrap (95→5 under m=100): usage 30 then 10
+      ("a", t("2024-01-01 00:00:00"), 1L, 10L),
+      ("a", t("2024-01-01 01:00:00"), 2L, 40L),
+      ("a", t("2024-01-01 02:00:00"), 3L, 95L),
+      ("a", t("2024-01-01 03:00:00"), 4L, 5L),
+      // meter b: untouched by a's wrap
+      ("b", t("2024-01-01 00:30:00"), 5L, 7L),
+      ("b", t("2024-01-01 01:30:00"), 6L, 9L)
+    ).toDF("k", "ts", "id", "reading")
+    val wrap = Analytics.meterIntervals(df, col("k"), col("ts"), col("id"),
+        col("reading"), wrapModulus = Some(100L))
+      .collect().map(r => r.getLong(2) ->
+        ((if (r.isNullAt(4)) -1L else r.getLong(4)), r.getBoolean(5))).toMap
+    wrap(1L) shouldBe ((-1L, false)) // first reading: no interval
+    wrap(2L) shouldBe ((30L, false))
+    wrap(3L) shouldBe ((55L, false))
+    wrap(4L) shouldBe ((10L, true))  // 5 − 95 + 100: healed rollover
+    wrap(5L) shouldBe ((-1L, false))
+    wrap(6L) shouldBe ((2L, false))
+    // reset-to-zero policy: the same drop means a replaced counter
+    val reset = Analytics.meterIntervals(df, col("k"), col("ts"), col("id"),
+        col("reading"), wrapModulus = None)
+      .filter(col("id") === 4L).collect().head
+    reset.getLong(4) shouldBe 5L // usage restarts from the new register
+    reset.getBoolean(5) shouldBe true
+  }
+
+  test("timeWeightedMeanDaily: step-hold weights, day-boundary truncation, " +
+    "floor mean, burst not over-weighted") {
+    // key a, one day: 100 held 6 h, then 400 held 18 h (to midnight)
+    //   twa = (10000·6 + 40000·18)/24 = 32500 cents
+    // a plain avg would say 25000 — the long-held 400 must dominate
+    val df = Seq(
+      ("a", t("2024-01-01 00:00:00"), 1L, 100.0),
+      ("a", t("2024-01-01 06:00:00"), 2L, 400.0),
+      // key a, next day: single sample from 12:00 → covers half the day
+      ("a", t("2024-01-02 12:00:00"), 3L, 50.0),
+      // key b: a burst of three ticks in one minute then 12 h of 7.0 —
+      // the burst's weight is its held minutes only
+      ("b", t("2024-01-01 11:00:00"), 4L, 1000.0),
+      ("b", t("2024-01-01 11:00:30"), 5L, 1000.0),
+      ("b", t("2024-01-01 11:01:00"), 6L, 7.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Analytics.timeWeightedMeanDaily(df, col("k"), col("ts"),
+        col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(("a", "2024-01-01")) shouldBe ((2L, 86400000L, 32500L))
+    // day 2: covered only from noon (43200000 ms), value constant
+    out(("a", "2024-01-02")) shouldBe ((1L, 43200000L, 5000L))
+    // b: 60 s at 100000 cents, then 46740 s at 700 cents
+    //   floor((100000·60000 + 700·46740000)/46800000) = 827
+    out(("b", "2024-01-01")) shouldBe ((3L, 46800000L, 827L))
+  }
+
   test("rollupReport == union of the per-level groupBys, nulls sentineled, one Expand") {
     val df = Seq(
       ("p1", "s1", 10L), ("p1", "s1", 5L), ("p1", "s2", 7L), ("p2", "s1", 3L)

@@ -107,6 +107,18 @@ object SparkEntry {
   private val benchBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  /** Fixed 4-dim Mahalanobis model for `q_mahalanobis` — the fixed-model
+    * oracle pattern (literal constants on both engine and SQL sides; a
+    * fitted model's doubles would not survive literal round-tripping).
+    * The precision matrix is symmetric and strictly diagonally dominant
+    * with a positive diagonal ⇒ positive-definite, so scores are ≥ 0. */
+  private val mahaMean: Seq[Double] = Seq(0.1, -0.05, 0.2, 0.0)
+  private val mahaPrecision: Seq[Seq[Double]] = Seq(
+    Seq(4.0, 1.0, 0.0, 0.5),
+    Seq(1.0, 3.0, 0.5, 0.0),
+    Seq(0.0, 0.5, 2.0, 0.25),
+    Seq(0.5, 0.0, 0.25, 1.5))
+
   /** Trained quality-classifier weights (raw-feature space), one per
     * dataset dir — train-once/score-many; the model is d doubles. */
   private val lrModels =
@@ -1391,6 +1403,13 @@ object SparkEntry {
         Pca.fit(embeddings(s, dir), col("embedding"), 4))
       Pca.project(embeddings(s, d), col("vec_id"), col("embedding"), model)
     }),
+    // embedding-space outlier score against a FIXED 4-dim model (the
+    // LR/PQ-ADC fixed-model oracle pattern): Mahalanobis quadratic form
+    // over the first 4 axes, fixed term order → bit-stable IEEE doubles,
+    // map-only plan (oracled)
+    "q_mahalanobis" -> ((s, d) =>
+      Pca.mahalanobisScore(embeddings(s, d), col("vec_id"),
+        col("embedding"), mahaMean, mahaPrecision)),
     // token-budget accounting: per (source, lang) doc/token/char
     // contribution — the mix dashboard behind Sampling.mixToShares (oracled)
     "q_token_budget" -> ((s, d) =>
@@ -2962,6 +2981,20 @@ object SparkEntry {
              - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
              / CAST(n AS DOUBLE)) / 1e12, 9) AS cov
          FROM m""",
+    "q_mahalanobis" ->
+      """WITH c AS (SELECT vec_id,
+             embedding[1]::DOUBLE - (0.1) AS c0,
+             embedding[2]::DOUBLE - (-0.05) AS c1,
+             embedding[3]::DOUBLE - (0.2) AS c2,
+             embedding[4]::DOUBLE - (0.0) AS c3
+           FROM embeddings)
+         SELECT vec_id, round(
+           c0 * c0 * 4.0 + c0 * c1 * 1.0 + c0 * c2 * 0.0 + c0 * c3 * 0.5 +
+           c1 * c0 * 1.0 + c1 * c1 * 3.0 + c1 * c2 * 0.5 + c1 * c3 * 0.0 +
+           c2 * c0 * 0.0 + c2 * c1 * 0.5 + c2 * c2 * 2.0 + c2 * c3 * 0.25 +
+           c3 * c0 * 0.5 + c3 * c1 * 0.0 + c3 * c2 * 0.25 + c3 * c3 * 1.5,
+           6) AS m2
+         FROM c""",
     "q_domain_cap" ->
       """WITH u AS (SELECT doc_id,
            'HTTPS://WWW.Sub.Host' || (doc_id % 37) || '.COM:443/p/' || doc_id

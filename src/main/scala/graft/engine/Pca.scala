@@ -93,6 +93,96 @@ object Pca {
     Model(mean, vectors.take(k), values.take(k))
   }
 
+  /** Driver-side precision (inverse-covariance) matrix from a FULL-rank
+    * fitted model: `P = Σ_k v_k v_kᵀ / (λ_k + ridge)`. Model-sized (d²
+    * doubles) like the IVF centroid matrix; `ridge` guards near-singular
+    * spectra (a constant embedding axis at corpus scale would make Σ
+    * singular and the plain inverse explode). Fit with `k = dim`. */
+  def precision(model: Model, ridge: Double = 1e-9): Array[Array[Double]] = {
+    val d = model.mean.length
+    require(model.components.length == d,
+      s"precision needs a full-rank fit (k = $d, got ${model.components.length})")
+    require(ridge >= 0.0, s"ridge must be >= 0: $ridge")
+    val p = Array.ofDim[Double](d, d)
+    var k = 0
+    while (k < d) {
+      val vk = model.components(k)
+      val inv = 1.0 / (model.eigenvalues(k) + ridge)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { p(i)(j) += vk(i) * vk(j) * inv; j += 1 }
+        i += 1
+      }
+      k += 1
+    }
+    p
+  }
+
+  /** Mahalanobis outlier score `m2 = (x − μ)ᵀ P (x − μ)` per embedding —
+    * embedding-space outlier removal for corpus curation (drop
+    * out-of-distribution vectors before training; the multivariate
+    * generalization of `Analytics.robustAnomalies`' univariate cut). The
+    * model (mean + precision) is driver-sized and rides the plan as
+    * literals, so the scan is MAP-ONLY — no shuffle, no join, one pass at
+    * any corpus size.
+    *
+    * Codegen shape: the d centered differences are bound ONCE as columns
+    * and every quadratic-form term references those attributes — each
+    * `element_at` subtree appears exactly once, so the replicated-subtree
+    * Janino trap (CLAUDE.md; the q_lr_sweep lesson) never forms (each
+    * alias has d+1 consumers, which keeps it bound through
+    * CollapseProject). Term order is fixed (row-major i, then j; left
+    * fold), so the IEEE double result is bit-stable and SQL-replayable —
+    * the fixed-model oracle pattern (`Classifier.intMargin`, PQ-ADC).
+    * Output: (vec_id, m2 rounded to 6). */
+  def mahalanobisScore(emb: DataFrame, id: Column, vec: Column,
+                       mean: Seq[Double],
+                       precision: Seq[Seq[Double]]): DataFrame = {
+    val d = mean.length
+    require(d > 0 && precision.length == d && precision.forall(_.length == d),
+      s"precision must be ${d}x$d to match the mean")
+    val centered = emb.select(id.as("vec_id") +:
+      (0 until d).map(i =>
+        (element_at(vec, i + 1).cast("double") - lit(mean(i)))
+          .as(s"_c$i")): _*)
+    val m2 = (for (i <- 0 until d; j <- 0 until d)
+      yield col(s"_c$i") * col(s"_c$j") * lit(precision(i)(j)))
+      .reduce(_ + _)
+    centered.select(col("vec_id"), round(m2, 6).as("m2"))
+  }
+
+  /** Mahalanobis score from a FITTED model — the scale path for real
+    * embedding widths. `m2 = Σ_k ⟨x − μ, v_k⟩² / (λ_k + ridge)` over the
+    * model's components: with a full-rank fit (k = dim) this equals
+    * `(x − μ)ᵀ P (x − μ)` exactly (spec'd); with k < dim it scores the
+    * top-k whitened subspace only. O(k·d) array-kernel work per row via
+    * [[Similarity.dot]] (rewritten to the native ArrayDot by
+    * `RewriteHofCosine`) instead of [[mahalanobisScore]]'s d² scalar
+    * terms, which at d = 64 would emit a 4096-term projection — past the
+    * JVM method-size cliff where codegen silently degrades. The centered
+    * array is bound once as a column with k consumers, so it survives
+    * CollapseProject un-replicated (the HOF-lambda no-CSE lesson).
+    * Map-only; model literals ride the plan. */
+  def mahalanobisFromModel(emb: DataFrame, id: Column, vec: Column,
+                           model: Model, ridge: Double = 1e-9): DataFrame = {
+    require(ridge >= 0.0, s"ridge must be >= 0: $ridge")
+    val centered = emb.select(id.as("vec_id"),
+      zip_with(Similarity.asDouble(vec), typedlit(model.mean.toSeq),
+        (x, m) => x - m).as("_c"))
+    // each component's dot is bound ONCE as a column and consumed twice
+    // (squared) — never `dot * dot`, which would replicate the whole
+    // array-dot subtree per component (the no-CSE trap)
+    val projections = centered.select(col("vec_id") +:
+      model.components.zipWithIndex.map { case (comp, k) =>
+        Similarity.dot(col("_c"), typedlit(comp.toSeq)).as(s"_p$k")
+      }: _*)
+    val m2 = model.eigenvalues.zipWithIndex.map { case (lam, k) =>
+      col(s"_p$k") * col(s"_p$k") / lit(lam + ridge)
+    }.reduce(_ + _)
+    projections.select(col("vec_id"), round(m2, 6).as("m2"))
+  }
+
   /** Project onto the top components: map-side only, one pass.
     * Output: (id, pc ∈ [1, k], value rounded to 6) — flat scalars, exploded
     * (the driver's rows-only comparator requires sortable cells). */

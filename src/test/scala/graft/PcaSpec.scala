@@ -169,6 +169,83 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("mahalanobisScore: identity precision is squared L2; asymmetric " +
+    "precision weights axes as declared") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 2.0f))).toDF("id", "v")
+    val eye = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val l2 = Pca.mahalanobisScore(df, col("id"), col("v"),
+        Seq(0.0, 0.0), eye)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    l2(1L) shouldBe 25.0 +- 1e-9
+    l2(2L) shouldBe 0.0 +- 1e-9
+    l2(3L) shouldBe 5.0 +- 1e-9
+    // axis 0 weighted 4×: the (3,4) point now scores 4·9 + 16
+    val stretched = Pca.mahalanobisScore(df, col("id"), col("v"),
+        Seq(0.0, 0.0), Seq(Seq(4.0, 0.0), Seq(0.0, 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    stretched(1L) shouldBe 52.0 +- 1e-9
+  }
+
+  test("precision inverts the fitted covariance (P·Σ ≈ I on real " +
+    "64-dim embeddings) and mahalanobisFromModel full-rank equals the " +
+    "explicit quadratic form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = 64
+    val model = Pca.fit(emb, col("embedding"), dim)
+    val p = Pca.precision(model, ridge = 0.0)
+    val cov = Array.ofDim[Double](dim, dim)
+    Pca.covariance(emb, col("embedding")).collect().foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      cov(i)(j) = r.getDouble(6); cov(j)(i) = r.getDouble(6)
+    }
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val pij = (0 until dim).map(k => p(i)(k) * cov(k)(j)).sum
+      pij shouldBe (if (i == j) 1.0 else 0.0) +- 1e-4
+    }
+    // full-rank model path == explicit (x−μ)ᵀP(x−μ) on a 3-dim fixture
+    // (small d so the d² scalar form stays codegen-friendly)
+    import spark.implicits._
+    val fx = (0 until 60).map { i =>
+      val x = i / 10.0
+      val noise = ((i * 37) % 17) / 17.0
+      (i.toLong, Seq(x.toFloat, (0.5 * x + noise).toFloat,
+        (noise - 0.3 * x).toFloat))
+    }.toDF("id", "v")
+    val m3 = Pca.fit(fx, col("v"), 3)
+    val viaModel = Pca.mahalanobisFromModel(fx, col("id"), col("v"), m3,
+        ridge = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaForm = Pca.mahalanobisScore(fx, col("id"), col("v"),
+        m3.mean.toSeq, Pca.precision(m3, 1e-9).map(_.toSeq).toSeq)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaModel.keySet shouldBe viaForm.keySet
+    viaModel.foreach { case (id, m2) =>
+      m2 shouldBe viaForm(id) +- math.max(1e-4, 1e-4 * m2)
+    }
+  }
+
+  test("mahalanobisFromModel: a planted far-outlier tops the scores and " +
+    "in-cluster points score low") {
+    import spark.implicits._
+    val cluster = (0 until 50).map { i =>
+      val jx = ((i * 13) % 7 - 3) / 100.0
+      val jy = ((i * 29) % 11 - 5) / 100.0
+      (i.toLong, Seq((1.0 + jx).toFloat, (2.0 + jy).toFloat))
+    }
+    val df = (cluster :+ (99L -> Seq(8.0f, -5.0f))).toDF("id", "v")
+    val model = Pca.fit(df, col("v"), 2)
+    val scores = Pca.mahalanobisFromModel(df, col("id"), col("v"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = scores.maxBy(_._2)._1
+    top shouldBe 99L
+    // the outlier dominates every cluster member by orders of magnitude
+    val clusterMax = (scores - 99L).values.max
+    scores(99L) should be > 10.0 * clusterMax
+    scores.values.foreach(_ should be >= 0.0)
+  }
+
   test("project: per-component variance equals its eigenvalue; fit is " +
     "deterministic") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -492,6 +492,23 @@ object SparkEntry {
         keys, col("value"))
       MatView.withMean(MatView.mergeStates(Seq(prev, delta), Seq("day", "grp")))
     }),
+    // Incrementally-maintained percentiles: day-sliced histogram STATES
+    // (range-pruned scans) merge into the month, then the quantile read
+    // boundary — p25/p50/p90/p99 per event type, exact to one bucket
+    // width, all integer. The slicing is invisible in the result (merge
+    // law), so the oracle replays the one-shot math (oracled)
+    "q_quantile_state" -> ((s, d) => {
+      def keys = Seq(col("event_type").as("grp"))
+      val a = MatView.histState(
+        Tables.eventsRange(s, d, "2024-01-01 00:00:00", "2024-01-16 00:00:00"),
+        keys, col("value"), 0L, 100000L, 1000)
+      val b = MatView.histState(
+        Tables.eventsRange(s, d, "2024-01-16 00:00:00", "2030-01-01 00:00:00"),
+        keys, col("value"), 0L, 100000L, 1000)
+      MatView.quantilesFromHistState(
+        MatView.mergeHistStates(Seq(a, b), Seq("grp")), Seq("grp"),
+        Seq(250000L, 500000L, 900000L, 990000L), 0L, 100000L, 1000)
+    }),
     // Data-quality expectation suite: all row rules ride ONE full-scan
     // aggregate; each uniqueness rule is one keyed shuffle (count-surplus).
     // The composite-key rule fails by design (32 surplus rows at sf0.01) —
@@ -1967,6 +1984,31 @@ object SparkEntry {
                % COUNT(vm))) // COUNT(vm) AS BIGINT)
            END AS avg_micro
          FROM q GROUP BY 1, 2""",
+    "q_quantile_state" ->
+      """WITH d0 AS (SELECT event_type AS grp,
+             LEAST(99999, GREATEST(0, CAST(floor(value * 100) AS BIGINT)))
+               AS d
+           FROM events WHERE value IS NOT NULL),
+         st AS (SELECT grp, CAST((d * 1000) // 100000 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM d0 GROUP BY 1, 2),
+         e AS (SELECT grp, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+               AS BIGINT) AS cum
+           FROM st),
+         q AS (SELECT grp, bucket, n, cum,
+             unnest([CAST(250000 AS BIGINT), CAST(500000 AS BIGINT),
+                     CAST(900000 AS BIGINT), CAST(990000 AS BIGINT)])
+               AS q_ppm
+           FROM e),
+         r AS (SELECT grp, q_ppm, n, MIN(bucket) AS bucket
+           FROM q
+           WHERE cum >= GREATEST(1, (q_ppm * n + 999999) // 1000000)
+           GROUP BY 1, 2, 3)
+         SELECT grp, q_ppm, n, bucket,
+           CAST((bucket * 100000 + 999) // 1000 AS BIGINT) AS est_cents
+         FROM r""",
     "q_expectations" ->
       """WITH n AS (SELECT count(*) AS n_rows FROM orders),
          rows_long AS (

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance (materialized-view delta merge).
@@ -85,6 +86,76 @@ object MatView {
   def sketchEstimate(state: DataFrame): DataFrame =
     state.withColumn("n_distinct_est", hll_sketch_estimate(col("hll")))
       .drop("hll")
+
+  /** Mergeable HISTOGRAM state — percentiles made incrementally
+    * maintainable. Exact percentiles cannot be maintained from (sum, cnt)
+    * partials; the state here is the [[Analytics.histogram]] binning
+    * (DECLARED [loCents, hiCents) range, integer clamp + multiply-then-
+    * floor-divide buckets) lifted to a persisted table: `(keys..., bucket,
+    * cnt)`, at most nBuckets rows per key however many rows fold in. Count
+    * addition is associative/commutative and BIGINT-exact, so daily states
+    * merge into monthly quantiles without re-reading the corpus — the HLL
+    * pattern at bucket resolution (error ≤ one bucket width, chosen by the
+    * caller, vs the sketch's probabilistic rsd). Nulls excluded;
+    * out-of-range values clamp into the edge buckets (the winsorize
+    * convention — they move the tail quantile at most one bucket). */
+  def histState(df: DataFrame, keys: Seq[Column], value: Column,
+                loCents: Long, hiCents: Long, nBuckets: Int): DataFrame = {
+    require(hiCents > loCents, s"empty range [$loCents, $hiCents)")
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    val vc = floor(value * lit(100.0)).cast("long")
+    val span = hiCents - loCents
+    df.filter(value.isNotNull)
+      .withColumn("_d",
+        least(lit(span - 1), greatest(lit(0L), vc - lit(loCents))))
+      // integral `div` (never Column `/` — the cross-engine bucketing rule)
+      .groupBy(keys :+ expr(s"(_d * $nBuckets) div $span")
+        .cast("long").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram-state tables (prev ∪ deltas): counts add per
+    * (keys, bucket). Associative, commutative, bit-identical to a one-shot
+    * [[histState]] over the unioned inputs (spec'd) — backfill/replay-safe
+    * like [[mergeStates]]. State-sized shuffle only. */
+  def mergeHistStates(states: Seq[DataFrame],
+                      keyNames: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeHistStates needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy((keyNames :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Read boundary for histogram state: per key and requested q (in ppm),
+    * the smallest bucket whose cumulative count reaches
+    * `rank = max(1, ceil(q·n/10⁶))` and its lower edge in cents — the
+    * lower-edge quantile estimate, exact to one bucket width. ALL-INTEGER
+    * (ceil by add-and-floor-divide, edge by `(bucket·span + nBuckets−1)
+    * div nBuckets`), so the result replays bit-for-bit in any engine. Both
+    * window specs share the key partitioning — ONE state-sized shuffle;
+    * the q fan-out is a generator over a literal array, not a join.
+    * Output: (keys..., q_ppm, n, bucket, est_cents). */
+  def quantilesFromHistState(state: DataFrame, keyNames: Seq[String],
+                             qsPpm: Seq[Long], loCents: Long, hiCents: Long,
+                             nBuckets: Int): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 0L && q <= 1000000L),
+      s"quantiles must be in [0, 1000000] ppm: $qsPpm")
+    val span = hiCents - loCents
+    val keys = keyNames.map(col)
+    val wAll = Window.partitionBy(keys: _*)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+    state
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("q_ppm", explode(array(qsPpm.map(lit): _*)))
+      .withColumn("_rank",
+        greatest(lit(1L), expr("(q_ppm * n + 999999) div 1000000")))
+      .filter(col("cum") >= col("_rank"))
+      .groupBy(keys :+ col("q_ppm") :+ col("n"): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_cents",
+        lit(loCents) + expr(s"(bucket * $span + ${nBuckets - 1}) div $nBuckets"))
+  }
 
   /** Read-time derived metric: exact floor mean in micro-units
     * (Euclidean `pmod` division so negative sums floor identically to

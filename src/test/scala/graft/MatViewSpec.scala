@@ -80,4 +80,72 @@ class MatViewSpec extends SparkSpec {
     m("neg") shouldBe Some(-3L) // floor(-5/2) = -3, not trunc -2
     m("nul") shouldBe None
   }
+
+  private def hist(rows: Seq[(String, java.lang.Double)], lo: Long = 0L,
+                   hi: Long = 1000L, n: Int = 10) =
+    MatView.histState(rows.toDF("k", "v"), Seq(col("k")), col("v"), lo, hi, n)
+
+  test("histState: binning, clamp into edge buckets, null exclusion") {
+    // [0, 1000) cents, 10 buckets of 100 cents: 1.5 → 150c → bucket 1
+    val s = hist(Seq(("a", 1.5), ("a", 1.99), ("a", 0.0), ("a", 9.999),
+        ("a", -3.0), ("a", 25.0), ("a", null)))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    s(1L) shouldBe 2L      // 150c, 199c
+    s(0L) shouldBe 2L      // 0c; −300c clamps low
+    s(9L) shouldBe 2L      // 999c; 2500c clamps high
+    s.values.sum shouldBe 6L // null excluded
+  }
+
+  test("histogram fold == one-shot rebuild, bit-identical; merge order " +
+    "and partitioning independent") {
+    val d1 = Seq(("a", 1.0: java.lang.Double), ("b", 4.5: java.lang.Double))
+    val d2 = Seq(("a", 1.2: java.lang.Double), ("a", 9.0: java.lang.Double))
+    val d3 = Seq(("b", 4.5: java.lang.Double), ("c", 0.0: java.lang.Double))
+    def m(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val folded = MatView.mergeHistStates(
+      Seq(MatView.mergeHistStates(Seq(hist(d1), hist(d2)), Seq("k")),
+        hist(d3)), Seq("k"))
+    val oneShot = hist(d1 ++ d2 ++ d3)
+    m(folded) shouldBe m(oneShot)
+    val reversed = MatView.mergeHistStates(
+      Seq(hist(d3).repartition(5), hist(d2), hist(d1)), Seq("k"))
+    m(reversed) shouldBe m(oneShot)
+  }
+
+  test("quantilesFromHistState: hand-exact ranks, lower-edge estimates, " +
+    "q=0 and q=1e6 edges, per-key independence") {
+    // key a: 4 values in buckets 0,0,5,9 → n=4
+    //   q=0 → rank 1 → bucket 0; q=500000 → rank 2 → bucket 0
+    //   q=750000 → rank 3 → bucket 5 (est 500c); q=1e6 → rank 4 → bucket 9
+    // key b: single value in bucket 3 → every q → bucket 3
+    val rows = Seq(("a", 0.5), ("a", 0.9), ("a", 5.5), ("a", 9.9),
+      ("b", 3.33)).map { case (k, v) => (k, v: java.lang.Double) }
+    val out = MatView.quantilesFromHistState(hist(rows), Seq("k"),
+        Seq(0L, 500000L, 750000L, 1000000L), 0L, 1000L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(("a", 0L)) shouldBe ((4L, 0L, 0L))
+    out(("a", 500000L)) shouldBe ((4L, 0L, 0L))
+    out(("a", 750000L)) shouldBe ((4L, 5L, 500L))
+    out(("a", 1000000L)) shouldBe ((4L, 9L, 900L))
+    out(("b", 500000L)) shouldBe ((1L, 3L, 300L))
+    out(("b", 1000000L)) shouldBe ((1L, 3L, 300L))
+    out.size shouldBe 8
+  }
+
+  test("quantile estimates off a merged state equal the one-shot state's " +
+    "(slicing invisible at the read boundary)") {
+    val d1 = (0 until 40).map(i => ("a", (i / 4.0): java.lang.Double))
+    val d2 = (0 until 25).map(i => ("a", (i / 2.5): java.lang.Double)) ++
+      (0 until 9).map(i => ("b", (i * 1.1): java.lang.Double))
+    def q(s: org.apache.spark.sql.DataFrame) =
+      MatView.quantilesFromHistState(s, Seq("k"),
+          Seq(500000L, 900000L, 990000L), 0L, 1000L, 10)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    q(MatView.mergeHistStates(Seq(hist(d1), hist(d2)), Seq("k"))) shouldBe
+      q(hist(d1 ++ d2))
+  }
 }

@@ -552,6 +552,18 @@ object SparkEntry {
     "q_seasonal_decompose" -> ((s, d) =>
       Forecast.seasonalDecompose(events(s, d), col("event_type"), col("ts"),
         col("value"))),
+    // Daily-series autocorrelation at lags 1/2/7 per event type: the
+    // persistence/weekly-cycle probe for lag-feature selection. Integer
+    // ppm via n-scaled centering; DECIMAL stays internal (oracled)
+    "q_acf" -> ((s, d) =>
+      Forecast.acfByKey(events(s, d), col("event_type"), col("ts"),
+        col("value"), Seq(1, 2, 7))),
+    // CUSUM level-shift monitor: prefix-sum-minus-running-min closed form
+    // of the textbook clamped recursion, slack/alarm self-scaled in the
+    // series' own mean absolute deviation — all BIGINT cents (oracled)
+    "q_cusum" -> ((s, d) =>
+      Forecast.cusumChangepoints(events(s, d), col("event_type"), col("ts"),
+        col("value"), hMult = 3)),
     // Mix-diversity monitor: Shannon entropy (ppm shares, micro-nat ln)
     // of each day's event-type mix — collapse of a day's diversity is the
     // corpus-mix alarm
@@ -2115,6 +2127,63 @@ object SparkEntry {
            s2.seasonal AS seasonal_micro,
            CAST(t3.y - t3.trend - s2.seasonal AS BIGINT) AS resid_micro
          FROM t3 JOIN s2 ON s2.grp = t3.grp AND s2.hod = t3.hidx % 24""",
+    "q_acf" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         st AS (SELECT grp, day, x,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s
+           FROM cell),
+         cc AS (SELECT grp, day, n, n*x - s AS c FROM st),
+         l AS (SELECT grp, n, c,
+             lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+             lag(c, 7) OVER w AS c7
+           FROM cc WINDOW w AS (PARTITION BY grp ORDER BY day)),
+         a AS (SELECT grp, n,
+             SUM(CAST(c AS HUGEINT)*c) AS den,
+             SUM(CAST(c AS HUGEINT)*c1) AS n1,
+             SUM(CAST(c AS HUGEINT)*c2) AS n2,
+             SUM(CAST(c AS HUGEINT)*c7) AS n7
+           FROM l GROUP BY 1, 2),
+         u AS (SELECT grp, n, den, CAST(1 AS BIGINT) AS lag_days,
+                 n1 AS num FROM a
+           UNION ALL SELECT grp, n, den, CAST(2 AS BIGINT), n2 FROM a
+           UNION ALL SELECT grp, n, den, CAST(7 AS BIGINT), n7 FROM a)
+         SELECT grp, lag_days, n,
+           CASE WHEN den = 0 OR num IS NULL THEN NULL
+                WHEN num >= 0 THEN CAST((1000000*num) // den AS BIGINT)
+                ELSE -CAST((1000000*(-num)) // den AS BIGINT)
+           END AS acf_ppm
+         FROM u""",
+    "q_cusum" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         st AS (SELECT grp, day, x,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s
+           FROM cell),
+         m AS (SELECT grp, day, x, n, s // n AS mu,
+             CAST(SUM(abs(x - (s // n))) OVER (PARTITION BY grp)
+               AS BIGINT) // n AS mad
+           FROM st),
+         rr AS (SELECT grp, day, x, mad,
+             SUM(x - mu - (mad // 2)) OVER w AS su,
+             SUM(x - mu + (mad // 2)) OVER w AS sd
+           FROM m WINDOW w AS (PARTITION BY grp ORDER BY day)),
+         h AS (SELECT grp, day, x, mad,
+             su - LEAST(CAST(0 AS BIGINT),
+               MIN(su) OVER w) AS up,
+             GREATEST(CAST(0 AS BIGINT),
+               MAX(sd) OVER w) - sd AS down
+           FROM rr WINDOW w AS (PARTITION BY grp ORDER BY day))
+         SELECT grp, day, x AS x_cents, mad AS mad_cents,
+           CAST(up AS BIGINT) AS cusum_up_cents,
+           CAST(down AS BIGINT) AS cusum_down_cents,
+           CASE WHEN up > 3*mad AND down > 3*mad THEN 'both'
+                WHEN up > 3*mad THEN 'up' ELSE 'down' END AS direction
+         FROM h WHERE up > 3*mad OR down > 3*mad""",
     "q_mix_entropy" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS grp, event_type,
              count(*) AS n

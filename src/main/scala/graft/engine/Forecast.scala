@@ -114,4 +114,127 @@ object Forecast {
         sum("abs_err_micro").as("_se"))
       .select(col("grp"), col("n_cells"),
         floorDiv(col("_se"), col("n_cells")).as("mae_micro"))
+
+  /** Per-key sample autocorrelation of the daily series at the requested
+    * lags — the seasonality/persistence probe behind lag-feature selection
+    * (is yesterday predictive? is there a weekly cycle?) for the
+    * historical-mean forecaster family above.
+    *
+    * Integer contract, exactly: values floor-quantize to cents per event
+    * BEFORE the daily sum (BIGINT); centering multiplies through by n
+    * (`c_t = n·x_t − S`) so the mean never becomes a float; cross products
+    * accumulate in DECIMAL(38,0) (internal only — c_t can reach n·max|x|,
+    * so Σc² would overflow BIGINT on long/high-magnitude series); the
+    * result is `sign(N_k) · (10⁶·|N_k|) div D` with
+    * `N_k = Σ c_t·c_{t−k}`, `D = Σ c_t²` — |N_k| ≤ D by Cauchy–Schwarz, so
+    * the quotient fits ppm in a BIGINT and truncation equals DuckDB `//`
+    * on the non-negative operands. The DECIMAL stays internal per the
+    * dtype contract (the r5 covariance lesson).
+    *
+    * Lags are over the OBSERVED day sequence ordered by day (calendar gaps
+    * are not filled — resample first via [[Analytics.resampleFill]] if
+    * strict-calendar lags matter; declared, like every order-sensitive
+    * operator here). A lag ≥ the series length or a constant series
+    * (D = 0) yields NULL acf_ppm, not a dropped row.
+    *
+    * 100 TB shape: the corpus collapses to the (key, day) grain in ONE
+    * partial-agg shuffle; every lag column comes from ONE window pass over
+    * grain-sized data (the EWMA all-lags-one-Window pattern), and the
+    * per-key reduce is a second grain-sized aggregate on the same key
+    * partitioning. Output: (grp, lag_days, n, acf_ppm).
+    */
+  def acfByKey(df: DataFrame, key: Column, ts: Column, value: Column,
+               lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && lags.distinct == lags,
+      s"lags must be distinct and >= 1: $lags")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("x"))
+    val wAll = Window.partitionBy(col("grp"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val centered = daily
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("x")).over(wAll))
+      .withColumn("_c", col("_n") * col("x") - col("_s"))
+    val lagged = lags.foldLeft(centered) { (d, k) =>
+      d.withColumn(s"_c$k", lag(col("_c"), k).over(wOrd))
+    }
+    val numAggs = lags.map(k =>
+      sum(col("_c").cast(dec) * col(s"_c$k").cast(dec)).as(s"_num$k"))
+    val byGrp = lagged.groupBy(col("grp")).agg(
+      max(col("_n")).as("n"),
+      (sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_den") +:
+        numAggs): _*)
+    val stackArgs = lags.map(k => s"${k}L, _num$k").mkString(", ")
+    byGrp
+      .selectExpr("grp", "n", "_den",
+        s"stack(${lags.length}, $stackArgs) AS (lag_days, _num)")
+      .withColumn("_scaled",
+        abs(col("_num")) * lit(1000000L).cast(dec))
+      .withColumn("acf_ppm",
+        when(col("_den") === 0 || col("_num").isNull, lit(null))
+          .otherwise(when(col("_num") >= 0, expr("_scaled div _den"))
+            .otherwise(-expr("_scaled div _den"))).cast("long"))
+      .select(col("grp"), col("lag_days"), col("n"), col("acf_ppm"))
+  }
+
+  /** CUSUM level-shift detection on the per-key daily series (Page 1954):
+    * the change-point monitor the dashboard family above needs once a
+    * meter's LEVEL drifts rather than a single reading spiking
+    * ([[Analytics.robustAnomalies]] catches the spike; this catches the
+    * regime change a spike detector is blind to, because every post-shift
+    * day is individually unremarkable).
+    *
+    * The textbook recursion `h_t = max(0, h_{t−1} + y_t)` is sequential;
+    * here it is computed CLOSED-FORM as `h_t = S_t − min(0, min_{i≤t} S_i)`
+    * (prefix sum minus clamped running minimum — provably equal by
+    * induction, spec'd against the driver-side recursion), which is two
+    * stacked window passes over ONE (key, day) sort. Slack and threshold
+    * are self-scaling in units of the series' own mean absolute deviation
+    * (one more unordered window over the same partitioning): slack
+    * k = mad div 2, alarm h = hMult·mad — the classical k = σ/2, h = 4σ
+    * tuning with the integer-exact MAD standing in for σ. ALL arithmetic
+    * is BIGINT on floor-quantized cents with Euclidean floor divisions, so
+    * flags are bit-identical cross-engine (no float boundary can move an
+    * alarm).
+    *
+    * 100 TB shape: corpus → (key, day) grain in one partial-agg shuffle;
+    * all four window passes share the key partitioning (one shuffle, one
+    * sort). Output: flagged days only —
+    * (grp, day, x_cents, mad_cents, cusum_up_cents, cusum_down_cents,
+    * direction ∈ up|down|both).
+    */
+  def cusumChangepoints(df: DataFrame, key: Column, ts: Column,
+                        value: Column, hMult: Int = 3): DataFrame = {
+    require(hMult >= 1, s"hMult >= 1: $hMult")
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("x"))
+    val wAll = Window.partitionBy(col("grp"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val up = col("cusum_up_cents")
+    val down = col("cusum_down_cents")
+    val h = col("_mad") * lit(hMult.toLong)
+    daily
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_sAll", sum(col("x")).over(wAll))
+      .withColumn("_mu", floorDiv(col("_sAll"), col("_n")))
+      .withColumn("_sad", sum(abs(col("x") - col("_mu"))).over(wAll))
+      .withColumn("_mad", floorDiv(col("_sad"), col("_n")))
+      .withColumn("_k", floorDiv(col("_mad"), lit(2L)))
+      .withColumn("_su", sum(col("x") - col("_mu") - col("_k")).over(wCum))
+      .withColumn("_sd", sum(col("x") - col("_mu") + col("_k")).over(wCum))
+      .withColumn("cusum_up_cents",
+        col("_su") - least(lit(0L), min(col("_su")).over(wCum)))
+      .withColumn("cusum_down_cents",
+        greatest(lit(0L), max(col("_sd")).over(wCum)) - col("_sd"))
+      .filter(up > h || down > h)
+      .select(col("grp"), col("day"), col("x").as("x_cents"),
+        col("_mad").as("mad_cents"), up, down,
+        when(up > h && down > h, lit("both"))
+          .when(up > h, lit("up")).otherwise(lit("down")).as("direction"))
+  }
 }

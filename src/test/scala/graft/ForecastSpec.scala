@@ -94,4 +94,144 @@ class ForecastSpec extends SparkSpec {
     (mae.getString(0), mae.getLong(1), mae.getLong(2)) shouldBe
       (("a", 2L, 1000000L))
   }
+
+  // ---- ACF ----
+
+  /** Driver-side BigInt reference for acfByKey on one key's daily cents. */
+  private def acfRef(vals: Seq[Long], lags: Seq[Int]): Map[Int, Option[Long]] = {
+    val n = vals.length
+    val s = vals.map(BigInt(_)).sum
+    val c = vals.map(v => BigInt(n) * v - s)
+    val den = c.map(x => x * x).sum
+    lags.map { k =>
+      val num = (k until n).map(t => c(t) * c(t - k)).reduceOption(_ + _)
+      k -> (if (den == 0 || num.isEmpty) None
+      else {
+        val q = (BigInt(1000000) * num.get.abs) / den
+        Some(if (num.get >= 0) q.toLong else -q.toLong)
+      })
+    }.toMap
+  }
+
+  private def dailyRows(key: String, cents: Seq[Long]) =
+    cents.zipWithIndex.map { case (c, i) =>
+      (key, ts(i + 1, 12), c / 100.0)
+    }
+
+  /** The engine floor-quantizes `floor(v*100)` on the DOUBLE v — for some
+    * c, c/100.0*100.0 floors to c−1. References must see the same cents
+    * the engine does, so mirror the quantization exactly. */
+  private def quant(cents: Seq[Long]): Seq[Long] =
+    cents.map(c => math.floor(c / 100.0 * 100.0).toLong)
+
+  private def acfMap(rows: Seq[(String, Timestamp, Double)], lags: Seq[Int]) =
+    Forecast.acfByKey(rows.toDF("k", "t", "v"), col("k"), col("t"),
+        col("v"), lags)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+
+  test("acfByKey: alternating series hand values, lag past length NULL") {
+    // x = 100,300 alternating over 6 days: c = ±600, den = 2,160,000
+    // acf1 = -floor(1e6*1.8e6/2.16e6) = -833333; acf2 = +666666
+    // acf5 = -floor(1e6*360000/2.16e6) = -166666; lag7 > n → NULL
+    val rows = dailyRows("a", Seq(100L, 300L, 100L, 300L, 100L, 300L))
+    val out = acfMap(rows, Seq(1, 2, 5, 7))
+    out(("a", 1L)) shouldBe Some(-833333L)
+    out(("a", 2L)) shouldBe Some(666666L)
+    out(("a", 5L)) shouldBe Some(-166666L)
+    out(("a", 7L)) shouldBe None
+  }
+
+  test("acfByKey: constant series (zero variance) yields NULL, row kept") {
+    val out = acfMap(dailyRows("c", Seq.fill(5)(250L)), Seq(1, 2))
+    out(("c", 1L)) shouldBe None
+    out(("c", 2L)) shouldBe None
+    out.size shouldBe 2
+  }
+
+  test("acfByKey == BigInt reference on random multi-key series; " +
+    "partitioning independent") {
+    val rnd = new scala.util.Random(7)
+    val series = Map(
+      "a" -> Seq.fill(25)(rnd.nextInt(50000).toLong),
+      "b" -> Seq.fill(13)(rnd.nextInt(900).toLong),
+      "c" -> Seq.fill(4)(rnd.nextInt(100000).toLong))
+    val rows = series.toSeq.flatMap { case (k, vs) => dailyRows(k, vs) }
+    val lags = Seq(1, 2, 3, 7)
+    val df = rows.toDF("k", "t", "v").repartition(7)
+    val out = Forecast.acfByKey(df, col("k"), col("t"), col("v"), lags)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    for ((k, vs) <- series; (lagK, exp) <- acfRef(quant(vs), lags))
+      out((k, lagK.toLong)) shouldBe exp
+    out.size shouldBe series.size * lags.size
+  }
+
+  // ---- CUSUM ----
+
+  /** Driver-side recursion reference: the textbook clamped CUSUM
+    * h_t = max(0, h_{t-1} + y_t) on both sides; returns flagged
+    * (dayIx0Based, up, down, direction). */
+  private def cusumRef(vals: Seq[Long],
+                       hMult: Int): Seq[(Int, Long, Long, String)] = {
+    val n = vals.length
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && (a.signum * b.signum) < 0) q - 1 else q
+    }
+    val mu = fdiv(vals.map(BigInt(_)).sum, n)
+    val mad = fdiv(vals.map(v => (BigInt(v) - mu).abs).sum, n)
+    val k = mad / 2
+    val h = mad * hMult
+    var hu = BigInt(0)
+    var hd = BigInt(0)
+    vals.zipWithIndex.flatMap { case (x, i) =>
+      hu = (hu + (BigInt(x) - mu - k)).max(0)
+      hd = (hd + (mu - BigInt(x) - k)).max(0)
+      if (hu > h || hd > h) {
+        val dir = if (hu > h && hd > h) "both" else if (hu > h) "up"
+          else "down"
+        Some((i, hu.toLong, hd.toLong, dir))
+      } else None
+    }
+  }
+
+  private def cusumOut(rows: Seq[(String, Timestamp, Double)], hMult: Int) =
+    Forecast.cusumChangepoints(rows.toDF("k", "t", "v").repartition(5),
+        col("k"), col("t"), col("v"), hMult)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+
+  test("cusumChangepoints: closed form == clamped recursion on a level " +
+    "shift; constant series flags nothing") {
+    // 10 days at 10.00 then 10 at 20.00: mu=1500, mad=500, k=250, h=1500
+    val vals = Seq.fill(10)(1000L) ++ Seq.fill(10)(2000L)
+    val out = cusumOut(dailyRows("a", vals) ++
+      dailyRows("flat", Seq.fill(8)(777L)), 3)
+    val exp = cusumRef(quant(vals), 3)
+    exp should not be empty
+    out.size shouldBe exp.size
+    for ((i, up, down, dir) <- exp)
+      out(("a", f"2024-01-${i + 1}%02d")) shouldBe ((up, down, dir))
+    // the post-shift regime must alarm on the up side by the last day
+    out(("a", "2024-01-20"))._3 shouldBe "up"
+    out.keys.count(_._1 == "flat") shouldBe 0
+  }
+
+  test("cusumChangepoints == recursion on random series, keys independent") {
+    val rnd = new scala.util.Random(11)
+    val series = Map(
+      "a" -> Seq.fill(28)(rnd.nextInt(40000).toLong + 1000L),
+      "b" -> (Seq.fill(14)(rnd.nextInt(2000).toLong) ++
+        Seq.fill(14)(rnd.nextInt(2000).toLong + 9000L)),
+      "c" -> Seq.fill(3)(rnd.nextInt(500).toLong))
+    val rows = series.toSeq.flatMap { case (k, vs) => dailyRows(k, vs) }
+    val out = cusumOut(rows, 2)
+    val exp = series.toSeq.flatMap { case (k, vs) =>
+      cusumRef(quant(vs), 2).map { case (i, up, down, dir) =>
+        (k, f"2024-01-${i + 1}%02d") -> ((up, down, dir)) }
+    }.toMap
+    out shouldBe exp
+    exp should not be empty
+  }
 }

@@ -1754,6 +1754,36 @@ object SparkEntry {
           col("sumPriorCents").as("sum_prior_cents")),
         graft.streaming.Streams.alertStreamMode)
     }),
+    // Streaming CUSUM level-shift alarms: per-key FIXED calibration
+    // (mu, mad from the first half of January — model-sized collect, the
+    // IVF-centroid pattern), clamped recursions carried as four longs of
+    // state. Single-batch AvailableNow == the cumulative ROWS-frame SQL
+    // closed form (explicit frames — RANGE would merge tied peers).
+    "q_stream_cusum" -> ((s, d) => {
+      val calDf = Tables.eventsRange(s, d,
+          "2024-01-01 00:00:00", "2024-01-16 00:00:00")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("k"),
+          floor(col("value") * lit(100.0)).cast("long").as("vc"))
+      val muDf = calDf.groupBy(col("k"))
+        .agg(sum(col("vc")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mu", expr("s div n")) // readings >= 0: trunc == floor
+      val madDf = calDf.join(muDf.select(col("k"), col("mu"), col("n")), "k")
+        .groupBy(col("k"), col("mu"), col("n"))
+        .agg(sum(abs(col("vc") - col("mu"))).as("sa"))
+        .withColumn("mad", expr("sa div n"))
+      val calib = madDf.select("k", "mu", "mad").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val stream = streamingEvents(s, d)
+        .filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      val out = graft.streaming.Streams.cusumStream(stream, "ts",
+        "event_type", "value", calib, hMult = 3)
+      runAvailableNow(s, out, "cusum", d,
+        _.select(col("grp"), col("tsUs").as("ts_us"),
+          col("vCents").as("v_cents"), col("up").as("up_cents"),
+          col("down").as("down_cents"), col("direction")),
+        graft.streaming.Streams.cusumStreamMode)
+    }),
     // Stream-static dim enrichment (J2 as a stream): events joined to the
     // customer dim on user_id. Stateless — no watermark, no join state; the
     // static side is re-planned (and broadcast) each micro-batch. One
@@ -3467,6 +3497,41 @@ object SparkEntry {
          SELECT grp, us AS ts_us, vc AS v_cents, np AS n_prior,
            sp AS sum_prior_cents
          FROM w WHERE np >= 5 AND abs(vc * np - sp) > 5000 * np""",
+    "q_stream_cusum" ->
+      """WITH cal0 AS (SELECT event_type AS grp,
+             CAST(floor(value*100) AS BIGINT) AS vc
+           FROM events
+           WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+         calmu AS (SELECT grp, CAST(SUM(vc) AS BIGINT) // COUNT(*) AS mu
+           FROM cal0 GROUP BY 1),
+         cal AS (SELECT c.grp, mu,
+             CAST(SUM(abs(vc - mu)) AS BIGINT) // COUNT(*) AS mad
+           FROM cal0 c JOIN calmu USING (grp) GROUP BY 1, 2),
+         p AS (SELECT event_type AS grp, epoch_ns(ts)//1000 AS us,
+             CAST(floor(value*100) AS BIGINT) AS vc
+           FROM events
+           WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+         w AS (SELECT p.grp, us, vc, mu, mad,
+             CAST(SUM(vc - mu - (mad//2)) OVER (PARTITION BY p.grp
+               ORDER BY us, vc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS su,
+             CAST(SUM(vc - mu + (mad//2)) OVER (PARTITION BY p.grp
+               ORDER BY us, vc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS sd
+           FROM p JOIN cal ON cal.grp = p.grp),
+         h AS (SELECT grp, us, vc, mad,
+             su - LEAST(CAST(0 AS BIGINT), MIN(su) OVER (PARTITION BY grp
+               ORDER BY us, vc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) AS up,
+             GREATEST(CAST(0 AS BIGINT), MAX(sd) OVER (PARTITION BY grp
+               ORDER BY us, vc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) - sd AS down
+           FROM w)
+         SELECT grp, us AS ts_us, vc AS v_cents,
+           CAST(up AS BIGINT) AS up_cents, CAST(down AS BIGINT) AS down_cents,
+           CASE WHEN up > 3*mad AND down > 3*mad THEN 'both'
+                WHEN up > 3*mad THEN 'up' ELSE 'down' END AS direction
+         FROM h WHERE up > 3*mad OR down > 3*mad""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
            (epoch_ns(ts) // 1000)::BIGINT AS ts_us

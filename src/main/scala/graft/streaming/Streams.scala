@@ -258,9 +258,83 @@ object Streams {
       .toDF()
   }
 
+  case class CusumAlarm(grp: String, tsUs: Long, vCents: Long, up: Long,
+                        down: Long, direction: String)
+  // (su, minSu, sd, maxSd) — the prefix-sum closed form of both clamped
+  // CUSUM recursions in four longs (minSu/maxSd pre-clamped at 0 by init)
+  private type CusumState = (Long, Long, Long, Long)
+
+  /** Streaming twin of `Forecast.cusumChangepoints` at the reading grain:
+    * per-key CUSUM level-shift alarms with FIXED calibration — (muCents,
+    * madCents) per key from a reference window, the model-sized driver
+    * pattern (IVF centroids, BPE table) — and the clamped recursions
+    * carried as four longs of state across batches. `h_t = max(0,
+    * h_{t−1}+y_t)` is kept in its prefix form (su − min(0, min prefix su);
+    * see the batch operator's induction proof), so update is two adds and
+    * two min/max per reading and the single-batch AvailableNow run equals
+    * the cumulative-window SQL closed form EXACTLY (the oracle; explicit
+    * ROWS frames — the default RANGE frame merges tied (ts, cents) peers,
+    * the fold doesn't, and only identical rows may tie).
+    *
+    * One alarm row per reading whose up/down statistic exceeds
+    * hMult·mad, while the statistic stays above — alarm-burst collapsing
+    * is a downstream dedup concern, not state semantics. Keys without
+    * calibration pass silently (no baseline — no alarm; the quarantine
+    * convention). Slack is the batch operator's k = mad div 2. Readings
+    * fold in (ts, cents) order per batch (the [[alertStream]] tie rule:
+    * tied rows are identical, so order between them can't change the
+    * output multiset). State never ages: su drifts by ±(reading − mu ∓ k)
+    * per event — restart the accumulation window (new checkpoint) when a
+    * shift is acted on, which CUSUM practice wants anyway. */
+  def cusumStream(events: DataFrame, ts: String, key: String, value: String,
+                  calibration: Map[String, (Long, Long)],
+                  hMult: Int = 3): DataFrame = {
+    require(hMult >= 1, s"hMult >= 1: $hMult")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cal = calibration // stable reference for the closure
+    events.selectExpr(s"CAST($key AS STRING) AS k",
+        s"unix_micros(CAST($ts AS TIMESTAMP)) AS us",
+        s"CAST(floor($value * 100) AS LONG) AS vc")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) =>
+          cal.get(k) match {
+            case None => Iterator.empty
+            case Some((mu, mad)) =>
+              val slack = mad / 2
+              val h = mad * hMult
+              var (su, minSu, sd, maxSd) =
+                state.getOption.getOrElse((0L, 0L, 0L, 0L))
+              val out = Seq.newBuilder[CusumAlarm]
+              rows.toArray.sortBy(r => (r._2, r._3)).foreach {
+                case (_, us, vc) =>
+                  su += vc - mu - slack
+                  sd += vc - mu + slack
+                  minSu = math.min(minSu, su)
+                  maxSd = math.max(maxSd, sd)
+                  val up = su - minSu
+                  val down = maxSd - sd
+                  if (up > h || down > h) {
+                    val dir = if (up > h && down > h) "both"
+                      else if (up > h) "up" else "down"
+                    out += CusumAlarm(k, us, vc, up, down, dir)
+                  }
+              }
+              state.update((su, minSu, sd, maxSd))
+              out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Preferred output mode per transform (append for windows, update for the
     * stateful tracker) — callers wire writeStream with these. */
   val hourlySumMode: OutputMode = OutputMode.Append()
   val resumeTrackerMode: OutputMode = OutputMode.Update()
   val alertStreamMode: OutputMode = OutputMode.Append()
+  val cusumStreamMode: OutputMode = OutputMode.Append()
 }

@@ -417,6 +417,84 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: clamped-recursion state spans batches — an elevated " +
+    "statistic keeps alarming on normal readings; uncalibrated keys " +
+    "silent; down side fires independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // key a: mu=1000c, mad=200c → slack 100c, alarm h = 2*mad = 400c
+    val out = Streams.cusumStream(mem.toDF().toDF("ts", "k", "v"),
+      "ts", "k", "v", Map("a" -> ((1000L, 200L))), hMult = 2)
+    val q = out.writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode(Streams.cusumStreamMode).start()
+    def alarms() = spark.sql(
+        "SELECT vCents, up, down, direction FROM cusum_alarms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    try {
+      // batch 1: three nominal 10.00 readings drift su to −300 (slack),
+      // then a 20.00 spike lifts up = su − minSu = 900 > 400 → alarm
+      mem.addData(
+        (t("2024-01-01 10:00:00"), "a", 10.0),
+        (t("2024-01-01 10:01:00"), "a", 10.0),
+        (t("2024-01-01 10:02:00"), "a", 10.0),
+        (t("2024-01-01 10:03:00"), "a", 20.0),
+        (t("2024-01-01 10:00:00"), "b", 999.0)) // no calibration → silent
+      q.processAllAvailable()
+      alarms() shouldBe Set((2000L, 900L, 0L, "up"))
+      // batch 2: a NOMINAL 10.00 reading still alarms (up stays 800 —
+      // state survived the batch boundary); then a 1.00 reading collapses
+      // the up side and fires the down side (down = 1500 − 700 = 800)
+      mem.addData(
+        (t("2024-01-01 10:04:00"), "a", 10.0),
+        (t("2024-01-01 10:05:00"), "a", 1.0),
+        (t("2024-01-01 10:06:00"), "b", 999.0))
+      q.processAllAvailable()
+      alarms() shouldBe Set((2000L, 900L, 0L, "up"),
+        (1000L, 800L, 0L, "up"), (100L, 0L, 800L, "down"))
+    } finally q.stop()
+  }
+
+  test("cusumStream single batch == the batch closed form (prefix sum " +
+    "minus clamped running extremum) on a random series") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val mu = 5000L
+    val mad = 1000L
+    val rows = (0 until 60).map { i =>
+      (t(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"), "a",
+        (mu + (rnd.nextInt(6001) - 3000)).toDouble / 100.0)
+    }
+    // driver reference: the prefix closed form over quantized cents
+    var su = 0L; var minSu = 0L; var sd = 0L; var maxSd = 0L
+    val exp = rows.flatMap { case (_, _, v) =>
+      val vc = math.floor(v * 100).toLong
+      su += vc - mu - mad / 2; sd += vc - mu + mad / 2
+      minSu = math.min(minSu, su); maxSd = math.max(maxSd, sd)
+      val up = su - minSu; val down = maxSd - sd
+      if (up > 3 * mad || down > 3 * mad)
+        Some((vc, up, down,
+          if (up > 3 * mad && down > 3 * mad) "both"
+          else if (up > 3 * mad) "up" else "down"))
+      else None
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.cusumStream(mem.toDF().toDF("ts", "k", "v"),
+      "ts", "k", "v", Map("a" -> ((mu, mad))), hMult = 3)
+    val q = out.writeStream.format("memory").queryName("cusum_rand")
+      .outputMode(Streams.cusumStreamMode).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT vCents, up, down, direction FROM cusum_rand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      got shouldBe exp
+      exp should not be empty
+    } finally q.stop()
+  }
+
   test("resumeTracker: per-key watermark + hour coverage, day rollover resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

@@ -564,6 +564,17 @@ object SparkEntry {
     "q_cusum" -> ((s, d) =>
       Forecast.cusumChangepoints(events(s, d), col("event_type"), col("ts"),
         col("value"), hMult = 3)),
+    // Integer OLS trend per event type: micro-cents/day slope, per-key
+    // centered day index, DECIMAL-internal moments → BIGINT out (oracled)
+    "q_trend_slope" -> ((s, d) =>
+      Forecast.trendSlopeByKey(events(s, d), col("event_type"), col("ts"),
+        col("value"))),
+    // Calendar-correct lag-feature export: day−1/day−7 RANGE-frame lags
+    // (gaps yield NULL, never a misaligned row), exact trailing-week
+    // (sum, n), ISO day-of-week — the forecaster training table (oracled)
+    "q_lag_features" -> ((s, d) =>
+      Forecast.lagFeatures(events(s, d), col("event_type"), col("ts"),
+        col("value"))),
     // Mix-diversity monitor: Shannon entropy (ppm shares, micro-nat ln)
     // of each day's event-type mix — collapse of a day's diversity is the
     // corpus-mix alarm
@@ -2186,6 +2197,44 @@ object SparkEntry {
                 ELSE -CAST((1000000*(-num)) // den AS BIGINT)
            END AS acf_ppm
          FROM u""",
+    "q_trend_slope" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT grp,
+             CAST(date_diff('day', MIN(day) OVER (PARTITION BY grp), day)
+               AS HUGEINT) AS t,
+             CAST(y AS HUGEINT) AS y
+           FROM cell),
+         a AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(t) AS st,
+             SUM(t*t) AS stt, SUM(y) AS sy, SUM(t*y) AS sty
+           FROM t GROUP BY 1),
+         b AS (SELECT grp, n, n*sty - st*sy AS num,
+             n*stt - st*st AS den FROM a)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+           CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((1000000*num) // den AS BIGINT)
+                ELSE -CAST((1000000*(-num)) // den AS BIGINT)
+           END AS slope_micro
+         FROM b""",
+    "q_lag_features" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         d AS (SELECT grp, day, y,
+             date_diff('day', DATE '1970-01-01', day) AS dd FROM cell)
+         SELECT grp, day, y AS y_cents,
+           MAX(y) OVER (PARTITION BY grp ORDER BY dd
+             RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1_cents,
+           MAX(y) OVER (PARTITION BY grp ORDER BY dd
+             RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7_cents,
+           CAST(SUM(y) OVER (PARTITION BY grp ORDER BY dd
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS wk_sum_cents,
+           COUNT(*) OVER (PARTITION BY grp ORDER BY dd
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wk_n,
+           CAST(isodow(day) AS BIGINT) AS dow
+         FROM d""",
     "q_cusum" ->
       """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS x

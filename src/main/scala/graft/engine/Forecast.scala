@@ -180,6 +180,91 @@ object Forecast {
       .select(col("grp"), col("lag_days"), col("n"), col("acf_ppm"))
   }
 
+  /** Per-key linear trend of the daily series: exact integer OLS slope in
+    * micro-cents per day — the "is this meter drifting, and how fast"
+    * scorecard ([[acfByKey]] asks *whether* yesterday predicts today; this
+    * fits the direction). The day index is centered per key to its first
+    * observed day (slope is shift-invariant, and the raw epoch index would
+    * inflate every moment ~650×); moments and the `n·Σt·y − Σt·Σy` /
+    * `n·Σt² − (Σt)²` combination run in INTERNAL DECIMAL(38,0) — the ACF
+    * convention; `n·Σty` passes Long around a decade of ~$2M/day series,
+    * so BIGINT would be a silent cliff. Result is `sign·(10⁶·|Num|) div
+    * Den` as BIGINT micro-cents/day (truncation == floor on the
+    * non-negative operands, DuckDB-identical). A key with a single
+    * day or all-equal day indexes has Den = 0 → NULL slope, row kept.
+    *
+    * 100 TB shape: corpus → (key, day) grain in one partial-agg shuffle;
+    * the min-day window and the moment reduce both reuse the grain's key
+    * partitioning. Output: (grp, n, slope_micro).
+    */
+  def trendSlopeByKey(df: DataFrame, key: Column, ts: Column,
+                      value: Column): DataFrame = {
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("y"))
+    val wAll = Window.partitionBy(col("grp"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    daily
+      .withColumn("_t",
+        datediff(col("day"), min(col("day")).over(wAll)).cast("long")
+          .cast(dec))
+      .withColumn("_y", col("y").cast(dec))
+      .groupBy(col("grp")).agg(
+        count(lit(1)).cast(dec).as("_n"), sum(col("_t")).as("_st"),
+        sum(col("_t") * col("_t")).as("_stt"), sum(col("_y")).as("_sy"),
+        sum(col("_t") * col("_y")).as("_sty"))
+      .withColumn("_num", col("_n") * col("_sty") - col("_st") * col("_sy"))
+      .withColumn("_den", col("_n") * col("_stt") - col("_st") * col("_st"))
+      .withColumn("_scaled", abs(col("_num")) * lit(1000000L).cast(dec))
+      .withColumn("slope_micro",
+        when(col("_den") === 0, lit(null))
+          .otherwise(when(col("_num") >= 0, expr("_scaled div _den"))
+            .otherwise(-expr("_scaled div _den"))).cast("long"))
+      .select(col("grp"), col("_n").cast("long").as("n"), col("slope_micro"))
+  }
+
+  /** Calendar-correct lag-feature matrix at the (key, day) grain — the
+    * training-data export for the forecaster family: yesterday's and
+    * last-week's values plus a trailing-week aggregate and day-of-week,
+    * ready for a regression/GBM fit downstream.
+    *
+    * Lags are CALENDAR lags, not observed-sequence lags: a `lag(k)` over
+    * row order silently misaligns across series gaps, so each feature is a
+    * RANGE frame over the integer day index (`BETWEEN k PRECEDING AND k
+    * PRECEDING` — exactly day−k or NULL; the gap-proof idiom from
+    * [[Analytics.rollingByKey]]). The trailing week is emitted as exact
+    * (sum, n) integers — the consumer chooses its own division. All
+    * features ride ONE window family over one (key, dayIdx) sort.
+    *
+    * 100 TB shape: one corpus collapse to the grain, one grain-sized
+    * window shuffle; the output is a feature TABLE (one row per key-day),
+    * written once and reused across model fits. Output: (grp, day,
+    * y_cents, lag1_cents, lag7_cents, wk_sum_cents, wk_n, dow).
+    */
+  def lagFeatures(df: DataFrame, key: Column, ts: Column,
+                  value: Column): DataFrame = {
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("y_cents"))
+      .withColumn("_d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    def at(k: Int) = Window.partitionBy(col("grp")).orderBy(col("_d"))
+      .rangeBetween(-k.toLong, -k.toLong)
+    val wk = Window.partitionBy(col("grp")).orderBy(col("_d"))
+      .rangeBetween(-6L, 0L)
+    daily
+      .withColumn("lag1_cents", max(col("y_cents")).over(at(1)))
+      .withColumn("lag7_cents", max(col("y_cents")).over(at(7)))
+      .withColumn("wk_sum_cents", sum(col("y_cents")).over(wk))
+      .withColumn("wk_n", count(lit(1)).over(wk))
+      // ISO day-of-week (1=Mon..7=Sun): dayofweek is 1=Sun..7=Sat
+      .withColumn("dow", pmod(dayofweek(col("day")) + lit(5), lit(7))
+        .cast("long") + lit(1L))
+      .select(col("grp"), col("day"), col("y_cents"), col("lag1_cents"),
+        col("lag7_cents"), col("wk_sum_cents"), col("wk_n"), col("dow"))
+  }
+
   /** CUSUM level-shift detection on the per-key daily series (Page 1954):
     * the change-point monitor the dashboard family above needs once a
     * meter's LEVEL drifts rather than a single reading spiking

@@ -167,6 +167,81 @@ class ForecastSpec extends SparkSpec {
     out.size shouldBe series.size * lags.size
   }
 
+  // ---- Trend slope ----
+
+  /** BigInt OLS reference over (dayOffset, cents) points. */
+  private def slopeRef(pts: Seq[(Long, Long)]): Option[Long] = {
+    val n = BigInt(pts.length)
+    val st = pts.map(p => BigInt(p._1)).sum
+    val stt = pts.map(p => BigInt(p._1) * p._1).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sty = pts.map(p => BigInt(p._1) * p._2).sum
+    val num = n * sty - st * sy
+    val den = n * stt - st * st
+    if (den == 0) None
+    else {
+      val q = (BigInt(1000000) * num.abs) / den
+      Some(if (num >= 0) q.toLong else -q.toLong)
+    }
+  }
+
+  private def slopeOut(rows: Seq[(String, Timestamp, Double)]) =
+    Forecast.trendSlopeByKey(rows.toDF("k", "t", "v").repartition(5),
+        col("k"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+
+  test("trendSlopeByKey: perfect line exact, constant zero, single-day " +
+    "NULL, negative slope") {
+    val out = slopeOut(
+      dailyRows("line", Seq(100L, 200L, 300L, 400L, 500L)) ++
+        dailyRows("flat", Seq(700L, 700L, 700L)) ++
+        dailyRows("one", Seq(400L)) ++
+        dailyRows("down", Seq(500L, 400L, 300L)))
+    out("line") shouldBe ((5L, Some(100000000L))) // +100 c/day exactly
+    out("flat") shouldBe ((3L, Some(0L)))
+    out("one") shouldBe ((1L, None))
+    out("down") shouldBe ((3L, Some(-100000000L)))
+  }
+
+  test("trendSlopeByKey == BigInt reference on gapped random series " +
+    "(calendar day offsets, not row positions)") {
+    val rnd = new scala.util.Random(13)
+    // day numbers with gaps; offsets are vs the MIN day, calendar-true
+    val days = Seq(2, 3, 5, 9, 10, 17, 23, 28)
+    val cents = Seq.fill(days.length)(rnd.nextInt(300000).toLong)
+    val rows = days.zip(cents).map { case (dd, c) =>
+      ("g", ts(dd, 9), c / 100.0) }
+    val qc = quant(cents)
+    val expected = slopeRef(days.map(d => (d - days.min).toLong)
+      .zip(qc))
+    slopeOut(rows)("g") shouldBe ((days.length.toLong, expected))
+    expected should not be None
+  }
+
+  // ---- Lag features ----
+
+  test("lagFeatures: calendar lags NULL across gaps, trailing-week " +
+    "(sum, n) exact, ISO day-of-week") {
+    // days 1,2,3,5,9 of Jan 2024 (Jan 1 is a Monday)
+    val rows = Seq((1, 100L), (2, 200L), (3, 300L), (5, 500L), (9, 900L))
+      .map { case (dd, c) => ("a", ts(dd, 8), c / 100.0) }
+    val out = Forecast.lagFeatures(rows.toDF("k", "t", "v").repartition(3),
+        col("k"), col("t"), col("v"))
+      .collect().map { r =>
+        r.getDate(1).toString -> ((Option(r.get(3)), Option(r.get(4)),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+      }.toMap
+    out("2024-01-01") shouldBe ((None, None, 100L, 1L, 1L))       // Mon
+    out("2024-01-02") shouldBe ((Some(100L), None, 300L, 2L, 2L))
+    out("2024-01-03") shouldBe ((Some(200L), None, 600L, 3L, 3L))
+    // day 5: day 4 missing → lag1 NULL; week window covers days 1..5
+    out("2024-01-05") shouldBe ((None, None, 1100L, 4L, 5L))
+    // day 9: lag7 = day 2's value; week window covers days 3..9 → 3,5,9
+    out("2024-01-09") shouldBe ((None, Some(200L), 1700L, 3L, 2L)) // Tue
+    out.size shouldBe 5
+  }
+
   // ---- CUSUM ----
 
   /** Driver-side recursion reference: the textbook clamped CUSUM

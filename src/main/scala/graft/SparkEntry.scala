@@ -575,6 +575,18 @@ object SparkEntry {
     "q_lag_features" -> ((s, d) =>
       Forecast.lagFeatures(events(s, d), col("event_type"), col("ts"),
         col("value"))),
+    // Theil–Sen robust trend: median of pairwise slopes (micro-cents/day,
+    // sign-split integer quantization, twice-median so even-count
+    // interpolation stays integer) — outlier-resistant OLS twin (oracled)
+    "q_theil_sen" -> ((s, d) =>
+      Forecast.theilSenSlopeByKey(events(s, d), col("event_type"),
+        col("ts"), col("value"))),
+    // Bounded forward fill at the per-user daily grain: dense calendar
+    // spine per user, carry ≤ 3 days — silent-beyond-horizon days stay
+    // NULL; ROWS frame == calendar horizon because the spine is dense
+    "q_locf" -> ((s, d) =>
+      Impute.locfBounded(events(s, d), col("user_id"), col("ts"),
+        col("value"), horizonDays = 3)),
     // Mix-diversity monitor: Shannon entropy (ppm shares, micro-nat ln)
     // of each day's event-type mix — collapse of a day's diversity is the
     // corpus-mix alarm
@@ -2217,6 +2229,42 @@ object SparkEntry {
                 ELSE -CAST((1000000*(-num)) // den AS BIGINT)
            END AS slope_micro
          FROM b""",
+    "q_locf" ->
+      """WITH cell AS (SELECT user_id AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         sp AS (SELECT grp,
+             UNNEST(generate_series(min(day), max(day), INTERVAL 1 DAY))
+               AS dts
+           FROM cell GROUP BY 1),
+         j AS (SELECT sp.grp, CAST(sp.dts AS DATE) AS day, c.y,
+             date_diff('day', DATE '1970-01-01', CAST(sp.dts AS DATE)) AS dd
+           FROM sp LEFT JOIN cell c
+             ON c.grp = sp.grp AND c.day = CAST(sp.dts AS DATE))
+         SELECT grp, day, y AS y_cents,
+           last_value(y IGNORE NULLS) OVER (PARTITION BY grp ORDER BY dd
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS filled_cents,
+           dd - MAX(CASE WHEN y IS NOT NULL THEN dd END)
+             OVER (PARTITION BY grp ORDER BY dd
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fill_age_days
+         FROM j""",
+    "q_theil_sen" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT grp,
+             CAST(date_diff('day', MIN(day) OVER (PARTITION BY grp), day)
+               AS BIGINT) AS t, y
+           FROM cell),
+         p AS (SELECT a.grp, b.y - a.y AS dy, b.t - a.t AS dt
+           FROM t a JOIN t b ON a.grp = b.grp AND b.t > a.t),
+         s AS (SELECT grp,
+             CASE WHEN dy >= 0 THEN CAST((1000000*dy) // dt AS BIGINT)
+                  ELSE -CAST((1000000*(-dy)) // dt AS BIGINT)
+             END AS sm FROM p)
+         SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(2 * median(sm) AS BIGINT) AS twice_med_slope_micro
+         FROM s GROUP BY 1""",
     "q_lag_features" ->
       """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y

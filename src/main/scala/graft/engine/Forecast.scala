@@ -224,6 +224,47 @@ object Forecast {
       .select(col("grp"), col("_n").cast("long").as("n"), col("slope_micro"))
   }
 
+  /** Theil–Sen robust trend per key: the median of all pairwise daily
+    * slopes — the estimator that shrugs off the outlier days that drag
+    * [[trendSlopeByKey]]'s OLS fit (up to ~29% contamination). Pair
+    * slopes quantize to micro-cents/day with round-toward-zero sign-split
+    * integer division (`sign(dy)·(10⁶·|dy|) div dt` — dt > 0 by the i<j
+    * pairing, so truncation is engine-identical); the median is reported
+    * DOUBLED ([[Analytics.rollingMedianDaily]]'s convention) so the
+    * even-count midpoint interpolation stays integer.
+    *
+    * 100 TB shape: corpus → (key, day) grain first (the only corpus
+    * pass); the pair join is grain²-per-key — bounded by series length
+    * (a year of dailies = ~66k pairs/key), never by data volume — and
+    * stays key-local (one hash join under AQE). A key with a single day
+    * forms no pair and is absent from the output (declared — the OLS twin
+    * emits its NULL row instead). Output: (grp, n_pairs,
+    * twice_med_slope_micro).
+    */
+  def theilSenSlopeByKey(df: DataFrame, key: Column, ts: Column,
+                         value: Column): DataFrame = {
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("y"))
+    val pts = daily
+      .withColumn("_t", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col("grp")))).cast("long"))
+      .select(col("grp"), col("_t"), col("y"))
+    val a = pts.select(col("grp"), col("_t").as("ti"), col("y").as("yi"))
+    val b = pts.select(col("grp"), col("_t").as("tj"), col("y").as("yj"))
+    a.join(b, "grp").filter(col("tj") > col("ti"))
+      .withColumn("_dy", col("yj") - col("yi"))
+      .withColumn("_dt", col("tj") - col("ti"))
+      .withColumn("_s", abs(col("_dy")) * lit(1000000L))
+      .withColumn("_sm", when(col("_dy") >= 0, expr("_s div _dt"))
+        .otherwise(-expr("_s div _dt")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (lit(2.0) * median(col("_sm"))).cast("long")
+          .as("twice_med_slope_micro"))
+  }
+
   /** Calendar-correct lag-feature matrix at the (key, day) grain — the
     * training-data export for the forecaster family: yesterday's and
     * last-week's values plus a trailing-week aggregate and day-of-week,

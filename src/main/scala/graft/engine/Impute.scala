@@ -179,4 +179,50 @@ object Impute {
       }
       .toDF("grp", "ts", "id", "v", "v_filled")
   }
+
+  /** Bounded forward fill (LOCF with a staleness horizon) at the daily
+    * grain: each key's observed days collapse to daily cent sums, a dense
+    * calendar spine spans the key's own [min, max] day (the J7
+    * sequence-explode idiom), and every spine day carries the most recent
+    * OBSERVED value at most `horizonDays` back — beyond the horizon the
+    * day stays NULL (a meter silent for a week should read as unknown,
+    * not as last Tuesday forever; the bounded-carry rule every
+    * sensor-data SLA wants, and the piece [[historicalFill]]'s
+    * seasonal-mean chain does not cover).
+    *
+    * Because the spine is dense BY CONSTRUCTION, a ROWS frame of
+    * `horizonDays PRECEDING` IS the calendar horizon — `last(_, ignore
+    * nulls)` over it is the carried value and a conditional max of the
+    * day index dates it (`fill_age_days` = 0 for observed days). All
+    * integer; no recursion, no loop — one window pass over the spine.
+    *
+    * 100 TB shape: the corpus collapses to the (key, day) grain first;
+    * the spine is grain-sized × fill factor (bounded by each key's span,
+    * not by data volume) and rides ONE (key, day) sort; the observed→
+    * spine join reuses that key partitioning under AQE. Output: (grp,
+    * day, y_cents NULL on silent days, filled_cents NULL past the
+    * horizon, fill_age_days).
+    */
+  def locfBounded(df: DataFrame, key: Column, ts: Column, value: Column,
+                  horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays >= 0: $horizonDays")
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("y_cents"))
+    val spine = daily.groupBy(col("grp"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("grp"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("_d"))
+      .rowsBetween(-horizonDays.toLong, 0L)
+    spine.join(daily, Seq("grp", "day"), "left")
+      .withColumn("_d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("filled_cents", last(col("y_cents"), true).over(w))
+      .withColumn("fill_age_days",
+        col("_d") - max(when(col("y_cents").isNotNull, col("_d"))).over(w))
+      .select(col("grp"), col("day"), col("y_cents"), col("filled_cents"),
+        col("fill_age_days"))
+  }
 }

@@ -219,6 +219,39 @@ class ForecastSpec extends SparkSpec {
     expected should not be None
   }
 
+  // ---- Theil–Sen ----
+
+  private def tsOut(rows: Seq[(String, Timestamp, Double)]) =
+    Forecast.theilSenSlopeByKey(rows.toDF("k", "t", "v").repartition(4),
+        col("k"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("theilSenSlopeByKey: median shrugs off a massive outlier day " +
+    "(OLS on the same series is dragged ~20x)") {
+    // 9 perfect-line days (+100 c/day) + one 1000.00 outlier
+    val cents = (1 to 9).map(_ * 100L) :+ 100000L
+    val rows = dailyRows("a", cents)
+    tsOut(rows)("a") shouldBe ((45L, 200000000L)) // 2 × 100 c/day in micro
+    val ols = slopeOut(rows)("a")._2.get
+    ols should be > 2000000000L // ≥ 20 c/day dragged per the outlier
+  }
+
+  test("theilSenSlopeByKey: even pair count interpolates the two middle " +
+    "slopes (twice-median integer); truncation toward zero on negatives; " +
+    "calendar dt across gaps; single-day key absent") {
+    // t 0..3, y 0/100/300/700 → sorted pair micros 1e8, 1.5e8, 2e8,
+    // 233333333, 3e8, 4e8 → middles 2e8 + 233333333
+    val even = dailyRows("e", Seq(0L, 100L, 300L, 700L))
+    // key n: days 1 and 4 (dt=3), 100 → 0: single pair −(1e8 div 3)
+    val neg = Seq(("n", ts(1, 9), 1.0), ("n", ts(4, 9), 0.0))
+    val single = dailyRows("s", Seq(500L))
+    val out = tsOut(even ++ neg ++ single)
+    out("e") shouldBe ((6L, 433333333L))
+    out("n") shouldBe ((1L, -66666666L))
+    out.contains("s") shouldBe false
+  }
+
   // ---- Lag features ----
 
   test("lagFeatures: calendar lags NULL across gaps, trailing-week " +

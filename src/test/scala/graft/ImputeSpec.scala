@@ -97,4 +97,49 @@ class ImputeSpec extends SparkSpec {
     out.filter(col("v").isNotNull && col("v") =!= col("v_filled"))
       .count() shouldBe 0
   }
+
+  private def dayTs(d: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+
+  private def locfMap(rows: Seq[(String, Timestamp, Double)], h: Int) =
+    Impute.locfBounded(rows.toDF("k", "t", "v").repartition(5), col("k"),
+        col("t"), col("v"), h)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+
+  test("locfBounded: dense spine, carry within horizon only, fill age; " +
+    "single-day key trivial") {
+    val rows = Seq((1, 1.0), (2, 2.0), (6, 6.0), (12, 12.0))
+      .map { case (d, v) => ("a", dayTs(d), v) } :+ (("b", dayTs(5), 5.0))
+    val out = locfMap(rows, 3)
+    out.size shouldBe 13 // a: days 1..12 spine; b: one day
+    out(("a", "2024-01-01")) shouldBe ((Some(100L), Some(100L), Some(0L)))
+    out(("a", "2024-01-03")) shouldBe ((None, Some(200L), Some(1L)))
+    out(("a", "2024-01-05")) shouldBe ((None, Some(200L), Some(3L))) // edge
+    out(("a", "2024-01-06")) shouldBe ((Some(600L), Some(600L), Some(0L)))
+    out(("a", "2024-01-09")) shouldBe ((None, Some(600L), Some(3L)))
+    out(("a", "2024-01-10")) shouldBe ((None, None, None)) // past horizon
+    out(("a", "2024-01-11")) shouldBe ((None, None, None))
+    out(("a", "2024-01-12")) shouldBe ((Some(1200L), Some(1200L), Some(0L)))
+    out(("b", "2024-01-05")) shouldBe ((Some(500L), Some(500L), Some(0L)))
+  }
+
+  test("locfBounded horizon 0: observed days self-fill, every silent day " +
+    "stays NULL") {
+    val rows = Seq((1, 1.0), (4, 4.0)).map { case (d, v) =>
+      ("a", dayTs(d), v) }
+    val out = locfMap(rows, 0)
+    out(("a", "2024-01-01")) shouldBe ((Some(100L), Some(100L), Some(0L)))
+    out(("a", "2024-01-02")) shouldBe ((None, None, None))
+    out(("a", "2024-01-03")) shouldBe ((None, None, None))
+    out(("a", "2024-01-04")) shouldBe ((Some(400L), Some(400L), Some(0L)))
+  }
+
+  test("locfBounded: same-day rows aggregate before filling (daily grain)") {
+    val rows = Seq(("a", dayTs(1), 1.0), ("a", dayTs(1), 2.0),
+      ("a", dayTs(3), 9.0))
+    val out = locfMap(rows, 5)
+    out(("a", "2024-01-01")) shouldBe ((Some(300L), Some(300L), Some(0L)))
+    out(("a", "2024-01-02")) shouldBe ((None, Some(300L), Some(1L)))
+  }
 }

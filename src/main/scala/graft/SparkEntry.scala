@@ -587,6 +587,18 @@ object SparkEntry {
     "q_locf" -> ((s, d) =>
       Impute.locfBounded(events(s, d), col("user_id"), col("ts"),
         col("value"), horizonDays = 3)),
+    // Pairwise Spearman rank correlation of the type-level daily series:
+    // all-integer rank statistic (doubled average ranks — no sqrt, no
+    // float boundary), pairs aligned on common days only (oracled)
+    "q_spearman" -> ((s, d) =>
+      Forecast.spearmanCrossCorr(events(s, d), col("event_type"),
+        col("ts"), col("value"))),
+    // Per-user load-factor / peak-coincidence scorecard: mean/peak ppm +
+    // share of own peak drawn on the system peak day (deterministic
+    // struct-max argmax, min-day tiebreak) — all integer (oracled)
+    "q_load_factors" -> ((s, d) =>
+      Analytics.loadFactors(events(s, d), col("user_id"), col("ts"),
+        col("value"))),
     // Mix-diversity monitor: Shannon entropy (ppm shares, micro-nat ln)
     // of each day's event-type mix — collapse of a day's diversity is the
     // corpus-mix alarm
@@ -2229,6 +2241,44 @@ object SparkEntry {
                 ELSE -CAST((1000000*(-num)) // den AS BIGINT)
            END AS slope_micro
          FROM b""",
+    "q_spearman" ->
+      """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT a.grp AS k1, b.grp AS k2, a.day, a.y AS x, b.y AS yv
+           FROM cell a JOIN cell b ON a.day = b.day AND a.grp < b.grp),
+         r AS (SELECT k1, k2,
+             2*rank() OVER (PARTITION BY k1, k2 ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY k1, k2, x) - 1 AS rx,
+             2*rank() OVER (PARTITION BY k1, k2 ORDER BY yv)
+               + COUNT(*) OVER (PARTITION BY k1, k2, yv) - 1 AS ry
+           FROM p),
+         s AS (SELECT k1, k2, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rx-ry)*(rx-ry)) AS BIGINT) AS sd2
+           FROM r GROUP BY 1, 2)
+         SELECT k1, k2, n AS n_common,
+           CAST(1000000 - (6000000*sd2) // (4*n*(n*n-1)) AS BIGINT)
+             AS spearman_ppm
+         FROM s WHERE n >= 2""",
+    "q_load_factors" ->
+      """WITH cell AS (SELECT user_id AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s, MAX(x) AS pk
+           FROM cell GROUP BY 1),
+         tot AS (SELECT day, CAST(SUM(x) AS BIGINT) AS t
+           FROM cell GROUP BY 1),
+         pd AS (SELECT day FROM tot ORDER BY t DESC, day ASC LIMIT 1),
+         atp AS (SELECT grp, x AS xp FROM cell JOIN pd USING (day))
+         SELECT st.grp, n_days, pk AS peak_cents,
+           CASE WHEN pk > 0
+             THEN CAST((1000000*s) // (n_days*pk) AS BIGINT) END
+             AS load_factor_ppm,
+           CASE WHEN pk > 0 AND xp IS NOT NULL
+             THEN CAST((1000000*xp) // pk AS BIGINT) END
+             AS coincidence_ppm
+         FROM st LEFT JOIN atp USING (grp)""",
     "q_locf" ->
       """WITH cell AS (SELECT user_id AS grp, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y

@@ -164,6 +164,57 @@ object Analytics {
           .as("twice_med_cents"))
   }
 
+  /** Per-key load-factor / peak-coincidence scorecard — the two numbers a
+    * grid planner reads first: how flat is each meter's profile
+    * (`load_factor = mean daily / peak daily`), and how much of its own
+    * peak was it drawing on the SYSTEM's peak day (`coincidence` — the
+    * diversity-factor input; a meter peaking off-system-peak is free
+    * capacity, one peaking on it is the reason the feeder is sized).
+    *
+    * All integer: daily floor-cent sums; `load_factor_ppm = (10⁶·sum) div
+    * (n·peak)`; the system peak day is the argmax of daily totals with a
+    * min-day tiebreak made deterministic by lexicographic struct-max
+    * ((total, −dayIdx) — no engine-specific argmax tie rule);
+    * `coincidence_ppm = (10⁶·value@peakday) div peak`, NULL for a key
+    * silent that day. Long-safe while a key's total cents < ~9·10¹²
+    * (a century of $2M/day — beyond it, lift the two products to the
+    * ACF's internal DECIMAL). Declared for non-negative load values.
+    *
+    * 100 TB shape: two grain-sized aggregates off one corpus collapse
+    * (per-key stats reuse the grain's key partitioning; daily totals are
+    * calendar-sized); the one-row peak day broadcasts. Output: (grp,
+    * n_days, peak_cents, load_factor_ppm, coincidence_ppm).
+    */
+  def loadFactors(df: DataFrame, key: Column, ts: Column,
+                  value: Column): DataFrame = {
+    val vc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(vc).as("x"))
+    val stats = daily.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_days"), sum(col("x")).as("_s"),
+      max(col("x")).as("peak_cents"))
+    val peakDay = daily.groupBy(col("day")).agg(sum(col("x")).as("_t"))
+      .withColumn("_nd",
+        -datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .agg(max(struct(col("_t"), col("_nd"), col("day"))).as("_m"))
+      .select(col("_m.day").as("_peak_day"))
+    val atPeak = daily.join(broadcast(peakDay),
+        daily("day") === peakDay("_peak_day"))
+      .select(col("grp"), col("x").as("_xp"))
+    stats.join(atPeak, Seq("grp"), "left")
+      .withColumn("_s6", col("_s") * lit(1000000L))
+      .withColumn("_np", col("n_days") * col("peak_cents"))
+      .withColumn("_x6", col("_xp") * lit(1000000L))
+      .withColumn("load_factor_ppm",
+        when(col("peak_cents") > 0, expr("_s6 div _np")))
+      .withColumn("coincidence_ppm",
+        when(col("peak_cents") > 0 && col("_xp").isNotNull,
+          expr("_x6 div peak_cents")))
+      .select(col("grp"), col("n_days"), col("peak_cents"),
+        col("load_factor_ppm"), col("coincidence_ppm"))
+  }
+
   /** Per-group feature scaling for ranking/ML prep: percent-rank and
     * min-max normalization of a metric, both as integer ppm (cents in,
     * floor divisions out — no float boundary anywhere). Percent-rank uses

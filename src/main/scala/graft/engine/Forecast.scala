@@ -265,6 +265,61 @@ object Forecast {
           .as("twice_med_slope_micro"))
   }
 
+  /** Pairwise Spearman rank correlation between keys' daily series — the
+    * "which meters move together" similarity matrix, for anomaly
+    * cross-checks (a meter diverging from its usual partners) and feature
+    * grouping. Spearman over Pearson deliberately: the rank statistic is
+    * ALL-INTEGER (`ρ = 1 − 6Σd²/(n(n²−1))` needs no square root, where a
+    * Pearson denominator would reintroduce the float boundary this repo
+    * quantizes away everywhere else), and it is robust to the outlier
+    * days a raw-value correlation is dragged by.
+    *
+    * Pairs align on COMMON days only (inner join), and ranks are computed
+    * on each pair's own aligned subset — ranks are not portable across
+    * pairs. Ties take average ranks, kept integer by DOUBLING
+    * (`2·avg-rank = 2·rank() + (peers−1)`), so `Σ(2d)²` is exact BIGINT
+    * and `ρ_ppm = 10⁶ − (6·10⁶·Σ(2d)²) div (4n(n²−1))` (floor on the
+    * subtracted term — deterministic cross-engine; with heavy ties this
+    * is the classic-formula statistic, declared, not Pearson-on-ranks).
+    * A pair with n < 2 common days is absent (no rank geometry).
+    *
+    * 100 TB shape: corpus → (key, day) grain once; the pair join is
+    * grain × keys (bounded by key count × series length, never data
+    * volume); rank windows partition by the (k1, k2) pair — pair-local
+    * sorts over ≤ series-length rows. Key cardinality is the quadratic
+    * knob: this is a panel operator (meters-per-feeder, source mixes),
+    * not an all-users one — cap or pre-select keys upstream. Output:
+    * (k1, k2, n_common, spearman_ppm), k1 < k2.
+    */
+  def spearmanCrossCorr(df: DataFrame, key: Column, ts: Column,
+                        value: Column): DataFrame = {
+    val xc = floor(value * lit(100.0)).cast("long")
+    val daily = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(xc).as("y"))
+    val a = daily.select(col("grp").as("k1"), col("day"), col("y").as("x"))
+    val b = daily.select(col("grp").as("k2"), col("day"), col("y").as("yv"))
+    val pairs = a.join(b, "day").filter(col("k1") < col("k2"))
+    def rank2(v: String) = {
+      val w = Window.partitionBy(col("k1"), col("k2")).orderBy(col(v))
+      val peers = Window.partitionBy(col("k1"), col("k2"), col(v))
+      lit(2L) * rank().over(w) + count(lit(1)).over(peers) - lit(1L)
+    }
+    pairs
+      .withColumn("_rx", rank2("x"))
+      .withColumn("_ry", rank2("yv"))
+      .withColumn("_d2", (col("_rx") - col("_ry")) * (col("_rx") - col("_ry")))
+      .groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_d2")).as("_sd2"))
+      .filter(col("n_common") >= 2)
+      .withColumn("_num", col("_sd2") * lit(6000000L))
+      .withColumn("_den",
+        lit(4L) * col("n_common") *
+          (col("n_common") * col("n_common") - lit(1L)))
+      .withColumn("spearman_ppm", lit(1000000L) - expr("_num div _den"))
+      .select(col("k1"), col("k2"), col("n_common"), col("spearman_ppm"))
+  }
+
   /** Calendar-correct lag-feature matrix at the (key, day) grain — the
     * training-data export for the forecaster family: yesterday's and
     * last-week's values plus a trailing-week aggregate and day-of-week,

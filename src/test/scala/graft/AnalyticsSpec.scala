@@ -526,4 +526,46 @@ class AnalyticsSpec extends SparkSpec {
     plan should include("Expand")
     plan should not include "Union"
   }
+
+  private def lfMap(rows: Seq[(String, Timestamp, Double)]) =
+    Analytics.loadFactors(rows.toDF("k", "ts", "v").repartition(4),
+        col("k"), col("ts"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+
+  test("loadFactors: hand-exact ppm, coincidence at the system peak day, " +
+    "silent-at-peak NULL") {
+    val rows = Seq(
+      ("a", t("2024-01-01 08:00:00"), 1.0),
+      ("a", t("2024-01-02 08:00:00"), 2.0),
+      ("a", t("2024-01-03 08:00:00"), 1.0),
+      ("b", t("2024-01-01 09:00:00"), 3.0),
+      ("b", t("2024-01-02 09:00:00"), 1.0))
+    // totals: d1=400, d2=300, d3=100 → system peak day = Jan 1
+    val out = lfMap(rows)
+    // a: n=3, s=400, peak=200 → lf = 400e6 div 600 = 666666;
+    //    value@peak=100 → coincidence = 100e6 div 200 = 500000
+    out("a") shouldBe ((3L, 200L, Some(666666L), Some(500000L)))
+    out("b") shouldBe ((2L, 300L, Some(666666L), Some(1000000L)))
+  }
+
+  test("loadFactors: tied system-peak totals break to the EARLIER day; " +
+    "zero-peak key yields NULLs; silent-at-peak coincidence is NULL") {
+    // mirrored keys: totals d1 = d2 = 600 → the tie breaks to Jan 1
+    val mirrored = Seq(
+      ("m", t("2024-01-01 08:00:00"), 5.0), ("m", t("2024-01-02 08:00:00"), 1.0),
+      ("w", t("2024-01-01 08:00:00"), 1.0), ("w", t("2024-01-02 08:00:00"), 5.0))
+    val o2 = lfMap(mirrored)
+    o2("m") shouldBe ((2L, 500L, Some(600000L), Some(1000000L)))
+    o2("w") shouldBe ((2L, 500L, Some(600000L), Some(200000L)))
+    // were the LATER day chosen the two coincidences would swap — pinned
+    // all-zero key: peak 0 → both ratios NULL
+    lfMap(mirrored :+ (("z", t("2024-01-01 10:00:00"), 0.0)))
+      .apply("z") shouldBe ((1L, 0L, None, None))
+    // a d3-only key big enough to own the system peak: m/w silent there
+    val o4 = lfMap(mirrored :+ (("s", t("2024-01-03 09:00:00"), 9.9)))
+    o4("m")._4 shouldBe None
+    o4("w")._4 shouldBe None
+    o4("s")._4 shouldBe Some(1000000L)
+  }
 }

@@ -252,6 +252,43 @@ class ForecastSpec extends SparkSpec {
     out.contains("s") shouldBe false
   }
 
+  // ---- Spearman cross-correlation ----
+
+  private def spearOut(rows: Seq[(String, Timestamp, Double)]) =
+    Forecast.spearmanCrossCorr(rows.toDF("k", "t", "v").repartition(4),
+        col("k"), col("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+  test("spearmanCrossCorr: perfect monotone +1e6, perfect inverse -1e6, " +
+    "hand-exact ties via doubled average ranks") {
+    val days = Seq(100L, 300L, 200L, 50L, 400L)
+    val up = dailyRows("a", days) ++ dailyRows("b", days.map(_ * 2))
+    spearOut(up)(("a", "b")) shouldBe ((5L, 1000000L))
+    val down = dailyRows("a", days) ++ dailyRows("c", days.map(900L - _))
+    spearOut(down)(("a", "c")) shouldBe ((5L, -1000000L))
+    // ties: x = 10,10,20,30 → doubled ranks 3,3,6,8; y strictly
+    // increasing → 2,4,6,8; Σd² = 2 → ρ = 1e6 − 12e6 div 240 = 950000
+    val tied = dailyRows("x", Seq(1000L, 1000L, 2000L, 3000L)) ++
+      dailyRows("y", Seq(500L, 600L, 700L, 800L))
+    spearOut(tied)(("x", "y")) shouldBe ((4L, 950000L))
+  }
+
+  test("spearmanCrossCorr: pairs align on COMMON days with subset-local " +
+    "ranks; n<2 pairs absent; k1<k2 canonical") {
+    // key a on days 1..4; key b only on days 2..4 — ranks must come from
+    // the 3 common days (a's day-1 value would otherwise shift ranks)
+    val a = dailyRows("a", Seq(9999L, 100L, 200L, 300L))
+    val b = Seq((2, 600L), (3, 500L), (4, 400L)).map { case (dd, c) =>
+      ("b", ts(dd, 12), c / 100.0) }
+    val out = spearOut(a ++ b)
+    out(("a", "b")) shouldBe ((3L, -1000000L)) // perfectly inverse on 2..4
+    // pairs sharing fewer than 2 days are absent (no rank geometry)
+    val out2 = spearOut(a.take(1) ++ Seq(("d", ts(1, 12), 5.0),
+      ("e", ts(9, 12), 1.0)))
+    out2 shouldBe empty // a∩d = 1 day; e shares none
+  }
+
   // ---- Lag features ----
 
   test("lagFeatures: calendar lags NULL across gaps, trailing-week " +

@@ -587,6 +587,12 @@ object SparkEntry {
     "q_locf" -> ((s, d) =>
       Impute.locfBounded(events(s, d), col("user_id"), col("ts"),
         col("value"), horizonDays = 3)),
+    // Demand-response 10-in-10 baseline: per (type, hour), mean of the
+    // previous 10 same-hour WEEKDAY observations (ROWS frame — holidays
+    // reach back, never shrink the sample); actual/baseline ppm (oracled)
+    "q_dr_baseline" -> ((s, d) =>
+      Forecast.drBaseline(events(s, d), col("event_type"), col("ts"),
+        col("value"), nDays = 10)),
     // Pairwise Spearman rank correlation of the type-level daily series:
     // all-integer rank statistic (doubled average ranks — no sqrt, no
     // float boundary), pairs aligned on common days only (oracled)
@@ -2240,6 +2246,27 @@ object SparkEntry {
                 WHEN num >= 0 THEN CAST((1000000*num) // den AS BIGINT)
                 ELSE -CAST((1000000*(-num)) // den AS BIGINT)
            END AS slope_micro
+         FROM b""",
+    "q_dr_baseline" ->
+      """WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+               AS x_cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         wd AS (SELECT * FROM g WHERE isodow(day) <= 5),
+         w AS (SELECT grp, day, h, x_cents,
+             CAST(SUM(x_cents) OVER fr AS BIGINT) AS hs,
+             COUNT(*) OVER fr AS n_hist
+           FROM wd WINDOW fr AS (PARTITION BY grp, h ORDER BY day
+             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+         b AS (SELECT grp, day, h, x_cents, n_hist,
+             CASE WHEN n_hist > 0 THEN CAST(hs // n_hist AS BIGINT) END
+               AS baseline_cents
+           FROM w)
+         SELECT grp, day, h, x_cents, baseline_cents, n_hist,
+           CASE WHEN baseline_cents > 0
+             THEN CAST((1000000*x_cents) // baseline_cents AS BIGINT)
+           END AS ratio_ppm
          FROM b""",
     "q_spearman" ->
       """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,

@@ -265,6 +265,51 @@ object Forecast {
           .as("twice_med_slope_micro"))
   }
 
+  /** Demand-response "N-of-N" baseline (the CAISO/PJM 10-in-10 method,
+    * published settlement practice): for every (key, weekday, hour) cell,
+    * the baseline is the mean of the SAME HOUR over the previous N
+    * weekday observations — what the meter "would have drawn" absent a
+    * curtailment event; the actual-vs-baseline ratio is the settlement
+    * quantity. Weekends are excluded from both sides (weekday and weekend
+    * load shapes are different populations — mixing them is the classic
+    * baseline-gaming bug).
+    *
+    * "Previous N weekday observations" is a ROWS frame over the
+    * weekday-only rows ordered by day — NOT a calendar RANGE (a holiday
+    * gap must reach further back, not shrink the sample; the method
+    * counts observations). Integer contract: hourly floor-cent sums,
+    * Euclidean floor-division mean, `ratio_ppm = (10⁶·x) div baseline`;
+    * a cell with no history gets NULL baseline/ratio, not a dropped row.
+    *
+    * 100 TB shape: corpus → (key, day, hour) grain in one partial-agg
+    * shuffle; the window partitions by (key, hour) over grain-sized rows
+    * (the [[backtestHistMean]] layout). Output: (grp, day, h, x_cents,
+    * baseline_cents, n_hist, ratio_ppm).
+    */
+  def drBaseline(df: DataFrame, key: Column, ts: Column, value: Column,
+                 nDays: Int = 10): DataFrame = {
+    require(nDays >= 1, s"nDays >= 1: $nDays")
+    val xc = floor(value * lit(100.0)).cast("long")
+    val grain = df.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"),
+        hour(ts).cast("long").as("h"))
+      .agg(sum(xc).as("x_cents"))
+      // ISO weekday 1..5 (dayofweek is 1=Sun..7=Sat)
+      .filter(pmod(dayofweek(col("day")) + lit(5), lit(7)) < 5)
+    val w = Window.partitionBy(col("grp"), col("h")).orderBy(col("day"))
+      .rowsBetween(-nDays.toLong, -1L)
+    grain
+      .withColumn("_hs", sum(col("x_cents")).over(w))
+      .withColumn("n_hist", count(lit(1)).over(w))
+      .withColumn("baseline_cents",
+        when(col("n_hist") > 0, floorDiv(col("_hs"), col("n_hist"))))
+      .withColumn("_x6", col("x_cents") * lit(1000000L))
+      .withColumn("ratio_ppm",
+        when(col("baseline_cents") > 0, expr("_x6 div baseline_cents")))
+      .select(col("grp"), col("day"), col("h"), col("x_cents"),
+        col("baseline_cents"), col("n_hist"), col("ratio_ppm"))
+  }
+
   /** Pairwise Spearman rank correlation between keys' daily series — the
     * "which meters move together" similarity matrix, for anomaly
     * cross-checks (a meter diverging from its usual partners) and feature

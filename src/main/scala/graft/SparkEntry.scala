@@ -1806,13 +1806,16 @@ object SparkEntry {
         .filter(col("value").isNotNull)
         .select(col("event_type").as("k"),
           floor(col("value") * lit(100.0)).cast("long").as("vc"))
+      // sign-safe floor (s - pmod(s, n)) div n: matches the batch
+      // cusumChangepoints floorDiv convention and the oracle's `//`
+      // unconditionally, not just on non-negative readings
       val muDf = calDf.groupBy(col("k"))
         .agg(sum(col("vc")).as("s"), count(lit(1)).as("n"))
-        .withColumn("mu", expr("s div n")) // readings >= 0: trunc == floor
+        .withColumn("mu", expr("(s - pmod(s, n)) div n"))
       val madDf = calDf.join(muDf.select(col("k"), col("mu"), col("n")), "k")
         .groupBy(col("k"), col("mu"), col("n"))
         .agg(sum(abs(col("vc") - col("mu"))).as("sa"))
-        .withColumn("mad", expr("sa div n"))
+        .withColumn("mad", expr("(sa - pmod(sa, n)) div n"))
       val calib = madDf.select("k", "mu", "mad").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val stream = streamingEvents(s, d)
@@ -3675,7 +3678,8 @@ object SparkEntry {
       """WITH cal0 AS (SELECT event_type AS grp,
              CAST(floor(value*100) AS BIGINT) AS vc
            FROM events
-           WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+           WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-16'),
          calmu AS (SELECT grp, CAST(SUM(vc) AS BIGINT) // COUNT(*) AS mu
            FROM cal0 GROUP BY 1),
          cal AS (SELECT c.grp, mu,
@@ -4048,12 +4052,13 @@ object SparkEntry {
                 WHEN reading_cents - prev >= 0 THEN reading_cents - prev
                 ELSE reading_cents - prev + 100000 END AS BIGINT)
              AS used_cents,
-           COALESCE(reading_cents - prev < 0, FALSE) AS is_reset
+           COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
     "q_twa_daily" ->
       """WITH c AS (SELECT user_id AS key, ts, event_id AS id,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,
-             CAST(ts AS DATE) AS day, epoch_ms(ts) AS ts_ms FROM events),
+             CAST(ts AS DATE) AS day, epoch_ms(ts) AS ts_ms FROM events
+           WHERE value IS NOT NULL),
          l AS (SELECT key, day, cents, ts_ms,
              LEAD(ts_ms) OVER (PARTITION BY key ORDER BY ts, id) AS next_ms,
              (date_diff('day', DATE '1970-01-01', day) + 1) * 86400000

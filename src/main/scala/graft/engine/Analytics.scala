@@ -848,7 +848,12 @@ object Analytics {
     * branch cut and outputs are bit-identical cross-engine. ONE window
     * shuffle on the key; at 100 TB the key partitioning is the natural
     * meter-id distribution and each key's series sorts within its
-    * partition. Output: (key, ts, id, reading_cents, used_cents, is_reset).
+    * partition. `is_discontinuity` flags EVERY negative delta — a healed
+    * mechanical rollover under `wrapModulus` and a counter reset alike
+    * (how the register discontinuity was interpreted is the caller's
+    * `wrapModulus` policy, already reflected in `used_cents`; the flag
+    * deliberately does not pretend to distinguish them).
+    * Output: (key, ts, id, reading_cents, used_cents, is_discontinuity).
     */
   def meterIntervals(df: DataFrame, key: Column, ts: Column, id: Column,
                      readingCents: Column,
@@ -867,7 +872,7 @@ object Analytics {
       when(col("_prev").isNull, lit(null).cast("long"))
         .when(delta >= 0, delta)
         .otherwise(onNegative).as("used_cents"),
-      coalesce(delta < 0, lit(false)).as("is_reset"))
+      coalesce(delta < 0, lit(false)).as("is_discontinuity"))
   }
 
   /** Step-hold time-weighted mean per key per UTC day — the honest average
@@ -877,6 +882,10 @@ object Analytics {
     * of the same key or the end of its day, whichever is earlier (step
     * interpolation, truncated at the day boundary — the uncovered head of a
     * day and any carry past midnight are excluded rather than invented).
+    * NULL-valued samples are dropped BEFORE the hold window (the sibling
+    * operators' `value IS NOT NULL` convention), so the prior sample's hold
+    * spans them LOCF-style — a null tick neither dilutes the mean toward
+    * zero nor counts in `n_samples`/`covered_ms`.
     *
     * ALL-INTEGER: per-row weight is the hold in whole milliseconds,
     * `Σ cents·hold_ms` stays well inside BIGINT (1e4 cents × 8.64e7 ms ≈
@@ -889,7 +898,8 @@ object Analytics {
   def timeWeightedMeanDaily(df: DataFrame, key: Column, ts: Column,
                             id: Column, value: Column): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
-    val base = df.select(key.as("key"), ts.as("ts"), id.as("id"),
+    val base = df.filter(value.isNotNull)
+      .select(key.as("key"), ts.as("ts"), id.as("id"),
         round(value * 100, 0).cast("long").as("cents"))
       .withColumn("day", to_date(col("ts")))
       .withColumn("_next_ms", lead(unix_millis(col("ts")), 1).over(w))

@@ -233,6 +233,14 @@ object Forecast {
     * DOUBLED ([[Analytics.rollingMedianDaily]]'s convention) so the
     * even-count midpoint interpolation stays integer.
     *
+    * Long-safety bound (the repo's usual validity note): the twice-median
+    * is computed as `2.0 * median(double)` and cast back to long; Spark's
+    * cast truncates while DuckDB rounds-to-nearest, so cross-engine
+    * exactness requires the even-count midpoint pair SUM of micro-slopes
+    * to stay under 2^53 — i.e. |slope| below ~2^52 micro-units
+    * (~4.5e9 cents/day). Energy series are orders of magnitude inside
+    * this; series that are not should pre-scale their unit.
+    *
     * 100 TB shape: corpus → (key, day) grain first (the only corpus
     * pass); the pair join is grain²-per-key — bounded by series length
     * (a year of dailies = ~66k pairs/key), never by data volume — and
@@ -278,7 +286,9 @@ object Forecast {
     * weekday-only rows ordered by day — NOT a calendar RANGE (a holiday
     * gap must reach further back, not shrink the sample; the method
     * counts observations). Integer contract: hourly floor-cent sums,
-    * Euclidean floor-division mean, `ratio_ppm = (10⁶·x) div baseline`;
+    * Euclidean floor-division mean, `ratio_ppm = floor((10⁶·x) /
+    * baseline)` — FLOOR, not truncation, so a negative hourly reading
+    * (net-metered export) divides identically cross-engine;
     * a cell with no history gets NULL baseline/ratio, not a dropped row.
     *
     * 100 TB shape: corpus → (key, day, hour) grain in one partial-agg
@@ -305,7 +315,8 @@ object Forecast {
         when(col("n_hist") > 0, floorDiv(col("_hs"), col("n_hist"))))
       .withColumn("_x6", col("x_cents") * lit(1000000L))
       .withColumn("ratio_ppm",
-        when(col("baseline_cents") > 0, expr("_x6 div baseline_cents")))
+        when(col("baseline_cents") > 0,
+          floorDiv(col("_x6"), col("baseline_cents"))))
       .select(col("grp"), col("day"), col("h"), col("x_cents"),
         col("baseline_cents"), col("n_hist"), col("ratio_ppm"))
   }

@@ -462,7 +462,8 @@ class AnalyticsSpec extends SparkSpec {
     wrap(1L) shouldBe ((-1L, false)) // first reading: no interval
     wrap(2L) shouldBe ((30L, false))
     wrap(3L) shouldBe ((55L, false))
-    wrap(4L) shouldBe ((10L, true))  // 5 − 95 + 100: healed rollover
+    wrap(4L) shouldBe ((10L, true))  // 5 − 95 + 100: healed rollover,
+                                     // still flagged is_discontinuity
     wrap(5L) shouldBe ((-1L, false))
     wrap(6L) shouldBe ((2L, false))
     // reset-to-zero policy: the same drop means a replaced counter
@@ -471,23 +472,27 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("id") === 4L).collect().head
     reset.getLong(4) shouldBe 5L // usage restarts from the new register
     reset.getBoolean(5) shouldBe true
+    reset.schema.fieldNames(5) shouldBe "is_discontinuity"
   }
 
   test("timeWeightedMeanDaily: step-hold weights, day-boundary truncation, " +
-    "floor mean, burst not over-weighted") {
+    "floor mean, burst not over-weighted, null ticks spanned LOCF-style") {
     // key a, one day: 100 held 6 h, then 400 held 18 h (to midnight)
     //   twa = (10000·6 + 40000·18)/24 = 32500 cents
-    // a plain avg would say 25000 — the long-held 400 must dominate
+    // a plain avg would say 25000 — the long-held 400 must dominate.
+    // The null tick at 03:00 must change NOTHING: the 100-reading's hold
+    // spans it (no dilution toward zero, no n_samples/covered_ms count).
     val df = Seq(
-      ("a", t("2024-01-01 00:00:00"), 1L, 100.0),
-      ("a", t("2024-01-01 06:00:00"), 2L, 400.0),
+      ("a", t("2024-01-01 00:00:00"), 1L, Some(100.0)),
+      ("a", t("2024-01-01 03:00:00"), 9L, None),
+      ("a", t("2024-01-01 06:00:00"), 2L, Some(400.0)),
       // key a, next day: single sample from 12:00 → covers half the day
-      ("a", t("2024-01-02 12:00:00"), 3L, 50.0),
+      ("a", t("2024-01-02 12:00:00"), 3L, Some(50.0)),
       // key b: a burst of three ticks in one minute then 12 h of 7.0 —
       // the burst's weight is its held minutes only
-      ("b", t("2024-01-01 11:00:00"), 4L, 1000.0),
-      ("b", t("2024-01-01 11:00:30"), 5L, 1000.0),
-      ("b", t("2024-01-01 11:01:00"), 6L, 7.0)
+      ("b", t("2024-01-01 11:00:00"), 4L, Some(1000.0)),
+      ("b", t("2024-01-01 11:00:30"), 5L, Some(1000.0)),
+      ("b", t("2024-01-01 11:01:00"), 6L, Some(7.0))
     ).toDF("k", "ts", "id", "v")
     val out = Analytics.timeWeightedMeanDaily(df, col("k"), col("ts"),
         col("id"), col("v"))

@@ -1227,6 +1227,26 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only + ScalaTest)
     "q_minhash_pairs" -> ((s, d) =>
       NearDup.minhashLshPairs(documents(s, d), col("doc_id"), col("text"), 0.1)),
+    // MinHash MECHANISM over the FIXED md5 family: per-(doc, seed)
+    // min(md5(shingle||':'||seed)), band = md5 of the band's mins,
+    // candidate pairs + exact verify — all replayed in DuckDB, so the
+    // flagship near-dup tier's banding/candidate/verify pipeline is
+    // cross-engine hash-green (the q_semdedup_fixed pattern; the xxhash64
+    // production kernel above stays the scale path — bit-parity with this
+    // twin spec'd at sf0.001 in NearDupSpec)
+    "q_minhash_fixed" -> ((s, d) =>
+      NearDup.minhashLshPairsMd5(documents(s, d), col("doc_id"), col("text"),
+        0.1)),
+    // incremental md5 twin: the batch probes the union's buckets; equals
+    // the full twin restricted to batch-touching pairs (the oracle = full
+    // twin SQL + membership predicate — signatures are split-independent)
+    "q_minhash_incr_fixed" -> ((s, d) => {
+      val docs = documents(s, d)
+      NearDup.minhashLshPairsMd5Incremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), 0.1)
+    }),
     // incremental MinHash+LSH: the scale twin of q_incremental_dedup — the
     // batch probes the union's buckets, existing↔existing never expands,
     // exact verify over candidate ids only (rows-only: xxhash64 signatures;
@@ -2891,6 +2911,79 @@ object SparkEntry {
          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
                    FROM sh a JOIN sh b USING (s)
                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id1, id2,
+                 round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2)
+         SELECT id1, id2, jaccard FROM j
+         WHERE jaccard >= 0.1 AND (id1 % 10 = 0 OR id2 % 10 = 0)""",
+    // the fixed-md5-family MinHash mechanism: 32 seeds, 8 bands x 4 rows;
+    // signature entry = min md5(shingle||':'||seed) (lexicographic hex min
+    // — binary collation in both engines), band hash = md5 of the band's
+    // mins joined by '|', bucket-colliding pairs exact-verified by the
+    // same jaccard replay as q_jaccard_pairs
+    "q_minhash_fixed" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         seeds AS (SELECT unnest(range(32)) AS seed),
+         sig AS (SELECT doc_id, seed,
+                   min(md5(s || ':' || CAST(seed AS VARCHAR))) AS mh
+                 FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bnd AS (SELECT doc_id, seed // 4 AS band,
+                   md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+                 FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.id1, c.id2, count(*) AS c
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id1
+                   JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+                   GROUP BY 1, 2),
+         j AS (SELECT id1, id2,
+                 round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2)
+         SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1""",
+    // incremental twin = the full fixed-family result restricted to pairs
+    // touching the doc_id % 10 = 0 batch (signatures are pure functions of
+    // the row, verification exact — the q_incremental_dedup argument)
+    "q_minhash_incr_fixed" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         seeds AS (SELECT unnest(range(32)) AS seed),
+         sig AS (SELECT doc_id, seed,
+                   min(md5(s || ':' || CAST(seed AS VARCHAR))) AS mh
+                 FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bnd AS (SELECT doc_id, seed // 4 AS band,
+                   md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+                 FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                  FROM bnd a JOIN bnd b
+                    ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.id1, c.id2, count(*) AS c
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id1
+                   JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+                   GROUP BY 1, 2),
          j AS (SELECT id1, id2,
                  round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
                FROM inter

@@ -420,15 +420,42 @@ object NearDup {
     * Output: (id1, id2, jaccard) with jaccard >= tau. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column, tau: Double,
                       bands: Int = 8, rowsPerBand: Int = 4,
-                      n: Int = 3): DataFrame = {
-    // explicit exchange on the join keys: the signature pipeline has no
-    // shuffle of its own, so without this the self-join would plan two
-    // exchanges whose map sides EACH recompute every signature; pre-
-    // partitioning on (band, band_hash) makes both sides the same exchange
-    // (ReuseExchange) — signatures are computed once — and the join needs no
-    // further shuffle
-    val banded = bandedMinhash(docs, id, text, bands, rowsPerBand, n)
-      .repartition(col("band"), col("band_hash"))
+                      n: Int = 3): DataFrame =
+    lshVerifiedPairs(bandedMinhash(docs, id, text, bands, rowsPerBand, n),
+      docs, id, text, tau, n)
+
+  /** MinHash+LSH over a FIXED md5 hash family — the cross-engine-provable
+    * twin of [[minhashLshPairs]]: signature entry i is
+    * `min over shingles of md5(shingle || ":" || i)` (lexicographic min of
+    * the hex digest — identical in any engine with md5), bands hash as
+    * `md5(minhash_i || "|" || ... )` over the band's entries. Candidates
+    * are exact-verified exactly like the production path, so output is a
+    * subset of [[jaccardPairs]] by construction.
+    *
+    * This is the ORACLE twin, not the scale path: md5 is ~4× the per-
+    * shingle hash cost of xxhash64 and its 32-char hex signatures shuffle
+    * 4× the bytes of a long — the production kernel stays
+    * [[minhashSignatures]]'s codegen'd xxhash64. What this buys is a
+    * DuckDB-replayable proof of the MECHANISM (banding, candidate
+    * formation, exact verify) with a SQL-expressible hash family — the
+    * `q_semdedup_fixed` pattern applied to the flagship near-dup tier. */
+  def minhashLshPairsMd5(docs: DataFrame, id: Column, text: Column,
+                         tau: Double, bands: Int = 8, rowsPerBand: Int = 4,
+                         n: Int = 3): DataFrame =
+    lshVerifiedPairs(bandedMinhashMd5(docs, id, text, bands, rowsPerBand, n),
+      docs, id, text, tau, n)
+
+  /** Shared LSH tail: bucket self-join on (band, band_hash) + exact shingle
+    * verification. The explicit exchange on the join keys matters: the
+    * signature pipeline has no shuffle of its own, so without it the
+    * self-join would plan two exchanges whose map sides EACH recompute
+    * every signature; pre-partitioning makes both sides the same exchange
+    * (ReuseExchange) — signatures are computed once — and the join needs no
+    * further shuffle. */
+  private def lshVerifiedPairs(bandedRaw: DataFrame, docs: DataFrame,
+                               id: Column, text: Column, tau: Double,
+                               n: Int): DataFrame = {
+    val banded = bandedRaw.repartition(col("band"), col("band_hash"))
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,
@@ -461,6 +488,31 @@ object NearDup {
             .map(i => element_at(col("sig"), i + 1)): _*)
         }: _*)).as(Seq("band", "band_hash")))
 
+  /** Fixed-md5-family banded signatures for [[minhashLshPairsMd5]]:
+    * (doc_id, band, band_hash: string). The expensive shingle array is
+    * aliased ONCE (`_sh`) and referenced by all h per-seed mins — the
+    * multi-use non-cheap alias stays bound (the Janino-CSE rule), so the
+    * native ShingleStrings kernel runs once per row while each seed's
+    * md5 pass folds over the bound array. */
+  private def bandedMinhashMd5(docs: DataFrame, id: Column, text: Column,
+                               bands: Int, rowsPerBand: Int,
+                               n: Int): DataFrame = {
+    val h = bands * rowsPerBand
+    // short docs drop on the cheap token-count predicate BEFORE the spread
+    // (the minhashSignatures rule: a pushed-down null-check on the computed
+    // signature would serialize the whole computation onto the scan side)
+    val base = TextOps.spreadForCpu(docs.filter(size(TextOps.tokens(text)) >= n))
+      .select(id.as("doc_id"), TextOps.shingleArray(text, n).as("_sh"))
+    val sigs = base.select(col("doc_id") +:
+      (0 until h).map(i => array_min(transform(col("_sh"),
+        s => md5(concat(s, lit(":" + i))))).as(s"_m$i")): _*)
+    sigs.select(col("doc_id"), posexplode(array(
+      (0 until bands).map { j =>
+        md5(concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => col(s"_m$i")): _*))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
   /** Incremental MinHash+LSH pairs — the SCALE twin of
     * [[jaccardPairsIncremental]] (which is its exact verifier/oracle): the
     * incoming batch's banded signatures probe the union's buckets, so
@@ -477,11 +529,31 @@ object NearDup {
   def minhashLshPairsIncremental(existing: DataFrame, incoming: DataFrame,
                                  id: Column, text: Column, tau: Double,
                                  bands: Int = 8, rowsPerBand: Int = 4,
-                                 n: Int = 3): DataFrame = {
-    val exB = bandedMinhash(existing, id, text, bands, rowsPerBand, n)
-      .withColumn("_new", lit(false))
-    val inB = bandedMinhash(incoming, id, text, bands, rowsPerBand, n)
-      .withColumn("_new", lit(true))
+                                 n: Int = 3): DataFrame =
+    lshPairsIncrementalWith(d => bandedMinhash(d, id, text, bands,
+      rowsPerBand, n), existing, incoming, id, text, tau, n)
+
+  /** Incremental twin of [[minhashLshPairsMd5]] — the fixed md5 family
+    * through the same batch-probes-union bucketing as
+    * [[minhashLshPairsIncremental]]. Because signatures are a pure function
+    * of the row and verification is exact, the result equals the full
+    * [[minhashLshPairsMd5]] run restricted to pairs touching the batch —
+    * which is what lets the DuckDB oracle replay it as the full-twin SQL
+    * plus a batch-membership predicate. */
+  def minhashLshPairsMd5Incremental(existing: DataFrame, incoming: DataFrame,
+                                    id: Column, text: Column, tau: Double,
+                                    bands: Int = 8, rowsPerBand: Int = 4,
+                                    n: Int = 3): DataFrame =
+    lshPairsIncrementalWith(d => bandedMinhashMd5(d, id, text, bands,
+      rowsPerBand, n), existing, incoming, id, text, tau, n)
+
+  /** Shared incremental-LSH body, parameterized by the banding family. */
+  private def lshPairsIncrementalWith(bander: DataFrame => DataFrame,
+                                      existing: DataFrame, incoming: DataFrame,
+                                      id: Column, text: Column, tau: Double,
+                                      n: Int): DataFrame = {
+    val exB = bander(existing).withColumn("_new", lit(false))
+    val inB = bander(incoming).withColumn("_new", lit(true))
     val probe = inB.select(col("band"), col("band_hash"),
       col("doc_id").as("in_id"))
     val all = exB.unionByName(inB)

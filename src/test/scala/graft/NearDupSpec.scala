@@ -274,6 +274,39 @@ class NearDupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("md5-family minhash twin == exact jaccard == production xxhash64 " +
+    "LSH at sf0.001 (the cross-engine mechanism oracle's local mirror)") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(NearDup.jaccardPairs(d, col("doc_id"), col("text"), 0.1))
+    val md5Twin = pairs(NearDup.minhashLshPairsMd5(d, col("doc_id"),
+      col("text"), 0.1))
+    val prod = pairs(NearDup.minhashLshPairs(d, col("doc_id"), col("text"),
+      0.1))
+    exact should not be empty
+    md5Twin shouldBe exact // precision 1.0 by exact verify; recall 1.0 here
+    md5Twin shouldBe prod  // both families catch the full planted-dup set
+  }
+
+  test("md5 minhash twin: precision 1.0, recall >= 0.95 vs exact at sf0.01; " +
+    "incremental == full twin restricted to the batch") {
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = NearDup.jaccardPairs(d, col("doc_id"), col("text"), 0.1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = asMap(NearDup.minhashLshPairsMd5(d, col("doc_id"),
+      col("text"), 0.1))
+    full.keySet.subsetOf(exact) shouldBe true // precision == 1.0
+    full.size.toDouble / exact.size should be >= 0.95
+    val inc = asMap(NearDup.minhashLshPairsMd5Incremental(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), 0.1))
+    inc shouldBe full.filter { case ((a, b), _) =>
+      a % 10 == 0 || b % 10 == 0 }
+  }
+
   test("minhash precision 1.0 and recall >= 0.95 vs exact at sf0.01") {
     // hardens the one rows-only dedup path at the correctness-gate SF:
     // every LSH pair must be verified-exact (precision 1.0 by construction

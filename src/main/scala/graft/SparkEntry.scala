@@ -1261,6 +1261,16 @@ object SparkEntry {
     // SimHash signatures + banded Hamming pairs (rows-only + ScalaTest)
     "q_simhash_pairs" -> ((s, d) =>
       NearDup.simhashPairs(documents(s, d), col("doc_id"), col("text"), 20)),
+    // SimHash MECHANISM over the FIXED 32-bit md5 family: bit sums, sign
+    // packing, 4x8-bit banding and Hamming verify all replay in DuckDB
+    // ('0x'||substr(md5,1,8) == conv(substring(md5,1,8),16,10)) — the
+    // 64-bit xxhash64 production path above stays the scale kernel
+    // maxHamming=3: this corpus's tiny vocabulary keeps all 32-bit
+    // signatures close (candidate Hamming mode ~7), so the near-dup cut
+    // sits at the tight head of the distribution
+    "q_simhash_fixed" -> ((s, d) =>
+      NearDup.simhashPairsMd5(documents(s, d), col("doc_id"), col("text"),
+        3)),
 
     // near-dup CLUSTERS: connected components over near-dup pairs + canonical
     // member per cluster (the corpus-dedup endgame). Edges come from the
@@ -1278,6 +1288,13 @@ object SparkEntry {
     // grams occur in every doc and would pair everything quadratically.
     "q_winnow_pairs" -> ((s, d) =>
       NearDup.winnowPairs(documents(s, d), col("doc_id"), col("text"),
+        minShared = 5, k = 24, w = 8)),
+    // winnowing MECHANISM over FIXED md5 gram hashes: char-24-gram md5,
+    // window-of-8 min fingerprints, shared-fp pairs — the whole selection
+    // replays as a SQL window function (the rolling polynomial hash is the
+    // production kernel's speed trick, not part of the semantics)
+    "q_winnow_fixed" -> ((s, d) =>
+      NearDup.winnowPairsMd5(documents(s, d), col("doc_id"), col("text"),
         minShared = 5, k = 24, w = 8)),
     // embedding-cosine near-dup pairs — exact baseline (oracled)
     "q_embed_dedup_pairs" -> ((s, d) =>
@@ -2918,6 +2935,58 @@ object SparkEntry {
                JOIN sizes s2 ON s2.doc_id = id2)
          SELECT id1, id2, jaccard FROM j
          WHERE jaccard >= 0.1 AND (id1 % 10 = 0 OR id2 % 10 = 0)""",
+    // fixed 32-bit md5 SimHash: per-token hash = first 8 md5 hex chars as
+    // an integer, bit sums -> sign -> packed signature, 4 bands of 8 bits,
+    // Hamming via bit_count(xor)
+    "q_simhash_fixed" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         hv AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT)
+                    AS h
+                FROM toks),
+         bs AS (SELECT doc_id, b.b AS b,
+                  SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b) b
+                GROUP BY 1, 2),
+         sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                     AS BIGINT) AS sg
+                 FROM bs GROUP BY 1),
+         bnd AS (SELECT doc_id, sg, j.j AS band, (sg >> (8 * j.j)) & 255
+                   AS chunk
+                 FROM sig CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+         cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+                    l.sg AS s1, r.sg AS s2
+                  FROM bnd l JOIN bnd r
+                    ON l.band = r.band AND l.chunk = r.chunk
+                       AND l.doc_id < r.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(s1, s2)) <= 3""",
+    // fixed md5 winnowing: char-24-gram md5 hashes, min per full window of
+    // 8 (ROWS frame), distinct fingerprints, shared-fp pair counts
+    "q_winnow_fixed" ->
+      """WITH d AS (SELECT doc_id, text AS t FROM documents
+                    WHERE len(text) >= 31),
+         pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 23)) AS p
+                 FROM d),
+         g AS (SELECT doc_id, p, md5(substring(t, p, 24)) AS g,
+                 len(t) - 30 AS pmax
+               FROM pos),
+         f AS (SELECT doc_id, p, pmax,
+                 MIN(g) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+               FROM g),
+         fps AS (SELECT DISTINCT doc_id, fp FROM f WHERE p <= pmax),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  count(*) AS n_shared
+                FROM fps a JOIN fps b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 5""",
     // the fixed-md5-family MinHash mechanism: 32 seeds, 8 bands x 4 rows;
     // signature entry = min md5(shingle||':'||seed) (lexicographic hex min
     // — binary collation in both engines), band hash = md5 of the band's

@@ -708,6 +708,95 @@ object NearDup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash over a FIXED md5 bit family — the cross-engine ORACLE twin of
+    * [[simhashPairs]] (the `q_minhash_fixed` pattern): the per-token hash is
+    * the first 32 bits of md5 (`conv(substring(md5(tok),1,8),16,10)` ==
+    * DuckDB `('0x'||substr(md5(tok),1,8))::UBIGINT`), bit sums / sign /
+    * packing / banding / Hamming verify are the identical integer pipeline
+    * as production, shrunk to 32 bits so the whole signature replays in
+    * SQL. xxhash64's 64-bit signature stays the scale path. */
+  def simhashSignaturesMd5(docs: DataFrame, id: Column,
+                           text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Banded-candidate Hamming pairs over the fixed 32-bit md5 signature
+    * ([[simhashSignaturesMd5]]): 4 bands of 8 bits, Hamming <= maxHamming.
+    * Output: (id1, id2, hamming BIGINT) — fully DuckDB-replayable. */
+  def simhashPairsMd5(docs: DataFrame, id: Column, text: Column,
+                      maxHamming: Int = 10): DataFrame = {
+    val sigs = simhashSignaturesMd5(docs, id, text)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(0xffL)): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.chunk") === col("r.chunk") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        col("l.simhash").as("s1"), col("r.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Winnowing fingerprints over a FIXED md5 gram hash — the cross-engine
+    * ORACLE twin of [[TextOps.winnowFingerprints]]: character `k`-grams
+    * hash by md5 (not the rolling polynomial — that is the production
+    * kernel's speed trick, not part of the fingerprint semantics), the
+    * fingerprint set is the distinct per-window minimum over every FULL
+    * window of `w` consecutive gram hashes. Same MOSS guarantee: any
+    * shared substring of length >= k + w - 1 yields a shared fingerprint.
+    * Docs shorter than k + w - 1 have no full window and emit nothing
+    * (declared — the production kernel instead emits its global min).
+    * One window shuffle on doc_id; gram hashing is map-side. */
+  def winnowFingerprintsMd5(docs: DataFrame, id: Column, text: Column,
+                            k: Int = 24, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnow params: k=$k w=$w")
+    val d = TextOps.spreadForCpu(docs.filter(length(text) >= k + w - 1))
+      .select(id.as("doc_id"), text.as("_t"))
+    val pos = d.select(col("doc_id"), col("_t"),
+      explode(sequence(lit(1), length(col("_t")) - lit(k - 1))).as("p"))
+    val grams = pos.select(col("doc_id"), col("p"),
+      md5(col("_t").substr(col("p"), lit(k))).as("g"),
+      (length(col("_t")) - lit(k + w - 2)).as("_pmax"))
+    val ww = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    grams.withColumn("fp", min(col("g")).over(ww))
+      .filter(col("p") <= col("_pmax"))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Fingerprint-sharing pairs over [[winnowFingerprintsMd5]] — the
+    * DuckDB-replayable twin of [[winnowPairs]] (same join shape; the
+    * hash family and therefore the selected fingerprints differ, so the
+    * two are separate detectors with the same guarantee, not bit twins). */
+  def winnowPairsMd5(docs: DataFrame, id: Column, text: Column,
+                     minShared: Int = 5, k: Int = 24, w: Int = 8): DataFrame = {
+    val fps = winnowFingerprintsMd5(docs, id, text, k, w)
+    val a = fps.as("a")
+    val b = fps.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: candidates via 16-bit signature bands (docs equal
     * in >= 1 of 4 chunks), verified by Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,

@@ -376,4 +376,50 @@ class NearDupSpec extends SparkSpec {
     pairs should contain((1L, 3L))
     pairs should contain((1L, 2L))
   }
+
+  test("md5 simhash twin: identical texts -> hamming 0; near-dup small, " +
+    "disjoint large; 32-bit signature") {
+    val sigs = NearDup.simhashSignaturesMd5(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.values.foreach(s => (s >= 0L && s < (1L << 32)) shouldBe true)
+    sigs(1L) shouldBe sigs(3L)
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) should be <= 8
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 8
+    val pairs = NearDup.simhashPairsMd5(docs, col("doc_id"), col("text"), 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // identical signatures always collide in every band; candidacy for
+    // merely-close pairs needs an EXACT 8-bit chunk match (the LSH
+    // contract — a Hamming-8 pair spread across chunks may legitimately
+    // miss), so assert the guarantee, not hash luck
+    pairs((1L, 3L)) shouldBe 0L
+    pairs.values.foreach(h => h should be <= 8L)
+    pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("md5 winnow twin: MOSS guarantee (shared >= k+w-1 substring yields " +
+    "a shared fingerprint), short docs emit none, exact dups share all") {
+    val k = 24; val w = 8
+    val passage = "abcdefghijklmnopqrstuvwxyz01234" // 31 chars = k + w - 1
+    val wdocs = Seq(
+      (1L, s"prefix one $passage suffix xxxxxxxxxx"),
+      (2L, s"another start here $passage other tail yyyy"),
+      (3L, s"prefix one $passage suffix xxxxxxxxxx"), // exact dup of 1
+      (4L, "entirely unrelated content with no common passage at all zzzz"),
+      (5L, "short doc") // < k + w - 1 chars: no full window
+    ).toDF("doc_id", "text")
+    val fps = NearDup.winnowFingerprintsMd5(wdocs, col("doc_id"),
+        col("text"), k, w)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    fps.contains(5L) shouldBe false
+    (fps(1L) intersect fps(2L)).nonEmpty shouldBe true // shared passage
+    fps(1L) shouldBe fps(3L)                           // exact dup
+    (fps(1L) intersect fps(4L)).isEmpty shouldBe true
+    val pairs = NearDup.winnowPairsMd5(wdocs, col("doc_id"), col("text"),
+        minShared = 1, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs((1L, 3L)) shouldBe fps(1L).size.toLong
+    pairs.keySet should contain((1L, 2L))
+    pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
 }

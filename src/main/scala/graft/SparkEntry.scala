@@ -478,6 +478,21 @@ object SparkEntry {
           concat(lit("n"), col("c_nationkey")).as("dst"))
       Graph.pageRank(sc.unionByName(cn), col("src"), col("dst"))
     }),
+    // dangling-mass-redistribution PageRank (the textbook variant): each
+    // round the rank mass on no-out-edge nodes floor-splits across all
+    // nodes and joins the contribution term — still all-BIGINT, replayed
+    // CTE-for-CTE at iters=2 (the dangling sum is a one-row aggregate)
+    "q_pagerank_dangling" -> ((s, d) => {
+      val sc = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val cn = customer(s, d)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+      Graph.pageRank(sc.unionByName(cn), col("src"), col("dst"), iters = 2,
+        redistributeDangling = true)
+    }),
     // Incremental MV maintenance: prior rollup STATE + the new days' delta
     // merge into exactly the state a full rebuild produces — the corpus is
     // never re-read (both inputs are range-PRUNED scans via eventsRange).
@@ -2094,6 +2109,44 @@ object SparkEntry {
                     // 100 AS r
                 FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
          SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3""",
+    // dangling-redistribution variant at iters=2: nn/dang are the node
+    // count and the no-out-edge node set; each round's share is the
+    // one-row dangling-mass sum floor-split across nodes (dm // n in
+    // DuckDB == Spark div — both operands non-negative)
+    "q_pagerank_dangling" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             UNION ALL
+             SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer)),
+         o AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         dang AS (SELECT node FROM nodes
+                  WHERE node NOT IN (SELECT src FROM e)),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         d1 AS (SELECT CAST(COALESCE(SUM(r0.r), 0) AS BIGINT) AS dm
+                FROM r0 JOIN dang USING (node)),
+         c1 AS (SELECT e.dst AS node, SUM(r0.r // o.d) AS c
+                FROM e JOIN o ON o.src = e.src
+                JOIN r0 ON r0.node = e.src GROUP BY 1),
+         r1 AS (SELECT n.node,
+                  (15 * CAST(1000000000 AS BIGINT)
+                   + 85 * (COALESCE(c1.c, 0) + d1.dm // nn.n)) // 100 AS r
+                FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+                CROSS JOIN d1 CROSS JOIN nn),
+         d2 AS (SELECT CAST(COALESCE(SUM(r1.r), 0) AS BIGINT) AS dm
+                FROM r1 JOIN dang USING (node)),
+         c2 AS (SELECT e.dst AS node, SUM(r1.r // o.d) AS c
+                FROM e JOIN o ON o.src = e.src
+                JOIN r1 ON r1.node = e.src GROUP BY 1),
+         r2 AS (SELECT n.node,
+                  (15 * CAST(1000000000 AS BIGINT)
+                   + 85 * (COALESCE(c2.c, 0) + d2.dm // nn.n)) // 100 AS r
+                FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+                CROSS JOIN d2 CROSS JOIN nn)
+         SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r2""",
     // the merged state is definitionally the full rebuild — the oracle IS
     // the one-shot GROUP BY; Euclidean floor mean matches pmod on Spark side
     "q_incr_state" ->

@@ -26,26 +26,48 @@ import org.apache.spark.storage.StorageLevel
   * `iters` rounds then reuses that partitioning for its rank join (the rank
   * table is node-sized, orders of magnitude smaller than the edges) and pays
   * one groupBy(dst) shuffle. Nothing collects to the driver; the returned
-  * frame is node-sized. For iteration counts beyond a handful, callers
-  * should `localCheckpoint` the rank frame every few rounds to truncate
-  * lineage (the `NearDup.dedupClusters` pattern); at the fixed default of 3
-  * the composed plan is shallow enough as-is.
+  * frame is node-sized. For iteration counts beyond 3 the loop eagerly
+  * `localCheckpoint`s the rank frame every `checkpointEvery` rounds and
+  * releases the superseded blocks (the `NearDup.dedupClusters` pattern),
+  * so lineage depth and optimizer time stay bounded at any `iters`; at the
+  * default of 3 the composed plan is shallow enough as-is and plans
+  * exactly as before.
   */
 object Graph {
 
   /** Unit rank mass: 1e9 ppb. */
   val RankUnit: Long = 1000000000L
 
-  /** Fixed-iteration damped PageRank (sink-leak variant: mass flowing into
-    * dangling nodes is not redistributed — the standard simplification when
-    * ranks are used as a relative quality signal, and what keeps the
-    * computation exactly SQL-replayable).
+  /** Fixed-iteration damped PageRank. Default is the sink-leak variant:
+    * mass flowing into dangling nodes is not redistributed — the standard
+    * simplification when ranks are used as a relative quality signal, and
+    * what keeps the computation exactly SQL-replayable with the cheapest
+    * plan. `redistributeDangling = true` switches to the textbook variant:
+    * each round the total rank mass sitting on dangling nodes (no
+    * out-edges) is floor-split evenly across all nodes and joins the
+    * contribution term — still all-BIGINT and still SQL-replayable (the
+    * dangling sum is a one-row aggregate crossed in broadcast-style), just
+    * one extra node-sized aggregate per round.
     *
     * Per iteration, with integer floor division at every step:
     * {{{
     *   contrib(v) = Σ_{(u,v) ∈ E} rank(u) div outdeg(u)
-    *   rank'(v)   = ((100 - dampPct)·R + dampPct·contrib(v)) div 100
+    *   share      = (Σ_{u dangling} rank(u)) div n        [redistribution]
+    *   rank'(v)   = ((100 - dampPct)·R
+    *                 + dampPct·(contrib(v) [+ share])) div 100
     * }}}
+    *
+    * Lineage: each round stacks two joins and an aggregate onto the plan,
+    * so for `iters > 3` the rank frame is eagerly `localCheckpoint`ed
+    * every `checkpointEvery` rounds (node-sized pass; previous checkpoint
+    * blocks released — the `NearDup.dedupClusters` hygiene) to keep
+    * optimizer time and lineage depth bounded. The default 3-round call
+    * never checkpoints mid-loop and plans exactly as before.
+    *
+    * Convergence diagnostic: pass a `deltaL1Out` buffer to receive
+    * ‖rank′ − rank‖₁ after every round (one one-row aggregate per round;
+    * rounds are then checkpointed eagerly so round r doesn't recompute
+    * rounds 1..r−1). Round 1's delta is against the uniform init R.
     *
     * Edges are deduplicated (simple graph) and null endpoints dropped.
     * Returns `(node STRING, rank_ppb BIGINT)` for every node appearing as a
@@ -53,9 +75,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, src: org.apache.spark.sql.Column,
                dst: org.apache.spark.sql.Column, iters: Int = 3,
-               dampPct: Int = 85): DataFrame = {
+               dampPct: Int = 85, redistributeDangling: Boolean = false,
+               checkpointEvery: Int = 3,
+               deltaL1Out: scala.collection.mutable.Buffer[Long] = null)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    require(checkpointEvery >= 1, s"checkpointEvery >= 1, got $checkpointEvery")
     val e = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
       .na.drop().distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -67,12 +93,48 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling = appears only as dst (node-sized; persisted only when used)
+    val danglingNodes =
+      if (redistributeDangling)
+        Some(nodes.join(outdeg.select(col("src").as("node")),
+            Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      else None
     try {
-      def damped(contribs: DataFrame): DataFrame =
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"((${100 - dampPct}L * $RankUnit + $dampPct * " +
-              "coalesce(contrib, 0L)) div 100)").as("rank_ppb"))
+      // model-sized driver scalars, only when redistributing (two counts;
+      // the nodes count also materializes the persist)
+      val nNodes = if (redistributeDangling) nodes.count() else 1L
+      if (redistributeDangling)
+        require(nNodes > 0, "pageRank redistribution on an empty graph")
+      val nDangling = danglingNodes.map(_.count()).getOrElse(0L)
+
+      def damped(contribs: DataFrame, prevRanks: Option[DataFrame]): DataFrame =
+        danglingNodes match {
+          case None =>
+            nodes.join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                expr(s"((${100 - dampPct}L * $RankUnit + $dampPct * " +
+                  "coalesce(contrib, 0L)) div 100)").as("rank_ppb"))
+          case Some(dang) =>
+            // one-row dangling-mass aggregate, crossed broadcast-style
+            // (the repo's one-row crossJoin pattern); round 1 has the
+            // constant init, so its share is a driver literal
+            val withShare = prevRanks match {
+              case None =>
+                nodes.join(contribs, Seq("node"), "left")
+                  .withColumn("_dm", lit(nDangling * RankUnit))
+              case Some(pr) =>
+                nodes.join(contribs, Seq("node"), "left")
+                  .crossJoin(broadcast(
+                    pr.join(dang, Seq("node"), "left_semi")
+                      .agg(coalesce(sum(col("rank_ppb")), lit(0L)).as("_dm"))))
+            }
+            withShare.select(col("node"),
+              expr(s"((${100 - dampPct}L * $RankUnit + $dampPct * " +
+                s"(coalesce(contrib, 0L) + (_dm div ${nNodes}L))) div 100)")
+                .as("rank_ppb"))
+        }
+
       // round 1 needs no rank join: every rank is the constant R, so the
       // contribution is R div outdeg straight off the edge table — one
       // node-sized join stage fewer. Measured NEUTRAL on sf0.1 wall time
@@ -81,22 +143,50 @@ object Graph {
       var ranks = damped(eo
         .select(col("dst").as("node"),
           expr(s"$RankUnit div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib")))
-      for (_ <- 2 to iters) {
+        .groupBy("node").agg(sum("c").as("contrib")), None)
+      var lastCkpt: DataFrame = null
+      def ckptAndDiag(it: Int, prev: Option[DataFrame]): Unit = {
+        val wantCkpt = deltaL1Out != null ||
+          (iters > 3 && it < iters && it % checkpointEvery == 0)
+        if (wantCkpt) ranks = ranks.localCheckpoint(true)
+        if (deltaL1Out != null) {
+          val delta = prev match {
+            case None => ranks
+              .agg(coalesce(sum(abs(col("rank_ppb") - lit(RankUnit))), lit(0L)))
+            case Some(pr) => ranks
+              .join(pr.withColumnRenamed("rank_ppb", "_prev"), "node")
+              .agg(coalesce(sum(abs(col("rank_ppb") - col("_prev"))), lit(0L)))
+          }
+          deltaL1Out += delta.first().getLong(0)
+        }
+        if (wantCkpt) {
+          // prev's checkpoint blocks are dead once the delta (the only
+          // consumer) has run
+          if (lastCkpt != null) NearDup.releaseCheckpoint(lastCkpt)
+          lastCkpt = ranks
+        }
+      }
+      ckptAndDiag(1, None)
+      for (it <- 2 to iters) {
+        val prev = ranks
         val contribs = eo
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(prev.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"),
             expr("rank_ppb div outdeg").as("c"))
           .groupBy("node").agg(sum("c").as("contrib"))
-        ranks = damped(contribs)
+        ranks = damped(contribs, Some(prev))
+        ckptAndDiag(it, Some(prev))
       }
       // Materialize before releasing the loop invariants (the session-hygiene
       // rule: nothing this function persisted may outlive the call).
       val out = ranks.localCheckpoint(true)
+      if (lastCkpt != null && !(lastCkpt eq out))
+        NearDup.releaseCheckpoint(lastCkpt)
       out
     } finally {
       eo.unpersist(false)
       nodes.unpersist(false)
+      danglingNodes.foreach(_.unpersist(false))
     }
   }
 

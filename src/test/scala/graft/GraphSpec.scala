@@ -56,6 +56,54 @@ class GraphSpec extends SparkSpec {
     shuffled shouldBe base
   }
 
+  test("pageRank dangling redistribution matches hand-computed ranks " +
+    "(a->b, b dangling), 2 iterations") {
+    // n=2, d dangling mass splits div 2 each round
+    // r1: share = 1e9 div 2 = 5e8; contrib b <- 1e9, a <- 0
+    //   a = (15e9 + 85*(0 + 5e8)) div 100      = 575000000
+    //   b = (15e9 + 85*(1e9 + 5e8)) div 100    = 1425000000
+    // r2: dm = rank(b) = 1425000000, share = 712500000; contrib b <- 575e6
+    //   a = (15e9 + 85*712500000) div 100              = 755625000
+    //   b = (15e9 + 85*(575000000+712500000)) div 100  = 1244375000
+    val r = Graph.pageRank(Seq(("a", "b")).toDF("src", "dst"),
+        col("src"), col("dst"), iters = 2, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    r shouldBe Map("a" -> 755625000L, "b" -> 1244375000L)
+  }
+
+  test("pageRank redistribution recovers sink-leaked mass (total strictly " +
+    "above the sink-leak variant; still bounded by n*R)") {
+    val plain = Graph.pageRank(fixture, col("src"), col("dst"), iters = 2)
+      .agg(sum("rank_ppb")).first().getLong(0)
+    val redist = Graph.pageRank(fixture, col("src"), col("dst"), iters = 2,
+        redistributeDangling = true)
+      .agg(sum("rank_ppb")).first().getLong(0)
+    redist should be > plain
+    redist should be <= 4L * Graph.RankUnit
+  }
+
+  test("pageRank 10 iterations: truncated lineage completes, L1 deltas " +
+    "recorded per round and shrinking, diagnostics don't change values") {
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val r10 = Graph.pageRank(fixture, col("src"), col("dst"), iters = 10,
+        checkpointEvery = 3, deltaL1Out = deltas)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    deltas should have length 10
+    all(deltas) should be >= 0L
+    deltas.last should be < deltas.head // damped chain converges
+    // checkpoint/diagnostic plumbing is value-neutral: 3-iter diag run ==
+    // the plain 3-iter run
+    val d3 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val diag3 = Graph.pageRank(fixture, col("src"), col("dst"), iters = 3,
+        deltaL1Out = d3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    diag3 shouldBe ranksMap(3)
+    d3 should have length 3
+    // 10-round ranks are a fixpoint-ward refinement, not garbage: mass
+    // bound still holds
+    r10.values.sum should be <= 4L * Graph.RankUnit
+  }
+
   test("degrees: full outer with zero fill") {
     val d = Graph.degrees(fixture, col("src"), col("dst"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -250,7 +250,18 @@ object Forecast {
     * twice_med_slope_micro).
     */
   def theilSenSlopeByKey(df: DataFrame, key: Column, ts: Column,
-                         value: Column): DataFrame = {
+                         value: Column, maxDays: Int = 4000): DataFrame = {
+    require(maxDays >= 2, s"maxDays >= 2: $maxDays")
+    // quadratic knob here is SERIES LENGTH (pairs-per-key = days²/2), so
+    // the loud a-priori bound is on distinct days — one cheap one-column
+    // pre-pass; 4000 days (~11 years of dailies) caps a key at ~8M pairs
+    val nDays = df.filter(value.isNotNull).select(to_date(ts).as("day"))
+      .distinct().count()
+    require(nDays <= maxDays,
+      s"theilSenSlopeByKey: $nDays distinct days exceeds maxDays=$maxDays " +
+        "— the per-key pair join is quadratic in series length. Restrict " +
+        "the time range, aggregate to a coarser grain, or raise maxDays " +
+        "deliberately (SCALE.md).")
     val xc = floor(value * lit(100.0)).cast("long")
     val daily = df.filter(value.isNotNull)
       .groupBy(key.as("grp"), to_date(ts).as("day"))
@@ -344,11 +355,28 @@ object Forecast {
     * volume); rank windows partition by the (k1, k2) pair — pair-local
     * sorts over ≤ series-length rows. Key cardinality is the quadratic
     * knob: this is a panel operator (meters-per-feeder, source mixes),
-    * not an all-users one — cap or pre-select keys upstream. Output:
+    * not an all-users one — the `maxKeys` guard (default 2000) counts
+    * distinct keys in a cheap pre-pass and fails LOUDLY before any
+    * quadratic work if exceeded. Output:
     * (k1, k2, n_common, spearman_ppm), k1 < k2.
     */
   def spearmanCrossCorr(df: DataFrame, key: Column, ts: Column,
-                        value: Column): DataFrame = {
+                        value: Column, maxKeys: Int = 2000): DataFrame = {
+    require(maxKeys >= 2, s"maxKeys >= 2: $maxKeys")
+    // the declared panel contract, enforced loudly (the heavyHitters-style
+    // runtime guarantee): the pair join is QUADRATIC in distinct keys and
+    // its join key (day) has only series-length distinct values, so a
+    // wide-open key domain concentrates K² intermediate rows per task.
+    // One cheap two-column pre-pass (map-side partial distinct) buys the
+    // a-priori bound; for genuinely wide panels see SCALE.md
+    // "Panel-quadratic operators" for the key-block salting recipe.
+    val nKeys = df.filter(value.isNotNull).select(key.as("grp"))
+      .distinct().count()
+    require(nKeys <= maxKeys,
+      s"spearmanCrossCorr: $nKeys distinct keys exceeds maxKeys=$maxKeys — " +
+        "the pair matrix is quadratic in keys (panel operator, not an " +
+        "all-users one). Pre-select/block keys upstream, raise maxKeys " +
+        "deliberately, or salt by key blocks (SCALE.md).")
     val xc = floor(value * lit(100.0)).cast("long")
     val daily = df.filter(value.isNotNull)
       .groupBy(key.as("grp"), to_date(ts).as("day"))

@@ -289,6 +289,35 @@ class ForecastSpec extends SparkSpec {
     out2 shouldBe empty // a∩d = 1 day; e shares none
   }
 
+  test("panel-quadratic guards fail loudly: spearman maxKeys, theilSen " +
+    "maxDays; null-only keys don't count") {
+    val three = dailyRows("a", Seq(100L, 200L)) ++
+      dailyRows("b", Seq(300L, 400L)) ++ dailyRows("c", Seq(500L, 600L))
+    val eSpear = intercept[IllegalArgumentException] {
+      Forecast.spearmanCrossCorr(three.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), maxKeys = 2)
+    }
+    eSpear.getMessage should include("3 distinct keys exceeds maxKeys=2")
+    // at the default cap the same input passes (guard is a priori, cheap)
+    Forecast.spearmanCrossCorr(three.toDF("k", "t", "v"),
+      col("k"), col("t"), col("v")).collect().length shouldBe 3
+    // a key present only via NULL values never reaches the pair join and
+    // must not trip the guard either: 3 real keys + 1 null-only key
+    // passes at maxKeys = 3
+    val withNullKey = three.map { case (k, t, v) => (k, t, Some(v)) } ++
+      Seq(("zz", ts(1, 1), None: Option[Double]))
+    Forecast.spearmanCrossCorr(withNullKey.toDF("k", "t", "v"),
+      col("k"), col("t"), col("v"), maxKeys = 3).collect().length shouldBe 3
+    val fiveDays = dailyRows("a", Seq(100L, 200L, 300L, 400L, 500L))
+    val eTs = intercept[IllegalArgumentException] {
+      Forecast.theilSenSlopeByKey(fiveDays.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), maxDays = 4)
+    }
+    eTs.getMessage should include("5 distinct days exceeds maxDays=4")
+    Forecast.theilSenSlopeByKey(fiveDays.toDF("k", "t", "v"),
+      col("k"), col("t"), col("v")).collect().length shouldBe 1
+  }
+
   // ---- Lag features ----
 
   test("lagFeatures: calendar lags NULL across gaps, trailing-week " +

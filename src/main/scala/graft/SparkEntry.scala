@@ -1477,11 +1477,17 @@ object SparkEntry {
       TextOps.invertedIndex(documents(s, d), col("doc_id"), col("text"),
         minDf = 5L, maxDf = 1000000L)),
     // content-defined chunking: rolling-hash cut rule, shift-robust chunk
-    // fingerprints for sub-document dedup (rows-only: the per-row rolling-
-    // hash kernel isn't SQL-expressible; coverage/bounds/shift-resync laws
-    // in TextPrepSpec)
+    // fingerprints for sub-document dedup. FULLY ORACLED since r7: the
+    // polynomial window hash expands to a 16-term Σ code·B^j mod M against
+    // a literal powers table, boundary selection is a next-hit lookup +
+    // recursive CTE, and the length-salted chunk fingerprint is the same
+    // Σ over a 256-entry powers table — bit-exact vs the kernel
+    // (coverage/bounds/shift-resync laws additionally in TextPrepSpec)
     "q_cdc_chunks" -> ((s, d) =>
-      TextOps.cdcChunks(documents(s, d), col("doc_id"), col("text"))),
+      TextOps.cdcChunks(documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+          col("start").cast("long").as("start"),
+          col("len").cast("long").as("len"), col("fp"))),
     // BPE tokenizer: train 200 merges on the corpus word table (once per
     // dataset — model-scale driver loop), segment every doc (rows-only —
     // the iterative trainer isn't SQL-expressible; laws in TextPrepSpec)
@@ -3040,6 +3046,73 @@ object SparkEntry {
                 GROUP BY 1, 2)
          SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared
          FROM pr WHERE n_shared >= 5""",
+    // content-defined chunking replay, bit-exact vs the TextOps.cdcChunks
+    // kernel (k=16, mask 6 bits, minLen=32, maxLen=256, B=257, M=1e9+7):
+    // window hash = Σ code·B^(15-j) mod M against a literal powers table;
+    // a cut after 0-based char p needs the window ending at p to mask to
+    // 63, p in [start+31, min(start+256, n)-2], earliest wins, else the
+    // hard cut; boundary recursion via next-hit lookup + recursive CTE;
+    // fp = (Σ code·B^(len-1-i) mod M)·131071 + len (length-salted)
+    "q_cdc_chunks" -> {
+      val B = 257L
+      val M = 1000000007L
+      val pw = Iterator.iterate(1L)(p => p * B % M).take(256).toArray
+      val wtab = (0 until 16)
+        .map(j => s"($j, CAST(${pw(j)} AS BIGINT))").mkString(", ")
+      val ptab = (0 until 256)
+        .map(j => s"($j, CAST(${pw(j)} AS BIGINT))").mkString(", ")
+      s"""WITH RECURSIVE
+         d AS (SELECT doc_id, text AS t, len(text) AS nlen FROM documents
+               WHERE len(text) > 0),
+         codes AS (SELECT doc_id, i, CAST(ord(substr(t, i, 1)) AS BIGINT)
+                     AS c, nlen
+                   FROM (SELECT doc_id, t, nlen,
+                           unnest(generate_series(1, nlen)) AS i FROM d)),
+         wp(j, pw) AS (VALUES $wtab),
+         wh AS (SELECT c0.doc_id, c0.i - 1 AS w,
+                  SUM(cj.c * wp.pw) % $M AS h
+                FROM codes c0
+                JOIN wp ON TRUE
+                JOIN codes cj ON cj.doc_id = c0.doc_id
+                  AND cj.i = c0.i + (15 - wp.j)
+                WHERE c0.i + 15 <= c0.nlen
+                GROUP BY 1, 2),
+         pos AS (SELECT doc_id, i - 1 AS p, nlen FROM codes),
+         hits AS (SELECT p.doc_id, p.p, p.nlen,
+                    CASE WHEN (wh.h & 63) = 63 THEN p.p END AS hp
+                  FROM pos p LEFT JOIN wh
+                    ON wh.doc_id = p.doc_id AND wh.w = p.p - 15),
+         nh AS (SELECT doc_id, p, nlen,
+                  MIN(hp) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+                FROM hits),
+         nc AS (SELECT s.doc_id, s.p AS s, s.nlen,
+                  CASE WHEN h31.nh IS NOT NULL
+                        AND h31.nh <= LEAST(s.p + 256, s.nlen) - 2
+                       THEN h31.nh + 1
+                       ELSE LEAST(s.p + 256, s.nlen) END AS cut
+                FROM pos s LEFT JOIN nh h31
+                  ON h31.doc_id = s.doc_id AND h31.p = s.p + 31),
+         ch(doc_id, ix, s, cut, nlen) AS (
+           SELECT doc_id, 0, 0, cut, nlen FROM nc WHERE s = 0
+           UNION ALL
+           SELECT c.doc_id, c.ix + 1, c.cut, n.cut, c.nlen
+           FROM ch c JOIN nc n ON n.doc_id = c.doc_id AND n.s = c.cut
+           WHERE c.cut < c.nlen),
+         bp(j, pw) AS (VALUES $ptab),
+         fpx AS (SELECT ch.doc_id, ch.ix, ch.s, ch.cut - ch.s AS len,
+                   (SUM(codes.c * bp.pw) % $M) * 131071 + (ch.cut - ch.s)
+                     AS fp
+                 FROM ch
+                 JOIN codes ON codes.doc_id = ch.doc_id
+                   AND codes.i > ch.s AND codes.i <= ch.cut
+                 JOIN bp ON bp.j = ch.cut - codes.i
+                 GROUP BY 1, 2, 3, ch.cut)
+         SELECT doc_id, CAST(ix AS BIGINT) AS chunk_ix,
+                CAST(s AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
+                CAST(fp AS BIGINT) AS fp
+         FROM fpx"""
+    },
     // the fixed-md5-family MinHash mechanism: 32 seeds, 8 bands x 4 rows;
     // signature entry = min md5(shingle||':'||seed) (lexicographic hex min
     // — binary collation in both engines), band hash = md5 of the band's

@@ -875,6 +875,61 @@ object SparkEntry {
                round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
                FROM lineitem_v GROUP BY 1 ORDER BY total DESC, grp LIMIT 10""")
     }),
+    // ---- SQL surface family (r7): the same proven result contracts
+    // through the spark.sql entry path — temp views for the tables and the
+    // GraftExtensions function registry for the native expressions. Each
+    // mirror reuses its DataFrame twin's DuckDB oracle VERBATIM (see
+    // oracleSql), and SqlSurfaceSpec asserts the SQL plan returns
+    // bit-identical rows to the DataFrame path on the same session. ----
+    // A6 hourly rollup through SQL (twin: q_hourly_by_type)
+    "q_sql_hourly" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT date_trunc('hour', ts) AS bucket, event_type AS grp,
+               round(SUM(value), 2) AS total
+               FROM events_v GROUP BY 1, 2""")
+    }),
+    // U2 keep-last dedup through SQL (twin: q_dedup_keep_last) — the same
+    // explicit (ts, event_id) total order, window partitioned by the key
+    "q_sql_dedup_last" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id, event_type, day, ts, value FROM (
+                 SELECT user_id, event_type, to_date(ts) AS day, ts, value,
+                   row_number() OVER (
+                     PARTITION BY user_id, event_type, to_date(ts)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events_v) WHERE rn = 1""")
+    }),
+    // brute-force cosine top-k through SQL via the registered native
+    // graft_cosine expression (twin: q_ann_cosine_topk) — same broadcast
+    // query side, same round(.,6), same (cos DESC, cid) tie-break
+    "q_sql_cosine_topk" -> ((s, d) => {
+      GraftExtensions.registerOn(s)
+      embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql("""WITH e AS (SELECT vec_id,
+                            transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings_v),
+               q AS (SELECT vec_id AS qid, v AS qv FROM e
+                     WHERE vec_id IN (0, 1, 2)),
+               sc AS (SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id AS cid,
+                        round(graft_cosine(e.v, q.qv), 6) AS cos
+                      FROM e JOIN q ON e.vec_id != q.qid)
+               SELECT qid, cid, cos, rn FROM (
+                 SELECT qid, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, cid) AS BIGINT) AS rn
+                 FROM sc) WHERE rn <= 5""")
+    }),
+    // per-vector squared L2 norm through SQL via the registered native
+    // graft_norm_sq expression — map-only scan, DuckDB replays the same
+    // sequential sum of squares with list_inner_product(v, v)
+    "q_sql_embed_norm" -> ((s, d) => {
+      GraftExtensions.registerOn(s)
+      embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql("""SELECT vec_id,
+                 round(graft_norm_sq(
+                   transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS norm_sq
+               FROM embeddings_v""")
+    }),
     // W4 cubic-spline fill (non-SQL kernel → rows-only check + ScalaTest)
     "q_spline_impute" -> ((s, d) => {
       val ev = events(s, d)
@@ -1970,8 +2025,23 @@ object SparkEntry {
         .select(col("p_partkey"), col("display_name"))),
   )
 
-  /** DuckDB equivalents over the same parquet tables (see Verify). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB equivalents over the same parquet tables (see Verify). The
+    * r7 SQL-surface mirrors (q_sql_hourly / q_sql_dedup_last /
+    * q_sql_cosine_topk) reuse their DataFrame twin's oracle verbatim —
+    * appended after this literal so the shared text can't drift. */
+  def oracleSql: Map[String, String] = baseOracles ++ Map(
+    "q_sql_hourly" -> baseOracles("q_hourly_by_type"),
+    "q_sql_dedup_last" -> baseOracles("q_dedup_keep_last"),
+    "q_sql_cosine_topk" -> baseOracles("q_ann_cosine_topk"),
+    "q_sql_embed_norm" ->
+      """SELECT vec_id,
+         round(list_inner_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS norm_sq
+         FROM embeddings""",
+  )
+
+  private def baseOracles: Map[String, String] = Map(
     "q_sql_topk" ->
       """SELECT l_suppkey AS grp,
          round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total

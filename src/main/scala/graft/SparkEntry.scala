@@ -493,6 +493,20 @@ object SparkEntry {
       Graph.pageRank(sc.unionByName(cn), col("src"), col("dst"), iters = 2,
         redistributeDangling = true)
     }),
+    // HITS hubs & authorities over the same link graph — the second
+    // classic crawl-authority signal (Kleinberg 1999): fixed 2 iterations,
+    // ppb integer scores, max-rescale per half-step — all BIGINT floor
+    // arithmetic, replayed CTE-for-CTE in DuckDB
+    "q_hits" -> ((s, d) => {
+      val sc = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val cn = customer(s, d)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+      Graph.hits(sc.unionByName(cn), col("src"), col("dst"), iters = 2)
+    }),
     // Incremental MV maintenance: prior rollup STATE + the new days' delta
     // merge into exactly the state a full rebuild produces — the corpus is
     // never re-read (both inputs are range-PRUNED scans via eventsRange).
@@ -1694,6 +1708,18 @@ object SparkEntry {
     "q_exact_k_sample" -> ((s, d) =>
       Sampling.exactKPerStratum(documents(s, d), col("doc_id"),
         col("source"), 10)),
+    // Efraimidis–Spirakis weighted sampling WITHOUT replacement: E-S keys
+    // in rank-equivalent integer form (md5 uniform, micro-nat-quantized
+    // ln — the lm-score rule — then floorDiv by the integer weight), one
+    // distributed top-k; replayed exactly in DuckDB
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(documents(s, d), col("doc_id"),
+        col("n_chars"), k = 100, salt = 7L)),
+    // leakage-safe grouped k-fold: md5 fold per source so no group ever
+    // straddles a train/eval boundary — pure map-side assignment
+    "q_group_kfold" -> ((s, d) =>
+      Sampling.groupKFold(documents(s, d), col("source"), k = 5, salt = 7L)
+        .select(col("doc_id"), col("source"), col("fold"))),
 
     // ---- Training-data pipeline: multimodal plumbing ----
     // binary payload + stubbed decode via mapPartitions (schema/batching real)
@@ -2003,11 +2029,30 @@ object SparkEntry {
       Analytics.meterIntervals(simulated, col("user_id"), col("ts"),
         col("event_id"), col("_reading"), wrapModulus = Some(m))
     }),
+    // VEE stale-register check: maximal runs of >= 3 ticks in the same
+    // 50-unit bucket per user under the (ts, event_id) total order —
+    // gaps-and-islands, floorDiv bucketing (oracled, Euclidean idiom)
+    "q_stuck_meter" -> ((s, d) =>
+      Analytics.stuckRuns(events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"), quantCents = 5000L, minLen = 3)),
+    // VEE quality scorecard: one row per meter — row/null counts, own-
+    // window calendar completeness ppm, spike count, longest stuck run
+    // (all integer; oracled)
+    "q_vee_scorecard" -> ((s, d) =>
+      Analytics.veeScorecard(events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("value"))),
     // step-hold time-weighted daily mean per user: the honest average for
     // irregular sensor ticks; integer ms-weights, floor division (oracled)
     "q_twa_daily" -> ((s, d) =>
       Analytics.timeWeightedMeanDaily(events(s, d), col("user_id"),
         col("ts"), col("event_id"), col("value"))),
+    // monthly tariff statement: TOU energy split (weekday 9-21h peak)
+    // priced at declared integer micro-rates + demand charge on the peak
+    // hour of the cycle — all BIGINT money math (floor-cents energy,
+    // literal rates), two shrinking-key partial-agg shuffles (oracled)
+    "q_billing_statement" -> ((s, d) =>
+      Billing.billingStatement(events(s, d), col("user_id"), col("ts"),
+        col("value"))),
     // gap-based sessionization per user, 30-minute timeout (oracled)
     "q_sessionize" -> ((s, d) =>
       Analytics.sessionize(events(s, d), col("user_id"), col("ts"),
@@ -2223,6 +2268,93 @@ object SparkEntry {
                 FROM nodes n LEFT JOIN c2 ON c2.node = n.node
                 CROSS JOIN d2 CROSS JOIN nn)
          SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r2""",
+    // HITS replay, 2 iterations: auth_raw = Σ hub over in-edges, hub_raw =
+    // Σ auth over out-edges, each half-step rescaled raw // max(1, max//R)
+    // (floor at every step; round-1 hub is the constant R so auth_raw1 is
+    // R·indeg straight off the edges — same shortcut as the engine)
+    "q_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             UNION ALL
+             SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer)),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         a1r AS (SELECT dst AS node, 1000000000 * COUNT(*) AS raw
+                 FROM e GROUP BY 1),
+         a1 AS (SELECT node, raw // GREATEST(1,
+                    (SELECT MAX(raw) FROM a1r) // 1000000000) AS score
+                FROM a1r),
+         h1r AS (SELECT e.src AS node, CAST(SUM(a1.score) AS BIGINT) AS raw
+                 FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+         h1 AS (SELECT node, raw // GREATEST(1,
+                    (SELECT MAX(raw) FROM h1r) // 1000000000) AS score
+                FROM h1r),
+         a2r AS (SELECT e.dst AS node, CAST(SUM(h1.score) AS BIGINT) AS raw
+                 FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+         a2 AS (SELECT node, raw // GREATEST(1,
+                    (SELECT MAX(raw) FROM a2r) // 1000000000) AS score
+                FROM a2r),
+         h2r AS (SELECT e.src AS node, CAST(SUM(a2.score) AS BIGINT) AS raw
+                 FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+         h2 AS (SELECT node, raw // GREATEST(1,
+                    (SELECT MAX(raw) FROM h2r) // 1000000000) AS score
+                FROM h2r)
+         SELECT n.node,
+           CAST(COALESCE(a2.score, 0) AS BIGINT) AS auth_ppb,
+           CAST(COALESCE(h2.score, 0) AS BIGINT) AS hub_ppb
+         FROM nodes n
+         LEFT JOIN a2 ON a2.node = n.node
+         LEFT JOIN h2 ON h2.node = n.node""",
+    // the billing statement replay: same floor-cents quantizer, same
+    // weekday-peak band (DuckDB dayofweek is 0=Sun..6=Sat vs Spark's
+    // 1..7 — same calendar semantics), same literal integer rates
+    "q_billing_statement" ->
+      """WITH base AS (SELECT user_id AS grp, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+         tou AS (SELECT grp, CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(SUM(CASE WHEN hour(ts) >= 9 AND hour(ts) < 21
+                            AND dayofweek(ts) NOT IN (0, 6)
+                           THEN vc ELSE 0 END) AS BIGINT) AS peak_cents,
+             CAST(SUM(CASE WHEN hour(ts) >= 9 AND hour(ts) < 21
+                            AND dayofweek(ts) NOT IN (0, 6)
+                           THEN 0 ELSE vc END) AS BIGINT) AS off_cents
+           FROM base GROUP BY 1, 2),
+         hourly AS (SELECT grp, date_trunc('hour', ts) AS h,
+             CAST(SUM(vc) AS BIGINT) AS h_cents
+           FROM base GROUP BY 1, 2),
+         dem AS (SELECT grp, CAST(date_trunc('month', h) AS DATE) AS month,
+             MAX(h_cents) AS peak_hour_cents
+           FROM hourly GROUP BY 1, 2)
+         SELECT t.grp, t.month, t.peak_cents, t.off_cents,
+           t.peak_cents * 180 + t.off_cents * 90 AS energy_charge_micro,
+           d.peak_hour_cents,
+           d.peak_hour_cents * 12000 AS demand_charge_micro,
+           t.peak_cents * 180 + t.off_cents * 90
+             + d.peak_hour_cents * 12000 AS total_micro
+         FROM tou t JOIN dem d ON d.grp = t.grp AND d.month = t.month""",
+    // E-S weighted sample replay: identical md5 uniform, identical
+    // micro-nat ln quantization (the one transcendental, quantized per
+    // item), identical floor division — via the Euclidean-mod idiom,
+    // because DuckDB integer `//` TRUNCATES toward zero on negatives
+    // (measured: -7 // 2 = -3) while the key's lnq is negative
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS w,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                ::UBIGINT + 1) / 4294967296.0 AS u
+           FROM documents),
+         q AS (SELECT doc_id, w,
+             CAST(FLOOR(1000000 * ln(u)) AS BIGINT) AS lnq FROM b)
+         SELECT doc_id AS id, w,
+           CAST((lnq - (((lnq % w) + w) % w)) // w AS BIGINT) AS key_micro
+         FROM q ORDER BY key_micro DESC, id LIMIT 100""",
+    "q_group_kfold" ->
+      """SELECT doc_id, source,
+           CAST(('0x' || substr(md5(source || ':7'), 1, 8))::UBIGINT % 5
+             AS BIGINT) AS fold
+         FROM documents""",
     // the merged state is definitionally the full rebuild — the oracle IS
     // the one-shot GROUP BY; Euclidean floor mean matches pmod on Spark side
     "q_incr_state" ->
@@ -2428,15 +2560,22 @@ object SparkEntry {
              COUNT(*) OVER fr AS n_hist
            FROM wd WINDOW fr AS (PARTITION BY grp, h ORDER BY day
              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+         -- Euclidean floor on BOTH divisions: the engine floorDivs while
+         -- DuckDB integer `//` truncates toward zero on negatives
+         -- (net-metered export makes hs and x_cents negative)
          b AS (SELECT grp, day, h, x_cents, n_hist,
-             CASE WHEN n_hist > 0 THEN CAST(hs // n_hist AS BIGINT) END
-               AS baseline_cents
-           FROM w)
+             CASE WHEN n_hist > 0 THEN CAST(
+               (hs - (((hs % n_hist) + n_hist) % n_hist)) // n_hist
+               AS BIGINT) END AS baseline_cents
+           FROM w),
+         x6 AS (SELECT grp, day, h, x_cents, baseline_cents, n_hist,
+             1000000 * x_cents AS num FROM b)
          SELECT grp, day, h, x_cents, baseline_cents, n_hist,
            CASE WHEN baseline_cents > 0
-             THEN CAST((1000000*x_cents) // baseline_cents AS BIGINT)
+             THEN CAST((num - (((num % baseline_cents) + baseline_cents)
+               % baseline_cents)) // baseline_cents AS BIGINT)
            END AS ratio_ppm
-         FROM b""",
+         FROM x6""",
     "q_spearman" ->
       """WITH cell AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
@@ -2537,9 +2676,14 @@ object SparkEntry {
              CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
              CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s
            FROM cell),
-         m AS (SELECT grp, day, x, n, s // n AS mu,
-             CAST(SUM(abs(x - (s // n))) OVER (PARTITION BY grp)
-               AS BIGINT) // n AS mad
+         -- Euclidean floor for mu: DuckDB integer `//` truncates toward
+         -- zero (measured -7 // 2 = -3) while the engine floorDivs; s can
+         -- be negative with net-metered readings. mad is an abs-sum (>= 0)
+         -- so plain `//` is already the floor there.
+         m AS (SELECT grp, day, x, n,
+             (s - (((s % n) + n) % n)) // n AS mu,
+             CAST(SUM(abs(x - ((s - (((s % n) + n) % n)) // n)))
+               OVER (PARTITION BY grp) AS BIGINT) // n AS mad
            FROM st),
          rr AS (SELECT grp, day, x, mad,
              SUM(x - mu - (mad // 2)) OVER w AS su,
@@ -4038,8 +4182,13 @@ object SparkEntry {
            FROM events
            WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-01'
              AND ts < TIMESTAMP '2024-01-16'),
-         calmu AS (SELECT grp, CAST(SUM(vc) AS BIGINT) // COUNT(*) AS mu
-           FROM cal0 GROUP BY 1),
+         -- Euclidean floor (DuckDB integer `//` truncates on negatives;
+         -- the engine's calibration mu floor-divides sign-safely)
+         calmu AS (SELECT grp,
+             (s - (((s % n) + n) % n)) // n AS mu
+           FROM (SELECT grp, CAST(SUM(vc) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+                 FROM cal0 GROUP BY 1)),
          cal AS (SELECT c.grp, mu,
              CAST(SUM(abs(vc - mu)) AS BIGINT) // COUNT(*) AS mad
            FROM cal0 c JOIN calmu USING (grp) GROUP BY 1, 2),
@@ -4412,6 +4561,76 @@ object SparkEntry {
              AS used_cents,
            COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
+    // stuck-run replay: same floorDiv bucketing (Euclidean idiom — DuckDB
+    // integer `//` truncates on negatives), same gaps-and-islands
+    "q_stuck_meter" ->
+      """WITH t AS (SELECT user_id AS key, ts, event_id AS id,
+             CAST(floor(value*100) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+         qq AS (SELECT key, ts, id,
+             (vc - (((vc % 5000) + 5000) % 5000)) // 5000 AS q
+           FROM t),
+         c AS (SELECT key, ts, id, q,
+             CASE WHEN LAG(q) OVER (PARTITION BY key ORDER BY ts, id)
+                    IS DISTINCT FROM q THEN 1 ELSE 0 END AS chg
+           FROM qq),
+         i AS (SELECT key, ts, q,
+             CAST(SUM(chg) OVER (PARTITION BY key ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+           FROM c)
+         SELECT key, CAST(MIN(q) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           MIN(ts) AS run_start, MAX(ts) AS run_end
+         FROM i GROUP BY key, island
+         HAVING COUNT(*) >= 3""",
+    "q_vee_scorecard" ->
+      """WITH base AS (SELECT user_id AS key, ts, event_id AS id, value
+           FROM events),
+         t AS (SELECT key, ts, id, CAST(floor(value*100) AS BIGINT) AS vc
+           FROM base WHERE value IS NOT NULL),
+         tk AS (SELECT key, ts, vc,
+             LAG(vc) OVER (PARTITION BY key ORDER BY ts, id) AS prev
+           FROM t),
+         pk AS (SELECT key,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_present,
+             CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+               MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(vc - prev) > 20000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+           FROM tk GROUP BY 1),
+         qq AS (SELECT key, ts, id,
+             (vc - (((vc % 5000) + 5000) % 5000)) // 5000 AS q
+           FROM t),
+         c AS (SELECT key, ts, id, q,
+             CASE WHEN LAG(q) OVER (PARTITION BY key ORDER BY ts, id)
+                    IS DISTINCT FROM q THEN 1 ELSE 0 END AS chg
+           FROM qq),
+         i AS (SELECT key,
+             CAST(SUM(chg) OVER (PARTITION BY key ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+           FROM c),
+         runs AS (SELECT key, island, COUNT(*) AS cnt
+           FROM i GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         st AS (SELECT key, CAST(MAX(cnt) AS BIGINT) AS longest_stuck
+           FROM runs GROUP BY 1),
+         nl AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls
+           FROM base GROUP BY 1)
+         SELECT n.key, n.n_rows, n.n_nulls,
+           CAST(COALESCE(p.days_present, 0) AS BIGINT) AS days_present,
+           CAST(COALESCE(p.span_days, 0) AS BIGINT) AS span_days,
+           CAST(CASE WHEN p.span_days > 0
+             THEN (1000000 * p.days_present) // p.span_days
+             ELSE 0 END AS BIGINT) AS completeness_ppm,
+           CAST(COALESCE(p.n_spikes, 0) AS BIGINT) AS n_spikes,
+           CAST(COALESCE(s.longest_stuck, 0) AS BIGINT) AS longest_stuck
+         FROM nl n
+         LEFT JOIN pk p ON p.key = n.key
+         LEFT JOIN st s ON s.key = n.key""",
     "q_twa_daily" ->
       """WITH c AS (SELECT user_id AS key, ts, event_id AS id,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,

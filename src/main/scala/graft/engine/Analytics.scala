@@ -933,4 +933,97 @@ object Analytics {
         when(col("n_units") > 1, concat_ws("_", name, unit)).otherwise(name))
       .drop("n_units")
   }
+
+  /** Stuck-meter detection (the VEE "stale register" check every metering
+    * pipeline runs before settlement): maximal runs of consecutive ticks
+    * whose reading sits in the SAME declared quantization bucket, per key
+    * under the explicit (ts, id) total order. A healthy interval meter's
+    * reading moves; a run of `minLen`+ unchanged (bucketed) readings means
+    * a stale register, a frozen gateway cache, or a flatlined sensor.
+    *
+    * Gaps-and-islands, all integer: bucket = floorDiv(floor(value·100),
+    * quantCents) — floorDiv, not truncation, so negative (net-metered)
+    * readings bucket identically cross-engine; island id = running count
+    * of bucket CHANGES; one window shuffle on the key, then a (key,
+    * island) partial agg clustered on the same partitioning. NULL-valued
+    * ticks are dropped first (a null is a gap, not a stuck reading).
+    * Output: (key, bucket, n_ticks, run_start, run_end) for runs with
+    * n_ticks >= minLen.
+    */
+  def stuckRuns(df: DataFrame, key: Column, ts: Column, id: Column,
+                value: Column, quantCents: Long, minLen: Int): DataFrame = {
+    require(quantCents >= 1, s"quantCents >= 1: $quantCents")
+    require(minLen >= 2, s"minLen >= 2 (a single tick is never stuck): $minLen")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    df.filter(value.isNotNull)
+      .select(key.as("key"), ts.as("ts"), id.as("id"),
+        floor(value * lit(100.0)).cast("long").as("_vc"))
+      .withColumn("_q", ((col("_vc") - pmod(col("_vc"), lit(quantCents)))
+        / lit(quantCents)).cast("long"))
+      .withColumn("_chg",
+        when(lag(col("_q"), 1).over(w).isNull ||
+          lag(col("_q"), 1).over(w) =!= col("_q"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("_island", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("_island"))
+      // _q is constant within an island; min is the order-free way to say so
+      .agg(min(col("_q")).as("bucket"), count(lit(1)).as("n_ticks"),
+        min(col("ts")).as("run_start"), max(col("ts")).as("run_end"))
+      .filter(col("n_ticks") >= minLen)
+      .select(col("key"), col("bucket"), col("n_ticks"),
+        col("run_start"), col("run_end"))
+  }
+
+  /** Per-meter VEE quality scorecard — the validation summary a metering
+    * ops team reads before trusting a feed: row/null counts, calendar
+    * completeness, spike count and longest stuck run, one row per key.
+    *
+    * All integer: completeness_ppm = floor(10⁶ · days_present /
+    * span_days) with span = [min day, max day] of the key itself (a key
+    * is graded against its own service window, not the fleet's); a spike
+    * is |Δcents| > spikeCents between consecutive non-null ticks under
+    * the (ts, id) total order; longest_stuck reuses [[stuckRuns]]'s
+    * bucketed-run definition (0 when no run reaches minLen).
+    *
+    * 100 TB shape: one window shuffle on the key + grain-sized follow-up
+    * aggregates on the same partitioning; the stuck-run join adds a
+    * key-sized (not row-sized) aggregate. Output: (key, n_rows, n_nulls,
+    * days_present, span_days, completeness_ppm, n_spikes, longest_stuck).
+    */
+  def veeScorecard(df: DataFrame, key: Column, ts: Column, id: Column,
+                   value: Column, spikeCents: Long = 20000L,
+                   quantCents: Long = 5000L, minLen: Int = 3): DataFrame = {
+    require(spikeCents >= 1, s"spikeCents >= 1: $spikeCents")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    val base = df.select(key.as("key"), ts.as("ts"), id.as("id"),
+      value.as("value"))
+    val ticks = base.filter(col("value").isNotNull)
+      .withColumn("_vc", floor(col("value") * lit(100.0)).cast("long"))
+      .withColumn("_prev", lag(col("_vc"), 1).over(w))
+    val perKey = ticks
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("_n_ticks"),
+        countDistinct(to_date(col("ts"))).as("days_present"),
+        (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          .cast("long").as("span_days"),
+        sum(when(col("_prev").isNotNull &&
+          abs(col("_vc") - col("_prev")) > spikeCents, 1L).otherwise(0L))
+          .as("n_spikes"))
+    val nulls = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val stuck = stuckRuns(base, col("key"), col("ts"), col("id"),
+        col("value"), quantCents, minLen)
+      .groupBy(col("key")).agg(max(col("n_ticks")).as("longest_stuck"))
+    nulls.join(perKey, Seq("key"), "left")
+      .join(stuck, Seq("key"), "left")
+      .select(col("key"), col("n_rows"), col("n_nulls"),
+        coalesce(col("days_present"), lit(0L)).as("days_present"),
+        coalesce(col("span_days"), lit(0L)).as("span_days"),
+        when(col("span_days") > 0,
+          expr("(1000000 * days_present) div span_days"))
+          .otherwise(lit(0L)).as("completeness_ppm"),
+        coalesce(col("n_spikes"), lit(0L)).as("n_spikes"),
+        coalesce(col("longest_stuck"), lit(0L)).as("longest_stuck"))
+  }
 }

@@ -218,4 +218,57 @@ object Sampling {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    * determinized): draw k rows with inclusion driven by a positive
+    * integer weight, as one distributed top-k — no rejection loop, no
+    * sequential pass, no RNG state. Each row's E-S key u^(1/w) is taken
+    * in rank-equivalent integer form:
+    * {{{
+    *   u         = (md5₃₂(id:salt) + 1) / 2³²          ∈ (0, 1]
+    *   lnq_micro = floor(10⁶ · ln u)                   [per-item quantize]
+    *   key_micro = floorDiv(lnq_micro, w)              [integer, w ≥ 1]
+    * }}}
+    * ln is the one transcendental and is quantized to integer micro-nats
+    * BEFORE any further arithmetic (the repo's micro-nat rule, same as
+    * the LM scores); floorDiv (not truncation — lnq is negative) keeps
+    * the division floor-exact in both engines, and key_micro is monotone
+    * in ln(u)/w for integer w ≥ 1, so top-k by (key desc, id) is the E-S
+    * sample. Weights below 1 fail loudly per row (counted, not assumed).
+    *
+    * 100 TB shape: map-side key computation + TakeOrderedAndProject —
+    * every task reduces to its local k before anything moves, so only
+    * k·partitions rows ever reach the driver-side merge.
+    * Output: (id, w, key_micro), best key first.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+                     salt: Long = 7L): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val w = when(weight.cast("long") >= 1L, weight.cast("long"))
+      .otherwise(raise_error(concat(lit("weightedSample: weight < 1 for id="),
+        id.cast("string"))))
+    val u = (conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long") + lit(1L)) / lit(4294967296.0)
+    val scored = df.select(id.as("id"), w.as("w"),
+        floor(log(u) * lit(1000000.0)).cast("long").as("_lnq"))
+      .select(col("id"), col("w"),
+        ((col("_lnq") - pmod(col("_lnq"), col("w"))) / col("w"))
+          .cast("long").as("key_micro"))
+    scored.orderBy(col("key_micro").desc, col("id")).limit(k)
+  }
+
+  /** Group-aware k-fold assignment: every row of a group lands in the
+    * same fold (`fold = md5₃₂(group:salt) mod k`), so no group ever
+    * straddles a train/eval boundary — the leakage-safe CV split for
+    * grouped corpora (all pages of a domain, all readings of a meter).
+    * Pure map-side expression: no shuffle, deterministic across runs,
+    * partitionings and engines (md5, not xxhash64 — oracle-checkable).
+    */
+  def groupKFold(df: DataFrame, group: Column, k: Int,
+                 salt: Long = 7L): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(concat(group.cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("long"), lit(k.toLong)))
+  }
 }

@@ -573,4 +573,58 @@ class AnalyticsSpec extends SparkSpec {
     o4("w")._4 shouldBe None
     o4("s")._4 shouldBe Some(1000000L)
   }
+
+  private def stuckFixture = Seq(
+    // A: q(10-cent buckets) = 10,10,10,25,25,10 -> runs (10,3)(25,2)(10,1)
+    ("A", t("2024-01-01 00:00:00"), 1L, Some(1.00)),
+    ("A", t("2024-01-01 01:00:00"), 2L, Some(1.02)),
+    ("A", t("2024-01-01 02:00:00"), 3L, Some(1.03)),
+    ("A", t("2024-01-01 03:00:00"), 4L, Some(2.50)),
+    ("A", t("2024-01-01 04:00:00"), 5L, Some(2.51)),
+    ("A", t("2024-01-01 05:00:00"), 6L, Some(1.00)),
+    // B: a null splits nothing (dropped before the islands); -0.05 floors
+    // to bucket -1 (floorDiv, not truncation)
+    ("B", t("2024-01-01 00:00:00"), 1L, Some(-0.05)),
+    ("B", t("2024-01-01 01:00:00"), 2L, None),
+    ("B", t("2024-01-01 02:00:00"), 3L, Some(-0.01))
+  ).toDF("k", "ts", "id", "v")
+
+  test("stuckRuns: islands, min length, floor bucketing of negatives") {
+    val r2 = Analytics.stuckRuns(stuckFixture, col("k"), col("ts"),
+        col("id"), col("v"), quantCents = 10L, minLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    r2.toSet shouldBe Set(
+      ("A", 10L, 3L, t("2024-01-01 00:00:00"), t("2024-01-01 02:00:00")),
+      ("A", 25L, 2L, t("2024-01-01 03:00:00"), t("2024-01-01 04:00:00")),
+      // B: both non-null ticks floor to bucket -1 -> one run of 2 spanning
+      // the dropped null tick
+      ("B", -1L, 2L, t("2024-01-01 00:00:00"), t("2024-01-01 02:00:00")))
+    Analytics.stuckRuns(stuckFixture, col("k"), col("ts"), col("id"),
+      col("v"), quantCents = 10L, minLen = 3).count() shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Analytics.stuckRuns(stuckFixture, col("k"), col("ts"), col("id"),
+        col("v"), quantCents = 10L, minLen = 1)
+  }
+
+  test("veeScorecard: hand-computed quality row per key") {
+    val fx = Seq(
+      // C: days 1,2,5 present (span 5 -> 600000 ppm); one +300.00 spike;
+      // one null row; values 1.00,1.00,1.00 stuck (quant 5000, minLen 3)
+      ("C", t("2024-01-01 00:00:00"), 1L, Some(1.00)),
+      ("C", t("2024-01-01 01:00:00"), 2L, Some(1.00)),
+      ("C", t("2024-01-02 00:00:00"), 3L, Some(1.00)),
+      ("C", t("2024-01-05 00:00:00"), 4L, Some(301.00)),
+      ("C", t("2024-01-05 01:00:00"), 5L, None),
+      // D: all null -> zero-filled scorecard
+      ("D", t("2024-01-01 00:00:00"), 1L, None)
+    ).toDF("k", "ts", "id", "v")
+    val r = Analytics.veeScorecard(fx, col("k"), col("ts"), col("id"),
+        col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    r("C") shouldBe ((5L, 1L, 3L, 5L, 600000L, 1L, 3L))
+    r("D") shouldBe ((1L, 1L, 0L, 0L, 0L, 0L, 0L))
+  }
 }

@@ -104,6 +104,64 @@ class GraphSpec extends SparkSpec {
     r10.values.sum should be <= 4L * Graph.RankUnit
   }
 
+  private def hitsMap(iters: Int): Map[String, (Long, Long)] =
+    Graph.hits(fixture, col("src"), col("dst"), iters = iters)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits matches hand-computed integer scores, 1 iteration") {
+    // indeg: a=1, b=1, c=2, d=1 → auth_raw = R·indeg, max 2e9, scale 2
+    // auth1: a=5e8, b=5e8, c=1e9, d=5e8
+    // hub_raw: a=auth(b)+auth(c)=1.5e9, b=auth(c)=1e9, c=auth(a)+auth(d)=1e9
+    // max 1.5e9 → scale 1 → hub1 = raw; d has no out-edges → 0
+    hitsMap(1) shouldBe Map(
+      "a" -> ((500000000L, 1500000000L)),
+      "b" -> ((500000000L, 1000000000L)),
+      "c" -> ((1000000000L, 1000000000L)),
+      "d" -> ((500000000L, 0L)))
+  }
+
+  test("hits matches hand-computed integer scores, 2 iterations") {
+    // auth_raw2: a=hub(c)=1e9, b=hub(a)=1.5e9, c=hub(a)+hub(b)=2.5e9,
+    //            d=hub(c)=1e9; max 2.5e9 → scale 2
+    // auth2: a=5e8, b=7.5e8, c=1.25e9, d=5e8
+    // hub_raw2: a=2e9, b=1.25e9, c=1e9; max 2e9 → scale 2
+    hitsMap(2) shouldBe Map(
+      "a" -> ((500000000L, 1000000000L)),
+      "b" -> ((750000000L, 625000000L)),
+      "c" -> ((1250000000L, 500000000L)),
+      "d" -> ((500000000L, 0L)))
+  }
+
+  test("hits: source-only node has auth 0, sink-only node has hub 0") {
+    val r = Graph.hits(Seq(("x", "y")).toDF("src", "dst"),
+      col("src"), col("dst"), iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    r shouldBe Map(
+      "x" -> ((0L, 1000000000L)),
+      "y" -> ((1000000000L, 0L)))
+  }
+
+  test("hits is independent of input partitioning and duplicate edges") {
+    val base = hitsMap(2)
+    val shuffled = Graph.hits(fixture.union(fixture).repartition(7),
+      col("src"), col("dst"), iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    shuffled shouldBe base
+  }
+
+  test("hits 10 iterations: truncated lineage completes, argmax pinned " +
+    "at ~R and scores bounded") {
+    val r10 = hitsMap(10)
+    val auths = r10.values.map(_._1)
+    val hubs = r10.values.map(_._2)
+    auths.max should be >= Graph.RankUnit
+    auths.max should be < 2L * Graph.RankUnit
+    hubs.max should be >= Graph.RankUnit
+    hubs.max should be < 2L * Graph.RankUnit
+    all(auths) should be >= 0L
+    all(hubs) should be >= 0L
+  }
+
   test("degrees: full outer with zero fill") {
     val d = Graph.degrees(fixture, col("src"), col("dst"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -223,4 +223,60 @@ class SamplingSpec extends SparkSpec {
         col("id"), k = 1, seed = 1L)
     }
   }
+
+  /** Independent JVM-side replay of the weightedSample key: MD5 via
+    * MessageDigest (not Spark), same (id:salt) input, same quantization. */
+  private def esKey(id: Long, w: Long, salt: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 4294967296.0
+    val lnq = math.floor(1e6 * math.log(u)).toLong
+    Math.floorDiv(lnq, w)
+  }
+
+  test("weightedSample matches an independent MD5 + E-S key replay") {
+    val rows = (0L until 50L).map(i => (i, i % 7 + 1))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), k = 10,
+        salt = 7L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = rows
+      .map { case (i, w) => (i, w, esKey(i, w, 7L)) }
+      .sortBy { case (i, _, key) => (-key, i) }.take(10)
+    got shouldBe expected
+  }
+
+  test("weightedSample: a larger weight never lowers a row's key " +
+    "(E-S monotonicity) and sub-1 weights fail loudly") {
+    val ids = spark.range(0, 100).select(col("id"))
+    val k1 = Sampling.weightedSample(ids.withColumn("w", lit(1L)),
+        col("id"), col("w"), k = 100)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val k9 = Sampling.weightedSample(ids.withColumn("w", lit(9L)),
+        col("id"), col("w"), k = 100)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    k9.foreach { case (id, key) => key should be >= k1(id) }
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(bad, col("id"), col("w"), k = 1).collect()
+    }
+  }
+
+  test("groupKFold: folds in [0,k), every group on exactly one fold, " +
+    "matching the MD5 replay") {
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 23}"))
+      .toDF("id", "grp")
+    val out = Sampling.groupKFold(df, col("grp"), k = 5, salt = 7L)
+      .select(col("grp"), col("fold")).as[(String, Long)].collect()
+    all(out.map(_._2)) should (be >= 0L and be < 5L)
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    byGroup.foreach { case (_, folds) => folds should have length 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byGroup.foreach { case (g, folds) =>
+      val hex = md.digest(s"$g:7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      folds.head shouldBe java.lang.Long.parseLong(hex, 16) % 5
+    }
+  }
 }

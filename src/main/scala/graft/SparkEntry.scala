@@ -628,6 +628,19 @@ object SparkEntry {
     "q_spearman" -> ((s, d) =>
       Forecast.spearmanCrossCorr(events(s, d), col("event_type"),
         col("ts"), col("value"))),
+    // degree-day weather sensitivity (IPMVP Option C simple regression):
+    // daily load cents per type vs the 'view' series as the DECLARED
+    // temperature proxy, hdd/cdd split at 150.00 units; integer OLS
+    // slopes — decimal moments internal, sign-split division (the
+    // trendSlope contract; oracled)
+    "q_degree_day" -> ((s, d) => {
+      val ev = events(s, d)
+      Forecast.degreeDaySensitivity(
+        ev.filter(col("event_type") =!= "view"), col("event_type"),
+        col("ts"), col("value"),
+        ev.filter(col("event_type") === "view"), col("ts"), col("value"),
+        baseCents = 15000L)
+    }),
     // Per-user load-factor / peak-coincidence scorecard: mean/peak ppm +
     // share of own peak drawn on the system peak day (deterministic
     // struct-max argmax, min-day tiebreak) — all integer (oracled)
@@ -1853,6 +1866,15 @@ object SparkEntry {
       runAvailableNow(s, out, "hourly", d,
         _.select(col("bucket"), col("grp"), round(col("total"), 2).as("total")))
     }),
+    // the billing tier's streaming stage: daily TOU band cells emitted
+    // once per (user, day) when the watermark clears the day — closed
+    // form: the batch daily rollup restricted to days whose end clears
+    // the final watermark max(ts) - lateness (oracled)
+    "q_stream_billing" -> ((s, d) => {
+      val out = graft.streaming.Streams.touDailyStream(
+        streamingEvents(s, d), "ts", col("user_id"), col("value"))
+      runAvailableNow(s, out, "billing", d, df => df)
+    }),
     // Sliding-window stream (2 h windows every 1 h): each event lands in 2
     // overlapping windows; append emits windows whose END clears the
     // watermark — closed form: per-event expansion onto both covering
@@ -2547,6 +2569,39 @@ object SparkEntry {
                 WHEN num >= 0 THEN CAST((1000000*num) // den AS BIGINT)
                 ELSE -CAST((1000000*(-num)) // den AS BIGINT)
            END AS slope_micro
+         FROM b""",
+    "q_degree_day" ->
+      """WITH ld AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND event_type != 'view'
+           GROUP BY 1, 2),
+         tg AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS tn
+           FROM events WHERE value IS NOT NULL AND event_type = 'view'
+           GROUP BY 1),
+         td AS (SELECT day,
+             (s - (((s % tn) + tn) % tn)) // tn AS t_cents FROM tg),
+         j AS (SELECT grp,
+             CAST(GREATEST(0, 15000 - t_cents) AS HUGEINT) AS h,
+             CAST(GREATEST(0, t_cents - 15000) AS HUGEINT) AS c,
+             CAST(y AS HUGEINT) AS y
+           FROM ld JOIN td USING (day)),
+         a AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(h) AS sh, SUM(h*h) AS shh, SUM(c) AS sc, SUM(c*c) AS scc,
+             SUM(y) AS sy, SUM(h*y) AS shy, SUM(c*y) AS scy
+           FROM j GROUP BY 1),
+         b AS (SELECT grp, n, n*shy - sh*sy AS numh, n*shh - sh*sh AS denh,
+             n*scy - sc*sy AS numc, n*scc - sc*sc AS denc FROM a)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+           CASE WHEN denh = 0 THEN NULL
+                WHEN numh >= 0 THEN CAST((1000000*numh) // denh AS BIGINT)
+                ELSE -CAST((1000000*(-numh)) // denh AS BIGINT)
+           END AS hdd_slope_micro,
+           CASE WHEN denc = 0 THEN NULL
+                WHEN numc >= 0 THEN CAST((1000000*numc) // denc AS BIGINT)
+                ELSE -CAST((1000000*(-numc)) // denc AS BIGINT)
+           END AS cdd_slope_micro
          FROM b""",
     "q_dr_baseline" ->
       """WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
@@ -4101,6 +4156,22 @@ object SparkEntry {
          FROM events, mx
          GROUP BY 1, 2, mx.m
          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""",
+    "q_stream_billing" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id AS grp,
+           CAST(SUM(CASE WHEN hour(ts) >= 9 AND hour(ts) < 21
+                          AND dayofweek(ts) NOT IN (0, 6)
+                         THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS peak_cents,
+           CAST(SUM(CASE WHEN hour(ts) >= 9 AND hour(ts) < 21
+                          AND dayofweek(ts) NOT IN (0, 6)
+                         THEN 0 ELSE CAST(floor(value*100) AS BIGINT) END)
+             AS BIGINT) AS off_cents
+         FROM events, mx
+         WHERE value IS NOT NULL
+         GROUP BY 1, 2, mx.m
+         HAVING CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 DAY
+           <= m - INTERVAL 2 HOUR""",
     "q_stream_slide" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events),
          w AS (SELECT date_trunc('hour', ts) - to_hours(k.k) AS win_start,

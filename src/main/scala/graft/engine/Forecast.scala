@@ -224,6 +224,73 @@ object Forecast {
       .select(col("grp"), col("_n").cast("long").as("n"), col("slope_micro"))
   }
 
+  /** Degree-day weather sensitivity per key — the simple-regression
+    * measurement-and-verification baseline (IPMVP Option C style): regress
+    * daily energy on daily heating and cooling degree-days, each as an
+    * independent single-variable OLS (the standard first-pass M&V fit;
+    * a joint 2-regressor fit needs a 3×3 solve whose integer determinants
+    * overflow the exactness contract for no extra decision value here).
+    *
+    * Grain: daily load cents per key ⋈ (inner, on days BOTH series cover)
+    * the daily Euclidean-floor-mean temperature cents of the declared
+    * temperature series; `hdd = max(0, base − T̄)`, `cdd = max(0, T̄ −
+    * base)`. Slopes in micro-cents per degree-cent via the
+    * [[trendSlopeByKey]] integer contract: DECIMAL(38,0) moments kept
+    * INTERNAL, sign-split truncating division, BIGINT at the boundary.
+    *
+    * 100 TB shape: each corpus collapses to its daily grain in one
+    * partial-agg pass; the temperature grain is day-sized and broadcasts;
+    * the moment reduce reuses the load grain's key partitioning. Output:
+    * (grp, n, hdd_slope_micro, cdd_slope_micro) — NULL slope when the
+    * regressor is constant (den = 0).
+    */
+  def degreeDaySensitivity(load: DataFrame, key: Column, ts: Column,
+                           value: Column, temp: DataFrame, tempTs: Column,
+                           tempValue: Column, baseCents: Long): DataFrame = {
+    require(baseCents > 0, s"baseCents > 0: $baseCents")
+    val yc = floor(value * lit(100.0)).cast("long")
+    val tc = floor(tempValue * lit(100.0)).cast("long")
+    val loadDaily = load.filter(value.isNotNull)
+      .groupBy(key.as("grp"), to_date(ts).as("day"))
+      .agg(sum(yc).as("y"))
+    val tempDaily = temp.filter(tempValue.isNotNull)
+      .groupBy(to_date(tempTs).as("day"))
+      .agg(sum(tc).as("_s"), count(tc).as("_tn"))
+      .select(col("day"),
+        ((col("_s") - pmod(col("_s"), col("_tn"))) / col("_tn"))
+          .cast("long").as("t_cents"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    loadDaily.join(broadcast(tempDaily), "day")
+      .withColumn("_h",
+        greatest(lit(0L), lit(baseCents) - col("t_cents")).cast(dec))
+      .withColumn("_c",
+        greatest(lit(0L), col("t_cents") - lit(baseCents)).cast(dec))
+      .withColumn("_y", col("y").cast(dec))
+      .groupBy(col("grp")).agg(
+        count(lit(1)).cast(dec).as("_n"),
+        sum(col("_h")).as("_sh"), sum(col("_h") * col("_h")).as("_shh"),
+        sum(col("_c")).as("_sc"), sum(col("_c") * col("_c")).as("_scc"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_h") * col("_y")).as("_shy"),
+        sum(col("_c") * col("_y")).as("_scy"))
+      .withColumn("_numh", col("_n") * col("_shy") - col("_sh") * col("_sy"))
+      .withColumn("_denh", col("_n") * col("_shh") - col("_sh") * col("_sh"))
+      .withColumn("_numc", col("_n") * col("_scy") - col("_sc") * col("_sy"))
+      .withColumn("_denc", col("_n") * col("_scc") - col("_sc") * col("_sc"))
+      .withColumn("_absh", abs(col("_numh")) * lit(1000000L).cast(dec))
+      .withColumn("_absc", abs(col("_numc")) * lit(1000000L).cast(dec))
+      .withColumn("hdd_slope_micro",
+        when(col("_denh") === 0, lit(null))
+          .otherwise(when(col("_numh") >= 0, expr("_absh div _denh"))
+            .otherwise(-expr("_absh div _denh"))).cast("long"))
+      .withColumn("cdd_slope_micro",
+        when(col("_denc") === 0, lit(null))
+          .otherwise(when(col("_numc") >= 0, expr("_absc div _denc"))
+            .otherwise(-expr("_absc div _denc"))).cast("long"))
+      .select(col("grp"), col("_n").cast("long").as("n"),
+        col("hdd_slope_micro"), col("cdd_slope_micro"))
+  }
+
   /** Theil–Sen robust trend per key: the median of all pairwise daily
     * slopes — the estimator that shrugs off the outlier days that drag
     * [[trendSlopeByKey]]'s OLS fit (up to ~29% contamination). Pair

@@ -48,6 +48,34 @@ object Streams {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("grp"), col("total"), col("n"))
 
+  /** The billing tier's streaming stage: daily TOU band rollup per key —
+    * peak/off-peak energy cents accumulate as readings arrive; append
+    * emits each (key, day) cell exactly once, when the watermark clears
+    * the day. (Monthly statement assembly stays batch —
+    * [[graft.engine.Billing.billingStatement]] — calendar months are not
+    * fixed-length stream windows.) Integer contract matches
+    * [[graft.engine.Billing.touEnergyCharges]]: floor-cents energy,
+    * weekday 9–21h peak band (Spark dayofweek 1=Sun..7=Sat), so a day's
+    * streamed cell is bit-identical to the batch rollup of the same day.
+    */
+  def touDailyStream(events: DataFrame, ts: String, key: Column,
+                     value: Column, peakStartHour: Int = 9,
+                     peakEndHour: Int = 21,
+                     lateness: String = "2 hours"): DataFrame = {
+    require(peakStartHour >= 0 && peakEndHour <= 24 &&
+      peakStartHour < peakEndHour, "peak band must be a non-empty sub-day " +
+        s"range: [$peakStartHour, $peakEndHour)")
+    val cents = floor(value * lit(100.0)).cast("long")
+    val isPeak = hour(col(ts)) >= peakStartHour &&
+      hour(col(ts)) < peakEndHour && !dayofweek(col(ts)).isin(1, 7)
+    events.filter(value.isNotNull).withWatermark(ts, lateness)
+      .groupBy(window(col(ts), "1 day").as("win"), key.as("grp"))
+      .agg(sum(when(isPeak, cents).otherwise(lit(0L))).as("peak_cents"),
+        sum(when(isPeak, lit(0L)).otherwise(cents)).as("off_cents"))
+      .select(col("win.start").cast("date").as("day"), col("grp"),
+        col("peak_cents"), col("off_cents"))
+  }
+
   /** S14/U3 as a stream: exactly-once-per-key within the watermark horizon
     * (duplicate re-deliveries from upstream retries are dropped). */
   def dedupStream(events: DataFrame, ts: String, keys: Seq[String],

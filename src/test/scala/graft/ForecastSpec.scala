@@ -408,4 +408,32 @@ class ForecastSpec extends SparkSpec {
     out shouldBe exp
     exp should not be empty
   }
+
+  test("degreeDaySensitivity: hand-computed HDD/CDD slopes, day-coverage " +
+    "join, constant-regressor NULL") {
+    // temp: day1 mean floor((100+200)/2)=150 cents, day2 300 cents;
+    // base 200 -> hdd {50, 0}, cdd {0, 100}
+    val temp = Seq((ts(1, 0), 1.00), (ts(1, 1), 2.00), (ts(2, 0), 3.00))
+      .toDF("tts", "tv")
+    // load g: day1 400+600=1000 cents, day2 3000; day3 has no temp -> drop
+    val load = Seq(("g", ts(1, 0), 4.00), ("g", ts(1, 1), 6.00),
+      ("g", ts(2, 0), 30.00), ("g", ts(3, 0), 99.00)).toDF("k", "lts", "lv")
+    val r = Forecast.degreeDaySensitivity(load, col("k"), col("lts"),
+        col("lv"), temp, col("tts"), col("tv"), baseCents = 200L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getLong(2)),
+          if (x.isNullAt(3)) None else Some(x.getLong(3))))).toMap
+    // hdd slope: (1000-3000)/(50-0) = -40 cents/cent = -40e6 micro;
+    // cdd slope: (3000-1000)/(100-0) = +20 cents/cent = +20e6 micro
+    r("g") shouldBe ((2L, Some(-40000000L), Some(20000000L)))
+    // one covered day: both regressors constant -> NULL slopes
+    val one = Forecast.degreeDaySensitivity(
+      load.filter(col("lts") < lit(ts(2, 0))), col("k"), col("lts"),
+      col("lv"), temp, col("tts"), col("tv"), baseCents = 200L)
+      .collect().head
+    one.getLong(1) shouldBe 1L
+    one.isNullAt(2) shouldBe true
+    one.isNullAt(3) shouldBe true
+  }
 }

@@ -30,6 +30,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("touDailyStream: daily TOU cells close with the watermark and are " +
+    "bit-identical to the batch band split") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.touDailyStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", col("k"), col("v"))
+    val q = out.writeStream.format("memory").queryName("tou")
+      .outputMode(Streams.hourlySumMode).start()
+    try {
+      // Mon 2024-01-15: 10h peak 1.23 + 2.00, 22h off 3.00; Sat 01-13
+      // would be off — all on one key
+      mem.addData((t("2024-01-15 10:00:00"), "a", 1.23),
+        (t("2024-01-15 10:30:00"), "a", 2.00),
+        (t("2024-01-15 22:00:00"), "a", 3.00))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM tou").count() shouldBe 0L // day still open
+      // advance the watermark past Jan 15's end (+2h lateness)
+      mem.addData((t("2024-01-16 03:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tou").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      // identical to Billing.touEnergyCharges' band arithmetic: peak
+      // 123+200, off 300
+      rows.toSet shouldBe Set(("2024-01-15", "a", 323L, 300L))
+    } finally q.stop()
+  }
+
   test("slidingSumStream: each event in both covering windows; append emits closed windows only") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

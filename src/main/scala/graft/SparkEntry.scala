@@ -1380,6 +1380,18 @@ object SparkEntry {
       NearDup.dedupClusters(pairs, docs, col("doc_id"))
         .filter(col("doc_id") =!= col("cluster")) // non-canonical members
     }),
+    // curation keep-rule over the duplicate clusters: canonical = argmax
+    // quality (n_chars as the declared score, ties to the smaller id) —
+    // one struct-max per cluster, no window sort; singletons keep
+    // themselves (oracled)
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
+      val labels = NearDup.dedupClusters(pairs, docs, col("doc_id"))
+      NearDup.canonicalByQuality(labels,
+        docs.select(col("doc_id"), col("n_chars")), col("doc_id"),
+        col("n_chars"))
+    }),
     // winnowing (rolling-hash) fingerprint pairs: shared-passage detection.
     // k=24 (~4-5 words) because this corpus's vocabulary is tiny — short
     // grams occur in every doc and would pair everything quadratically.
@@ -2051,6 +2063,12 @@ object SparkEntry {
       Analytics.meterIntervals(simulated, col("user_id"), col("ts"),
         col("event_id"), col("_reading"), wrapModulus = Some(m))
     }),
+    // meter cadence profile: exact integer stats of inter-arrival gaps
+    // per key (doubled median, rank-exact p95, max) — the reporting-
+    // regularity check; one key-window shuffle (oracled)
+    "q_cadence_profile" -> ((s, d) =>
+      Analytics.cadenceProfile(events(s, d), col("user_id"), col("ts"),
+        col("event_id"))),
     // VEE stale-register check: maximal runs of >= 3 ticks in the same
     // 50-unit bucket per user under the (ts, event_id) total order —
     // gaps-and-islands, floorDiv bucketing (oracled, Euclidean idiom)
@@ -3622,6 +3640,48 @@ object SparkEntry {
          lbl AS (SELECT id, least(min(r), id) AS cluster
                  FROM reach GROUP BY id)
          SELECT id AS doc_id, cluster FROM lbl WHERE cluster <> id""",
+    // same cluster CTE + the keep-rule: canonical = argmax (quality desc,
+    // id asc), singletons (no edges) are their own cluster and keep
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+         idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id1, id2
+               FROM inter
+               JOIN sizes s1 ON s1.doc_id = id1
+               JOIN sizes s2 ON s2.doc_id = id2
+               WHERE round(c::DOUBLE / (s1.n + s2.n - c), 6) >= 0.1),
+         e AS (SELECT id1, id2 FROM j
+               UNION ALL
+               SELECT id2 AS id1, id1 AS id2 FROM j),
+         reach(id, r) AS (
+           SELECT id1, id2 FROM e
+           UNION
+           SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
+         lbl AS (SELECT id, least(min(r), id) AS cluster
+                 FROM reach GROUP BY id),
+         alldocs AS (SELECT d.doc_id,
+             COALESCE(l.cluster, d.doc_id) AS cluster,
+             CAST(d.n_chars AS BIGINT) AS q
+           FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+         canon AS (SELECT cluster, doc_id AS canonical_id FROM (
+             SELECT cluster, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY q DESC, doc_id) AS rn
+             FROM alldocs) WHERE rn = 1)
+         SELECT a.doc_id, a.cluster, c.canonical_id,
+           a.doc_id = c.canonical_id AS keep
+         FROM alldocs a JOIN canon c ON c.cluster = a.cluster""",
     "q_vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
                     FROM documents)
@@ -4632,6 +4692,31 @@ object SparkEntry {
              AS used_cents,
            COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
+    // rank-exact gap statistics: same (gap, ts, id) rank total order,
+    // same doubled-median / ceil-p95 arithmetic (all operands positive,
+    // so `//` is floor here)
+    "q_cadence_profile" ->
+      """WITH g AS (SELECT user_id AS grp, ts, event_id AS id,
+             epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+           FROM events),
+         gg AS (SELECT grp, ts, id, CAST(gap_ms AS BIGINT) AS gap_ms
+           FROM g WHERE gap_ms IS NOT NULL),
+         r AS (SELECT grp, gap_ms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY gap_ms, ts, id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM gg)
+         SELECT grp, MAX(n) AS n_gaps,
+           CAST(SUM(CASE
+               WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * gap_ms
+               WHEN n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1)
+                 THEN gap_ms
+               ELSE 0 END) AS BIGINT) AS twice_median_gap_ms,
+           CAST(SUM(CASE WHEN rn = (95 * n + 99) // 100 THEN gap_ms
+               ELSE 0 END) AS BIGINT) AS p95_gap_ms,
+           MAX(gap_ms) AS max_gap_ms
+         FROM r GROUP BY 1""",
     // stuck-run replay: same floorDiv bucketing (Euclidean idiom — DuckDB
     // integer `//` truncates on negatives), same gaps-and-islands
     "q_stuck_meter" ->

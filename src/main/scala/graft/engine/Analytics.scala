@@ -974,6 +974,51 @@ object Analytics {
         col("run_start"), col("run_end"))
   }
 
+  /** Meter cadence profile — the reporting-regularity check (a feed whose
+    * inter-arrival gaps drift or spread is a failing gateway long before
+    * values go bad): per key, exact integer statistics of the millisecond
+    * gaps between consecutive ticks under the (ts, id) total order.
+    *
+    * Exact rank selection, no arrays and no approximation: gaps are ranked
+    * per key (gap asc, then (ts, id) — a total order, so ranks are
+    * deterministic); the median is reported DOUBLED (the
+    * [[rollingMedianDaily]] convention: odd n → 2·mid, even n → the two
+    * middle gaps summed — interpolation stays in BIGINT) and p95 is the
+    * gap at rank ceil(0.95·n). One raw-row window shuffle on the key (the
+    * [[meterIntervals]] shape) + a key-sized aggregate on the same
+    * partitioning. Output: (grp, n_gaps, twice_median_gap_ms, p95_gap_ms,
+    * max_gap_ms); keys with a single tick have no gaps and no row.
+    */
+  def cadenceProfile(df: DataFrame, key: Column, ts: Column,
+                     id: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    val gaps = df.select(key.as("key"), ts.as("ts"), id.as("id"))
+      .withColumn("_ms", unix_millis(col("ts")))
+      .withColumn("_prev", lag(col("_ms"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("gap_ms", col("_ms") - col("_prev"))
+    val wg = Window.partitionBy(col("key"))
+      .orderBy(col("gap_ms"), col("ts"), col("id"))
+    gaps
+      .withColumn("_rn", row_number().over(wg).cast("long"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("key"))).cast("long"))
+      .withColumn("_mid1", expr("(_n + 1) div 2"))
+      .withColumn("_mid2", expr("_n div 2 + 1"))
+      .withColumn("_p95", expr("(95 * _n + 99) div 100"))
+      .groupBy(col("key").as("grp"))
+      .agg(max(col("_n")).as("n_gaps"),
+        sum(when(expr("_n % 2 = 1") && col("_rn") === col("_mid1"),
+            col("gap_ms") * 2)
+          .when(expr("_n % 2 = 0") &&
+            (col("_rn") === expr("_n div 2") ||
+              col("_rn") === col("_mid2")), col("gap_ms"))
+          .otherwise(lit(0L))).as("twice_median_gap_ms"),
+        sum(when(col("_rn") === col("_p95"), col("gap_ms"))
+          .otherwise(lit(0L))).as("p95_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+  }
+
   /** Per-meter VEE quality scorecard — the validation summary a metering
     * ops team reads before trusting a feed: row/null counts, calendar
     * completeness, spike count and longest stuck run, one row per key.

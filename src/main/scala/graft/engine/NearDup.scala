@@ -818,4 +818,29 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** Cluster-canonical selection by a DECLARED quality score: real corpus
+    * curation keeps the BEST member of each duplicate cluster, not the
+    * smallest id ([[dedupClusters]]'s label is a cluster NAME, not a keep
+    * decision). Input: the (doc_id, cluster) assignment plus a
+    * (id, quality) frame (integer quality — the repo's exactness
+    * contract); the canonical member is the deterministic argmax
+    * (quality DESC, doc_id ASC on ties), computed as one struct-max
+    * aggregate per cluster — no window sort, partial-agg friendly.
+    * Output: one row per doc — (doc_id, cluster, canonical_id, keep).
+    */
+  def canonicalByQuality(labels: DataFrame, quality: DataFrame,
+                         id: Column, q: Column): DataFrame = {
+    val withQ = labels.select(col("doc_id"), col("cluster"))
+      .join(quality.select(id.as("doc_id"), q.cast("long").as("_q")),
+        "doc_id")
+    val canon = withQ.groupBy(col("cluster"))
+      // struct-max: quality desc, then the SMALLEST id (negate for max)
+      .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nid")))
+        .as("_m"))
+      .select(col("cluster"), (-col("_m.nid")).as("canonical_id"))
+    withQ.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
 }

@@ -607,6 +607,28 @@ class AnalyticsSpec extends SparkSpec {
         col("v"), quantCents = 10L, minLen = 1)
   }
 
+  test("cadenceProfile: exact rank statistics of inter-arrival gaps") {
+    val fx = Seq(
+      // a: gaps 1000,2000,3000,4000 ms (even n=4)
+      ("a", t("2024-01-01 00:00:00"), 1L), ("a", t("2024-01-01 00:00:01"), 2L),
+      ("a", t("2024-01-01 00:00:03"), 3L), ("a", t("2024-01-01 00:00:06"), 4L),
+      ("a", t("2024-01-01 00:00:10"), 5L),
+      // b: one 500 ms gap (odd n=1)
+      ("b", t("2024-01-01 00:00:00"), 1L),
+      ("b", t("2024-01-01 00:00:00.5"), 2L),
+      // c: single tick -> no gaps, no row
+      ("c", t("2024-01-01 00:00:00"), 1L)
+    ).toDF("k", "ts", "id")
+    val r = Analytics.cadenceProfile(fx, col("k"), col("ts"), col("id"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))).toMap
+    // a: med2 = 2000+3000; p95 rank ceil(0.95*4)=4 -> 4000
+    r("a") shouldBe ((4L, 5000L, 4000L, 4000L))
+    // b: med2 = 2*500; p95 rank 1 -> 500
+    r("b") shouldBe ((1L, 1000L, 500L, 500L))
+    r.keySet should not contain "c"
+  }
+
   test("veeScorecard: hand-computed quality row per key") {
     val fx = Seq(
       // C: days 1,2,5 present (span 5 -> 600000 ppm); one +300.00 spike;

@@ -422,4 +422,21 @@ class NearDupSpec extends SparkSpec {
     pairs.keySet should contain((1L, 2L))
     pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
   }
+
+  test("canonicalByQuality: best-scoring member wins, min-id on ties, " +
+    "singleton keeps itself") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 7L), (4L, 7L), (5L, 1L))
+      .toDF("id", "q")
+    val out = NearDup.canonicalByQuality(labels, quality, col("id"),
+        col("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((1L, 2L, false)) // 2 outranks 1 on quality
+    out(2L) shouldBe ((1L, 2L, true))
+    out(3L) shouldBe ((3L, 3L, true))  // 7 == 7 -> min id wins
+    out(4L) shouldBe ((3L, 3L, false))
+    out(5L) shouldBe ((5L, 5L, true))  // singleton
+  }
 }

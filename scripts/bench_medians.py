@@ -1,53 +1,66 @@
 #!/usr/bin/env python3
-"""Aggregate N full-suite graft.Bench JSON artifacts into the cross-run
-median table (SCALE.md "Bench variance": the trustworthy per-query number
-is the cross-run median, never a single run's sample).
+"""Rebuild BENCH_MEDIANS.json from a set of full-suite bench detail lines.
 
-Usage: python3 scripts/bench_medians.py OUT.json RUN1.json RUN2.json ...
+Usage: bench_medians.py OUT LOG [LOG...]
 
-Each RUNi.json is the one-line artifact Bench writes to
-$SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json). Output schema:
-  {"runs": N, "sum_of_medians": S, "run_totals": [...],
-   "max_spread": {"query": q, "ratio": r},
-   "queries": {name: {"median": m, "min": lo, "max": hi}}}
+Each LOG is a bench run's stdout (or a saved copy of the one-line JSON
+detail); the FIRST line containing `"queries"` is taken as that run's
+detail. Per-query min/median/max are computed over the runs in which the
+query appears (the suite grows within a round, so late additions have
+fewer samples — recorded in `n_runs`). `sum_of_medians` covers the most
+recent run's query set: the cross-run-median total is the trustworthy
+headline (single runs swing ±10%; see SCALE.md "Bench variance").
 """
 import json
 import statistics
 import sys
 
 
-def main() -> int:
-    if len(sys.argv) < 4:
-        print(__doc__, file=sys.stderr)
-        return 2
-    out_path, run_paths = sys.argv[1], sys.argv[2:]
-    runs = [json.load(open(p))["queries"] for p in run_paths]
-    names = sorted(set.intersection(*(set(r) for r in runs)))
-    queries = {}
-    for name in names:
-        xs = [r[name] for r in runs]
-        queries[name] = {"median": round(statistics.median(xs), 3),
-                         "min": round(min(xs), 3), "max": round(max(xs), 3)}
-    spread_q = max((n for n in names if queries[n]["min"] > 0),
-                   key=lambda n: queries[n]["max"] / queries[n]["min"])
-    result = {
+def detail(path):
+    with open(path, errors="replace") as f:
+        for line in f:
+            if '"queries"' in line and '"metric"' in line:
+                return json.loads(line[line.index("{"):])
+    raise SystemExit(f"no bench detail line in {path}")
+
+
+def main():
+    out, logs = sys.argv[1], sys.argv[2:]
+    runs = [detail(p) for p in logs]
+    latest = runs[-1]["queries"]
+    samples = {}
+    for r in runs:
+        for q, t in r["queries"].items():
+            samples.setdefault(q, []).append(t)
+    queries = {
+        q: {
+            "min": min(v),
+            "median": round(statistics.median(v), 3),
+            "max": max(v),
+            "n_runs": len(v),
+        }
+        for q, v in sorted(samples.items())
+    }
+    spread = max(
+        ((q, s["max"] / s["min"]) for q, s in queries.items() if s["min"] > 0),
+        key=lambda x: x[1],
+    )
+    doc = {
         "runs": len(runs),
-        "sum_of_medians": round(sum(q["median"] for q in queries.values()), 3),
-        "run_totals": [round(sum(r[n] for n in names), 3) for r in runs],
-        "max_spread": {
-            "query": spread_q,
-            "ratio": round(queries[spread_q]["max"] /
-                           queries[spread_q]["min"], 2)},
+        "run_totals": [round(r["value"], 3) for r in runs],
+        "sum_of_medians": round(
+            sum(queries[q]["median"] for q in latest), 3
+        ),
+        "latest_query_count": len(latest),
+        "max_spread": {"query": spread[0], "ratio": round(spread[1], 2)},
         "queries": queries,
     }
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
-    print(f"{out_path}: {len(runs)} runs over {len(names)} queries, "
-          f"sum_of_medians={result['sum_of_medians']}s, "
-          f"totals={result['run_totals']}, "
-          f"max spread {spread_q} x{result['max_spread']['ratio']}")
-    return 0
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"{out}: {len(runs)} runs, {len(queries)} queries, "
+          f"sum_of_medians={doc['sum_of_medians']}")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -1954,6 +1954,19 @@ object SparkEntry {
     // at-least-once batch re-delivery made exactly-once by the last-batch
     // marker; the folded table equals the global keep-last per user.
     "q_stream_sink_upsert" -> ((s, d) => runStreamUpsert(s, d)),
+    // Streaming flatline (stuck-meter) alarm: one alarm per stuck run,
+    // fired at the reading where the same-bucket run first reaches 3 —
+    // the VEE stale-register check in real time; two longs of state per
+    // key. Single-batch AvailableNow == the batch gaps-and-islands
+    // closed form with rank-within-island == 3 (oracled)
+    "q_stream_flatline" -> ((s, d) => {
+      val out = graft.streaming.Streams.flatlineStream(
+        streamingEvents(s, d), "ts", "user_id", "value",
+        quantCents = 5000L, minLen = 3)
+      runAvailableNow(s, out, "flatline", d,
+        _.select(col("grp"), col("tsUs").as("ts_us"), col("bucket"),
+          col("runLen").as("run_len")))
+    }),
     // Per-key streaming anomaly alerts (flatMapGroupsWithState, Append):
     // a reading deviating > 50.00 from the key's RUNNING mean alerts, with
     // the mean accumulated in (ts, cents) order — integer cross-multiplied
@@ -4692,6 +4705,31 @@ object SparkEntry {
              AS used_cents,
            COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
+    // flatline alarm replay: the stuck-run gaps-and-islands in (us, vc)
+    // fold order, alarms where rank-within-island == minLen
+    "q_stream_flatline" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS k,
+             epoch_ns(ts)//1000 AS us,
+             CAST(floor(value*100) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+         qq AS (SELECT k, us, vc,
+             (vc - (((vc % 5000) + 5000) % 5000)) // 5000 AS q
+           FROM t),
+         c AS (SELECT k, us, vc, q,
+             CASE WHEN LAG(q) OVER (PARTITION BY k ORDER BY us, vc)
+                    IS DISTINCT FROM q THEN 1 ELSE 0 END AS chg
+           FROM qq),
+         i AS (SELECT k, us, vc, q,
+             SUM(chg) OVER (PARTITION BY k ORDER BY us, vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM c),
+         p AS (SELECT k, us, q, island,
+             CAST(ROW_NUMBER() OVER (PARTITION BY k, island
+               ORDER BY us, vc) AS BIGINT) AS rn
+           FROM i)
+         SELECT k AS grp, CAST(us AS BIGINT) AS ts_us,
+           CAST(q AS BIGINT) AS bucket, rn AS run_len
+         FROM p WHERE rn = 3""",
     // rank-exact gap statistics: same (gap, ts, id) rank total order,
     // same doubled-median / ceil-p95 arithmetic (all operands positive,
     // so `//` is floor here)

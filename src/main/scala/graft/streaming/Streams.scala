@@ -286,6 +286,56 @@ object Streams {
       .toDF()
   }
 
+  case class FlatlineAlarm(grp: String, tsUs: Long, bucket: Long,
+                           runLen: Long)
+
+  /** Streaming twin of `Analytics.stuckRuns` as an ALARM: per key, track
+    * the current same-bucket run (bucket = floorDiv(cents, quantCents) —
+    * the batch operator's quantizer) across batches in two longs of
+    * state, and emit exactly ONE alarm per stuck run, at the reading
+    * where the run first reaches `minLen`. A flatlined feed alarms once
+    * and stays silent until the register moves again — the VEE
+    * stale-register check in real time.
+    *
+    * Readings fold in (ts, cents) order per batch (the [[alertStream]]
+    * tie rule: tied rows are identical — same bucket — so order between
+    * them cannot change the alarm multiset), NULL readings are dropped
+    * (a null is a gap, not a stuck reading), and the single-batch
+    * AvailableNow run equals the batch gaps-and-islands closed form with
+    * `rank-within-island == minLen` exactly (the oracle). State never
+    * ages: two longs per key, the watermark-free [[cusumStream]] regime.
+    */
+  def flatlineStream(events: DataFrame, ts: String, key: String,
+                     value: String, quantCents: Long,
+                     minLen: Int): DataFrame = {
+    require(quantCents >= 1, s"quantCents >= 1: $quantCents")
+    require(minLen >= 2, s"minLen >= 2 (a single tick is never stuck): $minLen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(s"$value IS NOT NULL")
+      .selectExpr(s"CAST($key AS STRING) AS k",
+        s"unix_micros(CAST($ts AS TIMESTAMP)) AS us",
+        s"CAST(floor($value * 100) AS LONG) AS vc")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), FlatlineAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          // (lastBucket, runLen); Long.MinValue = "no prior reading"
+          var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = Seq.newBuilder[FlatlineAlarm]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, us, vc) =>
+            val q = Math.floorDiv(vc, quantCents)
+            if (q == last && n > 0) n += 1 else { last = q; n = 1L }
+            if (n == minLen) out += FlatlineAlarm(k, us, q, n)
+          }
+          state.update((last, n))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   case class CusumAlarm(grp: String, tsUs: Long, vCents: Long, up: Long,
                         down: Long, direction: String)
   // (su, minSu, sd, maxSd) — the prefix-sum closed form of both clamped

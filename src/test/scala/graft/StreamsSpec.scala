@@ -30,6 +30,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatlineStream: a run crossing the batch boundary alarms exactly " +
+    "once; movement re-arms; nulls are gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val out = Streams.flatlineStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v",
+      quantCents = 100L, minLen = 3)
+    val q = out.writeStream.format("memory").queryName("flatline")
+      .outputMode(Streams.hourlySumMode).start()
+    def rows() = spark.sql("SELECT * FROM flatline").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    try {
+      // batch 1: two ticks in bucket 1 (1.00, 1.50) — run open, no alarm
+      mem.addData((t("2024-01-01 00:00:00"), "a", Some(1.00)),
+        (t("2024-01-01 00:01:00"), "a", Some(1.50)))
+      q.processAllAvailable()
+      rows() shouldBe empty
+      // batch 2: third tick in bucket 1 -> ONE alarm at that tick; a
+      // fourth stuck tick must NOT re-alarm; a null is skipped
+      mem.addData((t("2024-01-01 00:02:00"), "a", Some(1.20)),
+        (t("2024-01-01 00:02:30"), "a", None),
+        (t("2024-01-01 00:03:00"), "a", Some(1.99)))
+      q.processAllAvailable()
+      rows().toSeq shouldBe Seq(
+        ("a", Timestamp.valueOf("2024-01-01 00:02:00").getTime * 1000L,
+          1L, 3L))
+      // batch 3: movement (bucket 2) re-arms; three stuck ticks alarm again
+      mem.addData((t("2024-01-01 00:04:00"), "a", Some(2.00)),
+        (t("2024-01-01 00:05:00"), "a", Some(2.10)),
+        (t("2024-01-01 00:06:00"), "a", Some(2.20)))
+      q.processAllAvailable()
+      rows().map(x => (x._1, x._3, x._4)).toSet shouldBe
+        Set(("a", 1L, 3L), ("a", 2L, 3L))
+    } finally q.stop()
+  }
+
   test("touDailyStream: daily TOU cells close with the watermark and are " +
     "bit-identical to the batch band split") {
     implicit val sqlCtx = spark.sqlContext

@@ -2082,6 +2082,12 @@ object SparkEntry {
     "q_cadence_profile" -> ((s, d) =>
       Analytics.cadenceProfile(events(s, d), col("user_id"), col("ts"),
         col("event_id"))),
+    // fleet-level VEE rollup: one row of meter counts by failure class
+    // (90% completeness floor) — the ops-dashboard summary (oracled)
+    "q_vee_fleet" -> ((s, d) =>
+      Analytics.veeFleetRollup(
+        Analytics.veeScorecard(events(s, d), col("user_id"), col("ts"),
+          col("event_id"), col("value")))),
     // VEE stale-register check: maximal runs of >= 3 ticks in the same
     // 50-unit bucket per user under the (ts, event_id) total order —
     // gaps-and-islands, floorDiv bucketing (oracled, Euclidean idiom)
@@ -2137,6 +2143,20 @@ object SparkEntry {
            list_transform(embedding, x -> CAST(x AS DOUBLE)),
            list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS norm_sq
          FROM embeddings""",
+    // the fleet rollup wraps the scorecard oracle VERBATIM (shared text,
+    // can't drift) in a one-row classification aggregate
+    "q_vee_fleet" ->
+      s"""WITH sc AS (${baseOracles("q_vee_scorecard")})
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_meters,
+           CAST(SUM(CASE WHEN completeness_ppm < 900000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_incomplete,
+           CAST(SUM(CASE WHEN n_spikes > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_spiky,
+           CAST(SUM(CASE WHEN longest_stuck > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_stuck,
+           CAST(SUM(CASE WHEN n_nulls > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_with_nulls
+         FROM sc""",
   )
 
   private def baseOracles: Map[String, String] = Map(

@@ -1019,6 +1019,26 @@ object Analytics {
         max(col("gap_ms")).as("max_gap_ms"))
   }
 
+  /** Fleet-level rollup of the [[veeScorecard]] — the one-row summary an
+    * ops dashboard reads before trusting a day's feed: meter counts by
+    * failure class, against a declared completeness floor (ppm). A meter
+    * counts once per class it fails; classes overlap. One keyless
+    * aggregate over the key-sized scorecard — nothing row-scale moves.
+    * Output: (n_meters, n_incomplete, n_spiky, n_stuck, n_with_nulls).
+    */
+  def veeFleetRollup(scorecard: DataFrame,
+                     completenessFloorPpm: Long = 900000L): DataFrame = {
+    require(completenessFloorPpm >= 0 && completenessFloorPpm <= 1000000L,
+      s"completeness floor is a ppm in [0, 1e6]: $completenessFloorPpm")
+    scorecard.agg(
+      count(lit(1)).as("n_meters"),
+      sum(when(col("completeness_ppm") < completenessFloorPpm, 1L)
+        .otherwise(0L)).as("n_incomplete"),
+      sum(when(col("n_spikes") > 0, 1L).otherwise(0L)).as("n_spiky"),
+      sum(when(col("longest_stuck") > 0, 1L).otherwise(0L)).as("n_stuck"),
+      sum(when(col("n_nulls") > 0, 1L).otherwise(0L)).as("n_with_nulls"))
+  }
+
   /** Per-meter VEE quality scorecard — the validation summary a metering
     * ops team reads before trusting a feed: row/null counts, calendar
     * completeness, spike count and longest stuck run, one row per key.

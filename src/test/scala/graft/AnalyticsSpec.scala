@@ -649,4 +649,24 @@ class AnalyticsSpec extends SparkSpec {
     r("C") shouldBe ((5L, 1L, 3L, 5L, 600000L, 1L, 3L))
     r("D") shouldBe ((1L, 1L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("veeFleetRollup: class counts with overlap against the floor") {
+    // C fails completeness (600000 < 900000), spiky, stuck, has nulls;
+    // D fails completeness (0) and has nulls only
+    val fx = Seq(
+      ("C", t("2024-01-01 00:00:00"), 1L, Some(1.00)),
+      ("C", t("2024-01-01 01:00:00"), 2L, Some(1.00)),
+      ("C", t("2024-01-02 00:00:00"), 3L, Some(1.00)),
+      ("C", t("2024-01-05 00:00:00"), 4L, Some(301.00)),
+      ("C", t("2024-01-05 01:00:00"), 5L, None),
+      ("D", t("2024-01-01 00:00:00"), 1L, None)
+    ).toDF("k", "ts", "id", "v")
+    val sc = Analytics.veeScorecard(fx, col("k"), col("ts"), col("id"),
+      col("v"))
+    val row = Analytics.veeFleetRollup(sc).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) shouldBe ((2L, 2L, 1L, 1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Analytics.veeFleetRollup(sc, completenessFloorPpm = 2000000L)
+  }
 }

@@ -319,16 +319,23 @@ object Forecast {
   def theilSenSlopeByKey(df: DataFrame, key: Column, ts: Column,
                          value: Column, maxDays: Int = 4000): DataFrame = {
     require(maxDays >= 2, s"maxDays >= 2: $maxDays")
-    // quadratic knob here is SERIES LENGTH (pairs-per-key = days²/2), so
-    // the loud a-priori bound is on distinct days — one cheap one-column
-    // pre-pass; 4000 days (~11 years of dailies) caps a key at ~8M pairs
-    val nDays = df.filter(value.isNotNull).select(to_date(ts).as("day"))
-      .distinct().count()
+    // quadratic knob here is PER-KEY series length (pairs-per-key =
+    // days²/2), so the loud a-priori bound is on the longest key's
+    // distinct-day count — NOT the global union of days, which would
+    // reject a wide panel of short series covering different eras (an r7
+    // regression, fixed per ADVICE r8). One cheap two-column pre-pass
+    // (map-side partial agg, key-sized result reduced to one row); 4000
+    // days (~11 years of dailies) caps a key at ~8M pairs
+    val nDays = df.filter(value.isNotNull)
+      .groupBy(key.as("_g"))
+      .agg(countDistinct(to_date(ts)).as("_nd"))
+      .agg(coalesce(max(col("_nd")), lit(0L)))
+      .first().getLong(0)
     require(nDays <= maxDays,
-      s"theilSenSlopeByKey: $nDays distinct days exceeds maxDays=$maxDays " +
-        "— the per-key pair join is quadratic in series length. Restrict " +
-        "the time range, aggregate to a coarser grain, or raise maxDays " +
-        "deliberately (SCALE.md).")
+      s"theilSenSlopeByKey: a key spans $nDays distinct days, exceeding " +
+        s"maxDays=$maxDays — the per-key pair join is quadratic in series " +
+        "length. Restrict the time range, aggregate to a coarser grain, " +
+        "or raise maxDays deliberately (SCALE.md).")
     val xc = floor(value * lit(100.0)).cast("long")
     val daily = df.filter(value.isNotNull)
       .groupBy(key.as("grp"), to_date(ts).as("day"))

@@ -61,8 +61,17 @@ object Graph {
     * so for `iters > 3` the rank frame is eagerly `localCheckpoint`ed
     * every `checkpointEvery` rounds (node-sized pass; previous checkpoint
     * blocks released — the `NearDup.dedupClusters` hygiene) to keep
-    * optimizer time and lineage depth bounded. The default 3-round call
-    * never checkpoints mid-loop and plans exactly as before.
+    * optimizer time and lineage depth bounded. Under
+    * `redistributeDangling` EVERY non-final round checkpoints — each
+    * following round reads the ranks twice (contribution join + the
+    * dangling aggregate), so an uncheckpointed round doubles upstream
+    * recompute per level (the hits() half-step lesson). The default
+    * 3-round sink-leak call never checkpoints mid-loop and plans exactly
+    * as before.
+    *
+    * Long-safety is a RUNTIME guarantee on the redistribution path (which
+    * already counts nodes): `maxNodes` defaults to the documented
+    * ~9.2e7-node bound and the call fails loudly beyond it.
     *
     * Convergence diagnostic: pass a `deltaL1Out` buffer to receive
     * ‖rank′ − rank‖₁ after every round (one one-row aggregate per round;
@@ -77,11 +86,13 @@ object Graph {
                dst: org.apache.spark.sql.Column, iters: Int = 3,
                dampPct: Int = 85, redistributeDangling: Boolean = false,
                checkpointEvery: Int = 3,
-               deltaL1Out: scala.collection.mutable.Buffer[Long] = null)
+               deltaL1Out: scala.collection.mutable.Buffer[Long] = null,
+               maxNodes: Long = Long.MaxValue / (100L * RankUnit))
       : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(checkpointEvery >= 1, s"checkpointEvery >= 1, got $checkpointEvery")
+    require(maxNodes >= 1, s"maxNodes >= 1, got $maxNodes")
     val e = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
       .na.drop().distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -106,6 +117,18 @@ object Graph {
       val nNodes = if (redistributeDangling) nodes.count() else 1L
       if (redistributeDangling)
         require(nNodes > 0, "pageRank redistribution on an empty graph")
+      // The Long-safety bound from the module doc, promoted to a LOUD
+      // runtime guarantee (the maxKeys/heavyHitters house pattern) on the
+      // path that already counts nodes: total mass ≤ n·R, so the damped
+      // update's `dampPct · contrib` term needs n ≤ Long.MaxValue/(100·R)
+      // (~9.2e7 at R = 1e9). Beyond that, shrink R — the iteration is
+      // scale-free — or pre-aggregate the graph (SCALE.md "Link graphs").
+      if (redistributeDangling)
+        require(nNodes <= maxNodes,
+          s"pageRank: $nNodes nodes exceeds maxNodes=$maxNodes — " +
+            s"dampPct·contrib can overflow Long at R=$RankUnit ppb. " +
+            "Shrink the rank unit (the iteration is scale-free) or raise " +
+            "maxNodes deliberately after checking the bound (SCALE.md).")
       val nDangling = danglingNodes.map(_.count()).getOrElse(0L)
 
       def damped(contribs: DataFrame, prevRanks: Option[DataFrame]): DataFrame =
@@ -146,7 +169,14 @@ object Graph {
         .groupBy("node").agg(sum("c").as("contrib")), None)
       var lastCkpt: DataFrame = null
       def ckptAndDiag(it: Int, prev: Option[DataFrame]): Unit = {
+        // under redistribution every following round reads this round's
+        // ranks TWICE (contribution join + the broadcast dangling-mass
+        // aggregate), so uncheckpointed rounds double their upstream
+        // recompute — the same compounding hits() measured at 20.0 s vs
+        // 4.3 s. Eagerly materialize EVERY non-final round on that path
+        // (node-sized pass), not just beyond the iters>3 cadence.
         val wantCkpt = deltaL1Out != null ||
+          (redistributeDangling && it < iters) ||
           (iters > 3 && it < iters && it % checkpointEvery == 0)
         if (wantCkpt) ranks = ranks.localCheckpoint(true)
         if (deltaL1Out != null) {
@@ -211,7 +241,9 @@ object Graph {
     * aggregate (crossed broadcast-style — the repo's one-row crossJoin
     * pattern), and stays exactly replayable. Long-safety: a raw sum is
     * ≤ deg·2R, so the arithmetic holds to ~2e9 max in/out-degree — far
-    * beyond any real host graph's degree; documented in SCALE.md.
+    * beyond any real host graph's degree — and since r8 the bound is a
+    * LOUD runtime guard (`maxDegree`, one cheap degree pass over the
+    * persisted edges); documented in SCALE.md.
     *
     * 100 TB shape: the edge list is the only data-scale table. It is
     * deduplicated once and persisted twice — hash-partitioned by `src`
@@ -222,8 +254,10 @@ object Graph {
     * zeros where a direction has no edges.
     */
   def hits(edges: DataFrame, src: org.apache.spark.sql.Column,
-           dst: org.apache.spark.sql.Column, iters: Int = 2): DataFrame = {
+           dst: org.apache.spark.sql.Column, iters: Int = 2,
+           maxDegree: Long = Long.MaxValue / (4L * RankUnit)): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxDegree >= 1, s"maxDegree >= 1, got $maxDegree")
     val e0 = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
       .na.drop().distinct()
     // eByDst is the ONE always-persisted copy (it serves every hub round);
@@ -250,6 +284,24 @@ object Graph {
     // The checkpoints are node-sized; all are released before returning.
     val halfSteps = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
+      // The Long-safety bound from the Scaladoc, promoted to a LOUD
+      // runtime guarantee (the maxKeys house pattern): a raw half-step
+      // sum is ≤ degree·2R, so both directions need max degree ≤
+      // Long.MaxValue/(4R) (~2.3e9 at R = 1e9; the extra factor of 2 is
+      // headroom for the rescale's ~2R score ceiling). One cheap
+      // degree pass over the persisted edges — per-direction max via a
+      // direction-tagged union, a single partial-agg shuffle — which
+      // also warms the eByDst cache the loop reuses.
+      val maxDeg = eByDst.select(col("dst").as("node"), lit("i").as("_d"))
+        .union(eByDst.select(col("src").as("node"), lit("o").as("_d")))
+        .groupBy(col("node"), col("_d")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(max(col("deg")), lit(0L))).first().getLong(0)
+      require(maxDeg <= maxDegree,
+        s"hits: max in/out-degree $maxDeg exceeds maxDegree=$maxDegree — " +
+          s"a half-step raw sum can overflow Long at R=$RankUnit ppb. " +
+          "Shrink the rank unit (scores are scale-free), pre-aggregate " +
+          "the graph, or raise maxDegree deliberately after checking the " +
+          "bound (SCALE.md).")
       def rescale(raw0: DataFrame): DataFrame = {
         val raw = raw0.localCheckpoint(true)
         halfSteps += raw

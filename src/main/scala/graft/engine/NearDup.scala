@@ -825,8 +825,13 @@ object NearDup {
     * decision). Input: the (doc_id, cluster) assignment plus a
     * (id, quality) frame (integer quality — the repo's exactness
     * contract); the canonical member is the deterministic argmax
-    * (quality DESC, doc_id ASC on ties), computed as one struct-max
-    * aggregate per cluster — no window sort, partial-agg friendly.
+    * (quality DESC, doc_id ASC on ties), computed as one min_by
+    * aggregate per cluster over the (−quality, doc_id) ordering struct —
+    * no window sort, partial-agg friendly, and ORDER-SAFE FOR ANY id
+    * type: the struct compares lexicographically with the id in its
+    * native ordering (the previous `max(struct(q, -id))` negation
+    * implicitly cast a string id to double — NULL — and silently made
+    * the tie-break nondeterministic; ADVICE r8).
     * Output: one row per doc — (doc_id, cluster, canonical_id, keep).
     */
   def canonicalByQuality(labels: DataFrame, quality: DataFrame,
@@ -835,10 +840,12 @@ object NearDup {
       .join(quality.select(id.as("doc_id"), q.cast("long").as("_q")),
         "doc_id")
     val canon = withQ.groupBy(col("cluster"))
-      // struct-max: quality desc, then the SMALLEST id (negate for max)
-      .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nid")))
-        .as("_m"))
-      .select(col("cluster"), (-col("_m.nid")).as("canonical_id"))
+      // argmax by (quality desc, id asc) == min_by over (−quality, id);
+      // (−quality, id) is unique per row (ids are), so min_by is exact
+      .agg(min_by(col("doc_id"),
+        struct((-col("_q")).as("nq"), col("doc_id").as("id")))
+        .as("canonical_id"))
+      .select(col("cluster"), col("canonical_id"))
     withQ.join(canon, "cluster")
       .select(col("doc_id"), col("cluster"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("keep"))

@@ -313,9 +313,20 @@ class ForecastSpec extends SparkSpec {
       Forecast.theilSenSlopeByKey(fiveDays.toDF("k", "t", "v"),
         col("k"), col("t"), col("v"), maxDays = 4)
     }
-    eTs.getMessage should include("5 distinct days exceeds maxDays=4")
+    eTs.getMessage should include(
+      "a key spans 5 distinct days, exceeding maxDays=4")
     Forecast.theilSenSlopeByKey(fiveDays.toDF("k", "t", "v"),
       col("k"), col("t"), col("v")).collect().length shouldBe 1
+    // the guard bounds the PER-KEY series length, not the panel's union of
+    // days: two keys covering DIFFERENT eras (2 + 3 days, union 5) pass at
+    // maxDays = 3 — the quadratic pair join is per-key (ADVICE r8: the
+    // global-distinct guard wrongly rejected exactly this input)
+    val eras = dailyRows("a", Seq(100L, 200L)) ++
+      Seq((8, 300L), (9, 400L), (10, 500L)).map { case (dd, c) =>
+        ("b", ts(dd, 12), c / 100.0) }
+    Forecast.theilSenSlopeByKey(eras.toDF("k", "t", "v"),
+      col("k"), col("t"), col("v"), maxDays = 3)
+      .collect().length shouldBe 2
   }
 
   // ---- Lag features ----

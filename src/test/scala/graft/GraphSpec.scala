@@ -162,6 +162,30 @@ class GraphSpec extends SparkSpec {
     all(hubs) should be >= 0L
   }
 
+  test("Long-safety guards fail loudly: pageRank maxNodes (redistribution " +
+    "path), hits maxDegree; defaults pass the fixture") {
+    // fixture has 4 nodes; the redistribution path counts them anyway, so
+    // the bound is free — a 3-node cap must throw with the R-shrink
+    // remediation, the default (~9.2e7) must pass
+    val ePr = intercept[IllegalArgumentException] {
+      Graph.pageRank(fixture, col("src"), col("dst"),
+        redistributeDangling = true, maxNodes = 3L)
+    }
+    ePr.getMessage should include("4 nodes exceeds maxNodes=3")
+    ePr.getMessage should include("Shrink the rank unit")
+    // the sink-leak default path never counts nodes and must NOT trip even
+    // with an absurd cap (guard lives on the path that already counts)
+    Graph.pageRank(fixture, col("src"), col("dst"), maxNodes = 1L)
+      .collect().length shouldBe 4
+    // max degree in the fixture is 2 (in: c<-{a,b}; out: a->{b,c}, c->{a,d})
+    val eHits = intercept[IllegalArgumentException] {
+      Graph.hits(fixture, col("src"), col("dst"), maxDegree = 1L)
+    }
+    eHits.getMessage should include("max in/out-degree 2 exceeds maxDegree=1")
+    Graph.hits(fixture, col("src"), col("dst"), maxDegree = 2L)
+      .collect().length shouldBe 4
+  }
+
   test("degrees: full outer with zero fill") {
     val d = Graph.degrees(fixture, col("src"), col("dst"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

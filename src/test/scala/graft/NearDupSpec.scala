@@ -439,4 +439,23 @@ class NearDupSpec extends SparkSpec {
     out(4L) shouldBe ((3L, 3L, false))
     out(5L) shouldBe ((5L, 5L, true))  // singleton
   }
+
+  test("canonicalByQuality: STRING ids tie-break deterministically " +
+    "(min_by ordering struct, not numeric negation — ADVICE r8)") {
+    // the old max(struct(q, -id)) cast a string id to double -> NULL and
+    // the tie-break went nondeterministic; min_by over (-q, id) orders
+    // the id in its native (string) collation
+    val labels = Seq(("docB", "c1"), ("docA", "c1"), ("docC", "c1"),
+      ("solo", "c2")).toDF("doc_id", "cluster")
+    val quality = Seq(("docA", 7L), ("docB", 7L), ("docC", 3L),
+      ("solo", 1L)).toDF("id", "q")
+    val out = NearDup.canonicalByQuality(labels, quality, col("id"),
+        col("q"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getBoolean(3)))).toMap
+    out("docA") shouldBe (("docA", true)) // 7 == 7 -> min STRING id wins
+    out("docB") shouldBe (("docA", false))
+    out("docC") shouldBe (("docA", false))
+    out("solo") shouldBe (("solo", true))
+  }
 }

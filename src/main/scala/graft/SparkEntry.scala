@@ -129,10 +129,38 @@ object SparkEntry {
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  /** Fixed BPE merge table for `q_bpe_segment_fixed` (rank order — the
+    * fixed-model oracle pattern): literal merges over the corpus
+    * vocabulary, including a CASCADE ((a,n) → (s,c) → (sc,an) builds the
+    * whole word "scan") so rank re-selection after merged-symbol creation
+    * is exercised. The table is PREFIX-CLOSED (every merged-symbol pair
+    * ranks above its constituents — true of any trained table by
+    * construction), which is what makes the DuckDB one-replace-per-step
+    * recursion equivalent to the kernel's all-occurrences-per-step loop:
+    * a partially-merged pair is still the min rank present, so the
+    * recursion finishes it before touching the next rank. */
+  private val fixedBpeMerges: Seq[(String, String)] = Seq(
+    ("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"),
+    ("o", "r"), ("t", "h"), ("r", "o"), ("l", "l"))
+
   /** PCA models, fitted once per dataset dir (fit-once/project-many — the
     * IVF train/search lesson; the model is dim²-scale, driver-resident). */
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+
+  /** Fixed orthonormal 4×64 basis for `q_pca_project_fixed` — the
+    * q_mahalanobis fixed-model pattern. Components are Sylvester-Hadamard
+    * rows scaled to unit norm: entry = ±0.125 = ±1/√64 (a power of two,
+    * so every product in the projection fold is an EXACT scaling and the
+    * SQL replay is bit-identical); row b flips sign where bit b of the
+    * axis index is set — pairwise dots cancel exactly (orthonormal, spec'd
+    * in PcaSpec). Mean is a constant 0.05 per axis so centering is
+    * exercised. Eigenvalues are placeholders (projection ignores them). */
+  private val fixedPcaModel: Pca.Model = Pca.Model(
+    mean = Array.fill(64)(0.05),
+    components = Array.tabulate(4, 64)((b, k) =>
+      if (((k >> b) & 1) == 1) -0.125 else 0.125),
+    eigenvalues = Array(1.0, 1.0, 1.0, 1.0))
 
   /** Streaming events source for the §2.8 entries. The streaming file source
     * wants a directory: symlink the single parquet file into a STABLE
@@ -1413,6 +1441,18 @@ object SparkEntry {
     "q_embed_dedup_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
         col("embedding"), 0.4)),
+    // SRP (random-hyperplane) cosine-LSH MECHANISM, oracled: the SAME
+    // production kernel (SrpSignature → band chunks → Hamming cut → exact
+    // rerank) at bits=64 / 8 bands × 8 rows — one signature word, whose
+    // 64 MurmurHash3 ±1 planes ride the DuckDB oracle as literal sign
+    // folds (fixed term order → bit-stable IEEE signs, the q_mahalanobis
+    // fixed-shape pattern), so sign/pack/band/Hamming/rerank all replay
+    // cross-engine. The 256-bit paths above stay the scale kernels;
+    // SimilaritySpec pins word-0 bit-parity between the two widths, so
+    // this oracle transitively cross-checks the production signature.
+    "q_srp_fixed" -> ((s, d) =>
+      Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
+        col("embedding"), 0.4, bits = 64, bands = 8, rowsPerBand = 8)),
     // SemDeDup: cluster-then-dedup semantic near-dup over the memoized IVF
     // assignment — within-list blocking, min-id keep rule (rows-only:
     // the k-means quantizer is not SQL-expressible; twin-collapse and keep
@@ -1591,6 +1631,17 @@ object SparkEntry {
       TextOps.bpeSegmentStats(documents(s, d), col("doc_id"), col("text"),
         merges)
     }),
+    // BPE segmentation MECHANISM under the FIXED merge table (oracled):
+    // the SAME bpeSegmentWord kernel the trained variant runs, with a
+    // SQL-expressible model — DuckDB replays per-word greedy merge
+    // application as a recursive CTE over space-separated symbol strings
+    // (min-rank merge present → one replace() pass → recurse; fixpoint
+    // rows are the segmentations), then joins the word-piece table back
+    // to the corpus token stream. The trained variant above stays
+    // rows-only (the iterative trainer isn't SQL-expressible).
+    "q_bpe_segment_fixed" -> ((s, d) =>
+      TextOps.bpeSegmentStats(documents(s, d), col("doc_id"), col("text"),
+        fixedBpeMerges)),
     // int8 embedding quantization (corpus-scale ANN storage), exploded to
     // scalar rows for the gate comparator (oracled)
     "q_quantize_int8" -> ((s, d) => {
@@ -1625,6 +1676,16 @@ object SparkEntry {
         Pca.fit(embeddings(s, dir), col("embedding"), 4))
       Pca.project(embeddings(s, d), col("vec_id"), col("embedding"), model)
     }),
+    // PCA projection MECHANISM against the FIXED orthonormal Hadamard
+    // basis (oracled — the q_mahalanobis fixed-model pattern): the same
+    // Pca.project map-only pass the trained variant runs, but every
+    // mean/component value is a literal on both sides, so the 4
+    // fixed-shape 64-term dot folds replay bit-exactly in DuckDB (±0.125
+    // products are exact power-of-two scalings). The trained variant
+    // above stays rows-only (iterative Jacobi isn't SQL-expressible).
+    "q_pca_project_fixed" -> ((s, d) =>
+      Pca.project(embeddings(s, d), col("vec_id"), col("embedding"),
+        fixedPcaModel)),
     // embedding-space outlier score against a FIXED 4-dim model (the
     // LR/PQ-ADC fixed-model oracle pattern): Mahalanobis quadratic form
     // over the first 4 axes, fixed term order → bit-stable IEEE doubles,
@@ -3433,6 +3494,50 @@ object SparkEntry {
                 CAST(fp AS BIGINT) AS fp
          FROM fpx"""
     },
+    // fixed-merge-table BPE segmentation replay: per DISTINCT word, greedy
+    // merge application as a recursive CTE over space-separated symbol
+    // strings — each step picks the min-rank merge whose ' a b ' pattern
+    // occurs and applies one replace() pass (boundary-shared occurrences
+    // survive to the next step, where the same rank is re-picked — the
+    // fixpoint equals the kernel's all-occurrences pass for a
+    // prefix-closed table); fixpoint rows are the segmentations, joined
+    // back to the corpus token stream (the merges VALUES are generated
+    // from the same Scala literal the engine uses, so they cannot drift)
+    "q_bpe_segment_fixed" -> {
+      val vals = fixedBpeMerges.zipWithIndex.map { case ((a, b), r) =>
+        s"($r, ' $a $b ', ' $a$b ')"
+      }.mkString(",\n             ")
+      s"""WITH RECURSIVE
+         words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+         merges(rnk, pat, rep) AS (VALUES
+             $vals),
+         seg(w, cur) AS (
+           SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+           FROM words WHERE w <> ''
+           UNION ALL
+           SELECT s.w, replace(s.cur, m.pat, m.rep)
+           FROM (SELECT w, cur,
+                   (SELECT min(mm.rnk) FROM merges mm
+                    WHERE contains(cur, mm.pat)) AS br
+                 FROM seg) s
+           JOIN merges m ON m.rnk = s.br),
+         fin AS (SELECT w, len(string_split(trim(cur), ' ')) AS np
+                 FROM seg
+                 WHERE NOT EXISTS (SELECT 1 FROM merges mm
+                                   WHERE contains(seg.cur, mm.pat))),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+         agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   SUM(CASE WHEN t.w = '' THEN 0 ELSE f.np END) AS n_pieces
+                 FROM toks t LEFT JOIN fin f ON f.w = t.w
+                 GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           round(CAST(n_pieces AS DOUBLE) / greatest(n_tokens, 1), 6)
+             AS pieces_per_token
+         FROM agg"""
+    },
     // the fixed-md5-family MinHash mechanism: 32 seeds, 8 bands x 4 rows;
     // signature entry = min md5(shingle||':'||seed) (lexicographic hex min
     // — binary collation in both engines), band hash = md5 of the band's
@@ -3949,6 +4054,27 @@ object SparkEntry {
              - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
              / CAST(n AS DOUBLE)) / 1e12, 9) AS cov
          FROM m""",
+    // fixed-basis PCA projection replay: 4 fixed-shape 64-term dot folds
+    // in the kernel's exact IEEE order — (e_k − 0.05) · (±0.125), products
+    // exact (power-of-two scaling), left-fold sums — the q_mahalanobis
+    // fixed-model pattern extended to the projection map
+    "q_pca_project_fixed" -> {
+      val elems = (1 to 64)
+        .map(k => s"CAST(embedding[$k] AS DOUBLE) AS e$k")
+        .mkString(",\n           ")
+      val folds = (0 until 4).map { b =>
+        val f = (0 until 64).map { k =>
+          val c = if (((k >> b) & 1) == 1) "-0.125" else "0.125"
+          s"(e${k + 1} - 0.05) * $c"
+        }.mkString("\n             + ")
+        s"""SELECT vec_id, CAST(${b + 1} AS BIGINT) AS pc,
+             round($f, 6) AS value FROM c"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH c AS (SELECT vec_id,
+           $elems
+           FROM embeddings)
+         $folds"""
+    },
     "q_mahalanobis" ->
       """WITH c AS (SELECT vec_id,
              embedding[1]::DOUBLE - (0.1) AS c0,
@@ -4109,6 +4235,61 @@ object SparkEntry {
                  round(list_cosine_similarity(a.v, b.v), 6) AS cos
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id1, id2, cos FROM p WHERE cos >= 0.4""",
+    // SRP-LSH mechanism replay: the 64 MurmurHash3 ±1 hyperplanes as
+    // literal sign folds — bit j = (±e1 ± e2 ... ± e64 >= 0), the same
+    // left-fold IEEE order as the SrpSignature kernel loop (±1 products
+    // are exact, so the fold sums identical doubles in identical order);
+    // pack to one signed BIGINT word (bit 63 = Long.MinValue, appended
+    // last so partial sums stay in range), 8 bands × 8 bits, Hamming cut
+    // via bit_count(xor) at the engine's hammingCut(0.4, 64), DISTINCT
+    // pairs, exact round-6 cosine rerank (the q_embed_dedup_pairs replay)
+    "q_srp_fixed" -> {
+      val planes = Similarity.hyperplanes(64, 64)
+      val maxHam = Similarity.hammingCut(0.4, 64)
+      val elems = (1 to 64)
+        .map(k => s"CAST(v0[$k] AS DOUBLE) AS e$k").mkString(",\n           ")
+      // each bit's sign fold binds as its OWN column first: DuckDB's
+      // expression binder recurses ~1 level per binary op and caps at 128,
+      // so a 64-term fold nested inside a 64-term CASE sum blows the
+      // limit — two CTE levels keep every expression ≤ ~64 deep while
+      // preserving the exact left-fold order
+      val dotCols = (0 until 64).map { j =>
+        val fold = (0 until 64).map { k =>
+          (if (planes(j)(k) > 0) "+ " else "- ") + s"e${k + 1}"
+        }.mkString(" ")
+        s"($fold) AS d$j"
+      }.mkString(",\n           ")
+      val bitTerms = (0 until 64).map { j =>
+        val weight =
+          if (j == 63) "-9223372036854775807 - 1" else (1L << j).toString
+        s"(CASE WHEN d$j >= 0 THEN $weight ELSE 0 END)"
+      }.mkString("\n         + ")
+      s"""WITH e0 AS (SELECT vec_id, embedding AS v0,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id, v,
+           $elems
+           FROM e0),
+         dots AS (SELECT vec_id, v,
+           $dotCols
+           FROM c),
+         sig AS (SELECT vec_id, v, CAST(
+           $bitTerms
+           AS BIGINT) AS sg FROM dots),
+         bnd AS (SELECT vec_id, sg, j.j AS band, (sg >> (8 * j.j)) & 255
+                   AS chunk
+                 FROM sig CROSS JOIN (SELECT unnest(range(8)) AS j) j),
+         cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+                  FROM bnd l JOIN bnd r
+                    ON l.band = r.band AND l.chunk = r.chunk
+                       AND l.vec_id < r.vec_id
+                  WHERE bit_count(xor(l.sg, r.sg)) <= $maxHam),
+         p AS (SELECT id1, id2,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+               FROM cand JOIN sig a ON a.vec_id = cand.id1
+                         JOIN sig b ON b.vec_id = cand.id2)
+         SELECT id1, id2, cos FROM p WHERE cos >= 0.4"""
+    },
     "q_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

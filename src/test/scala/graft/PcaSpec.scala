@@ -266,4 +266,41 @@ class PcaSpec extends SparkSpec {
     again.components.map(_.toSeq).toSeq shouldBe
       model.components.map(_.toSeq).toSeq
   }
+
+  test("q_pca_project_fixed basis: exactly orthonormal Hadamard rows; " +
+    "projection replays in a plain driver fold bit-for-bit") {
+    import spark.implicits._
+    // the SparkEntry fixed model, re-declared locally (literals on both
+    // sides — the point of the fixed-model pattern)
+    val mean = Array.fill(64)(0.05)
+    val comps = Array.tabulate(4, 64)((b, k) =>
+      if (((k >> b) & 1) == 1) -0.125 else 0.125)
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 64).map(k => comps(a)(k) * comps(b)(k)).sum
+      dot shouldBe (if (a == b) 1.0 else 0.0) // exact: dyadic arithmetic
+    }
+    val model = Pca.Model(mean, comps, Array(1.0, 1.0, 1.0, 1.0))
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Pca.project(emb, col("vec_id"), col("embedding"), model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    vecs.size should be > 0
+    out.size shouldBe vecs.size * 4
+    // independent replay in the kernel's exact order: ((x0-m)*c0) + ...
+    vecs.foreach { case (id, v) =>
+      for (b <- 0 until 4) {
+        var dot = 0.0
+        var i = 0
+        while (i < 64) { dot += (v(i) - 0.05) * comps(b)(i); i += 1 }
+        val expected = BigDecimal(dot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        withClue(s"vec $id pc ${b + 1}: ") {
+          out((id, (b + 1).toLong)) shouldBe expected
+        }
+      }
+    }
+  }
 }

@@ -339,6 +339,42 @@ class SimilaritySpec extends SparkSpec {
     Similarity.hammingCut(0.9, 256) should be < cut // tighter tau, tighter cut
   }
 
+  test("q_srp_fixed parity: the 64-bit signature IS word 0 of the " +
+    "production 256-bit signature (same plane family), and an " +
+    "independent driver fold replays every bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dbl = Similarity.asDouble(col("embedding"))
+    val rows = emb.select(col("vec_id"),
+        Similarity.srpSignature(dbl, 64, 64).as("s64"),
+        Similarity.srpSignature(dbl, 256, 64).as("s256"),
+        col("embedding"))
+      .collect()
+    rows.length should be > 0
+    val planes = Similarity.hyperplanes(64, 64)
+    rows.foreach { r =>
+      val s64 = r.getSeq[Long](1)
+      s64.length shouldBe 1
+      // bit-parity across widths: hyperplanes tabulate by (bit, dim), so
+      // rows 0..63 coincide — the oracled 64-bit twin transitively pins
+      // the production kernel's first word
+      withClue(s"vec ${r.getLong(0)} word-0 parity: ") {
+        s64.head shouldBe r.getSeq[Long](2).head
+      }
+      // independent replay: plain Scala fold in the kernel's exact order
+      val v = r.getSeq[Float](3).map(_.toDouble).toArray
+      var word = 0L
+      var j = 0
+      while (j < 64) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += planes(j)(i) * v(i); i += 1 }
+        if (dot >= 0) word |= (1L << j)
+        j += 1
+      }
+      withClue(s"vec ${r.getLong(0)} replay: ") { s64.head shouldBe word }
+    }
+  }
+
   test("signature determinism: hyperplanes are JVM-independent constants") {
     val p1 = Similarity.hyperplanes(4, 8)
     val p2 = Similarity.hyperplanes(4, 8)

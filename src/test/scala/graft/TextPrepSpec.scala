@@ -183,6 +183,29 @@ class TextPrepSpec extends SparkSpec {
     TextOps.bpeSegmentWord("x", rank) shouldBe Vector("x")
   }
 
+  test("q_bpe_segment_fixed merge table: hand-computed segmentations, " +
+    "cascade builds 'scan' whole, rank re-selection exact") {
+    // the SparkEntry fixed table, re-declared locally (fixed-model twin)
+    val merges = Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"),
+      ("o", "r"), ("t", "h"), ("r", "o"), ("l", "l"))
+    val rank = merges.zipWithIndex.toMap
+    // cascade: (a,n) rank0 → (s,c) rank1 → (sc,an) rank2 fuse the word
+    TextOps.bpeSegmentWord("scan", rank) shouldBe Vector("scan")
+    // rank order matters: (e,r) r3 beats (o,r) r4, then (o,r) applies
+    TextOps.bpeSegmentWord("order", rank) shouldBe Vector("or", "d", "er")
+    TextOps.bpeSegmentWord("row", rank) shouldBe Vector("ro", "w")
+    TextOps.bpeSegmentWord("group", rank) shouldBe Vector("g", "ro", "u", "p")
+    TextOps.bpeSegmentWord("the", rank) shouldBe Vector("th", "e")
+    TextOps.bpeSegmentWord("small", rank) shouldBe Vector("s", "m", "a", "ll")
+    TextOps.bpeSegmentWord("sort", rank) shouldBe Vector("s", "or", "t")
+    TextOps.bpeSegmentWord("a", rank) shouldBe Vector("a")
+    // per-doc stats over the same kernel (what q_bpe_segment_fixed emits)
+    val docs = Seq((1L, "scan order row")).toDF("doc_id", "text")
+    val out = TextOps.bpeSegmentStats(docs, col("doc_id"), col("text"),
+      merges).collect().head
+    (out.getLong(1), out.getLong(2)) shouldBe ((3L, 6L)) // 1 + 3 + 2
+  }
+
   test("bpeTrain: bounded driver table — generous caps leave merges " +
     "unchanged, minCount prunes singleton noise words") {
     val docs = Seq((1L, "low low lower"), (2L, "low newest"), (3L, "qzjx"))

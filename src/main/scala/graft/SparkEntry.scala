@@ -974,6 +974,33 @@ object SparkEntry {
                      ORDER BY cos DESC, cid) AS BIGINT) AS rn
                  FROM sc) WHERE rn <= 5""")
     }),
+    // A7 range-sum through SQL (twin: q_sum_over_range): the view wraps
+    // Tables.eventsRange — the documented pushdown entry point for range
+    // predicates on the nanos-physical events table (CLAUDE.md) — and
+    // the SQL restates the same half-open predicate (a residual filter
+    // over the already-pruned scan, keeping the statement self-contained)
+    "q_sql_sum_range" -> ((s, d) => {
+      Tables.eventsRange(s, d, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .createOrReplaceTempView("events_range_v")
+      s.sql("""SELECT round(SUM(value), 2) AS total, COUNT(*) AS n
+               FROM events_range_v
+               WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                 AND ts <  TIMESTAMP '2024-01-20 00:00:00'""")
+    }),
+    // J5 dim-activity through SQL (twin: q_dim_activity_range): the same
+    // left join with the range condition IN the ON clause (an unmatched
+    // or out-of-range supplier keeps its zero row) and COALESCE(SUM,0)
+    "q_sql_dim_activity" -> ((s, d) => {
+      supplier(s, d).createOrReplaceTempView("supplier_v")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT s.s_suppkey AS grp,
+                 round(COALESCE(SUM(l.l_extendedprice), 0), 2) AS total
+               FROM supplier_v s LEFT JOIN lineitem_v l
+                 ON s.s_suppkey = l.l_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <= TIMESTAMP '1996-12-31'
+               GROUP BY 1""")
+    }),
     // per-vector squared L2 norm through SQL via the registered native
     // graft_norm_sq expression — map-only scan, DuckDB replays the same
     // sequential sum of squares with list_inner_product(v, v)
@@ -2028,6 +2055,21 @@ object SparkEntry {
         _.select(col("grp"), col("tsUs").as("ts_us"), col("bucket"),
           col("runLen").as("run_len")))
     }),
+    // Streaming demand-peak alerts: per-meter max-hourly-so-far per
+    // calendar cycle in three longs of state — every CLOSED hour that
+    // sets a new positive cycle maximum emits one row (the real-time
+    // "new demand peak" alert behind Billing.demandCharge; closes the
+    // VEE + billing-in-real-time story with q_stream_flatline /
+    // q_stream_billing). Single-batch AvailableNow == the batch closed
+    // form: hourly sums minus each key's open last hour, peaks strictly
+    // above greatest(0, prior closed hours of the month) — the oracle.
+    "q_stream_demand_peak" -> ((s, d) => {
+      val out = graft.streaming.Streams.demandPeakStream(
+        streamingEvents(s, d), "ts", "user_id", "value")
+      runAvailableNow(s, out, "demand_peak", d,
+        _.select(col("grp"), col("month"), col("hourUs").as("hour_us"),
+          col("peakCents").as("peak_cents")))
+    }),
     // Per-key streaming anomaly alerts (flatMapGroupsWithState, Append):
     // a reading deviating > 50.00 from the key's RUNNING mean alerts, with
     // the mean accumulated in (ts, cents) order — integer cross-multiplied
@@ -2198,6 +2240,8 @@ object SparkEntry {
     "q_sql_hourly" -> baseOracles("q_hourly_by_type"),
     "q_sql_dedup_last" -> baseOracles("q_dedup_keep_last"),
     "q_sql_cosine_topk" -> baseOracles("q_ann_cosine_topk"),
+    "q_sql_sum_range" -> baseOracles("q_sum_over_range"),
+    "q_sql_dim_activity" -> baseOracles("q_dim_activity_range"),
     "q_sql_embed_norm" ->
       """SELECT vec_id,
          round(list_inner_product(
@@ -4906,6 +4950,31 @@ object SparkEntry {
              AS used_cents,
            COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
+    // demand-peak replay: hourly floor-cent sums, each key's LAST hour
+    // dropped (never closed by a later reading), a peak = a closed hour
+    // strictly above greatest(0, max of the month's PRIOR closed hours)
+    // — greatest(0, ...) because the stream's running max starts at 0
+    // per cycle, so an all-negative (net-export) month never alarms
+    "q_stream_demand_peak" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS grp, ts,
+             CAST(floor(value*100) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+         h AS (SELECT grp, date_trunc('hour', ts) AS hstart,
+               CAST(SUM(vc) AS BIGINT) AS hc
+             FROM t GROUP BY 1, 2),
+         lasth AS (SELECT grp, max(hstart) AS mh FROM h GROUP BY 1),
+         closed AS (SELECT h.grp, h.hstart, h.hc
+                    FROM h JOIN lasth USING (grp) WHERE h.hstart < lasth.mh),
+         pk AS (SELECT grp, date_trunc('month', hstart) AS m, hstart, hc,
+                  GREATEST(COALESCE(MAX(hc) OVER (PARTITION BY grp,
+                      date_trunc('month', hstart)
+                    ORDER BY hstart ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0), 0) AS prior
+                FROM closed)
+         SELECT grp, CAST(m AS DATE) AS month,
+           CAST(epoch_ns(hstart)//1000 AS BIGINT) AS hour_us,
+           hc AS peak_cents
+         FROM pk WHERE hc > prior""",
     // flatline alarm replay: the stuck-run gaps-and-islands in (us, vc)
     // fold order, alarms where rank-within-island == minLen
     "q_stream_flatline" ->

@@ -336,6 +336,74 @@ object Streams {
       .toDF()
   }
 
+  case class DemandPeak(grp: String, month: java.time.LocalDate,
+                        hourUs: Long, peakCents: Long)
+
+  /** Streaming twin of `Billing.demandCharge`'s max-hourly tracker: per
+    * key, accumulate the current hour's energy and the billing cycle's
+    * (calendar month's) running demand maximum in three longs of state —
+    * (currentHourStartUs, currentHourCents, maxClosedHourCents) — and
+    * emit one row whenever a CLOSED hour sets a new positive cycle peak.
+    * That is the real-time "new demand peak" alert a commercial tariff
+    * desk watches (every new peak raises the month's demand charge); the
+    * batch statement stays the settlement source of truth.
+    *
+    * An hour CLOSES when a strictly later-hour reading for the key
+    * arrives (the final in-flight hour never closes — emitted by the
+    * next tick's data); a month change resets the running maximum AFTER
+    * the crossing reading closes the previous month's last hour into its
+    * own cycle. Peaks are STRICT improvements over max(0, closed hours
+    * so far): a cycle of net-export (negative) hours never alarms.
+    * Readings fold in (ts, cents) order per batch (the [[alertStream]]
+    * tie rule); NULL readings are dropped; hour/month boundaries are UTC
+    * wall-clock (`unix_micros` grid / proleptic LocalDate — no session-TZ
+    * dependence). The single-batch AvailableNow run equals the batch
+    * closed form: hourly sums, drop each key's last hour, emit hours
+    * exceeding `greatest(0, max of prior closed hours in the month)` —
+    * the oracle. State never ages: three longs per key, the
+    * watermark-free [[cusumStream]] regime. */
+  def demandPeakStream(events: DataFrame, ts: String, key: String,
+                       value: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourUs = 3600000000L
+    def monthOf(hourUs: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(hourUs, 1000000L))
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+    events.where(s"$value IS NOT NULL")
+      .selectExpr(s"CAST($key AS STRING) AS k",
+        s"unix_micros(CAST($ts AS TIMESTAMP)) AS us",
+        s"CAST(floor($value * 100) AS LONG) AS vc")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), DemandPeak](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          // (curHour, curSum, maxSoFar); Long.MinValue = "no open hour"
+          var (curHour, curSum, maxSoFar) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[DemandPeak]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, us, vc) =>
+            val h = us - Math.floorMod(us, HourUs)
+            if (curHour == Long.MinValue) { curHour = h; curSum = vc }
+            else if (h == curHour) curSum += vc
+            else {
+              // close the open hour into ITS month's cycle max
+              if (curSum > maxSoFar) {
+                out += DemandPeak(k, monthOf(curHour), curHour, curSum)
+                maxSoFar = curSum
+              }
+              if (monthOf(h) != monthOf(curHour)) maxSoFar = 0L
+              curHour = h; curSum = vc
+            }
+          }
+          state.update((curHour, curSum, maxSoFar))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   case class CusumAlarm(grp: String, tsUs: Long, vCents: Long, up: Long,
                         down: Long, direction: String)
   // (su, minSu, sd, maxSd) — the prefix-sum closed form of both clamped

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench artifact's self-adjudication (VERDICT r7 missing #3): a
+  * deliberately slowed entry must surface in the outliers field, computed
+  * against the committed envelope. Pure-function tests — no Spark session,
+  * no timing dependence. */
+class BenchSpec extends AnyFunSuite with Matchers {
+
+  test("adjudicate: a deliberately slowed entry surfaces; in-envelope and " +
+    "history-free entries pass") {
+    val envelope = Map("q_a" -> 1.0, "q_b" -> 2.0)
+    val fresh = Seq(
+      "q_a" -> 3.2,  // 3.2× its max — the r7 q_repetition_filter shape
+      "q_b" -> 2.9,  // 1.45× — inside the 1.5× tolerance
+      "q_new" -> 99.0) // no envelope yet (new this round) — passes
+    Bench.adjudicate(fresh, envelope) shouldBe Seq(("q_a", 3.2, 1.0))
+    // tightening the factor pulls q_b in too
+    Bench.adjudicate(fresh, envelope, factor = 1.2).map(_._1) shouldBe
+      Seq("q_a", "q_b")
+    Bench.adjudicate(Seq.empty, envelope) shouldBe empty
+    Bench.adjudicate(fresh, Map.empty) shouldBe empty
+  }
+
+  test("loadEnvelopeMax: reads the committed BENCH_MEDIANS.json; absent " +
+    "file degrades to empty (bench must still produce its number)") {
+    val env = Bench.loadEnvelopeMax()
+    // the committed envelope covers the whole suite and every max is a
+    // positive seconds figure
+    env.size should be > 150
+    env.values.foreach(_ should be > 0.0)
+    env.keySet should contain("q_hourly_by_type")
+    Bench.loadEnvelopeMax("/nonexistent/of_course.json") shouldBe empty
+  }
+}

@@ -44,6 +44,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assertParity("q_sql_cosine_topk", "q_ann_cosine_topk")
   }
 
+  test("q_sql_sum_range == q_sum_over_range") {
+    assertParity("q_sql_sum_range", "q_sum_over_range")
+  }
+
+  test("q_sql_dim_activity == q_dim_activity_range") {
+    assertParity("q_sql_dim_activity", "q_dim_activity_range")
+  }
+
   test("q_sql_embed_norm: registered graft_norm_sq == HOF sum of squares") {
     // independent DataFrame formulation: the HOF aggregate the native
     // expression documents itself against (ArrayDot.scala Scaladoc)
@@ -62,5 +70,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(o("q_sql_hourly") == o("q_hourly_by_type"))
     assert(o("q_sql_dedup_last") == o("q_dedup_keep_last"))
     assert(o("q_sql_cosine_topk") == o("q_ann_cosine_topk"))
+    assert(o("q_sql_sum_range") == o("q_sum_over_range"))
+    assert(o("q_sql_dim_activity") == o("q_dim_activity_range"))
   }
 }

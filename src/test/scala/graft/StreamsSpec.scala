@@ -66,6 +66,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("demandPeakStream: ratcheting peaks per cycle, open hour silent, " +
+    "month reset, negative hours never alarm, batch-boundary safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val out = Streams.demandPeakStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v")
+    val q = out.writeStream.format("memory").queryName("demand")
+      .outputMode(Streams.hourlySumMode).start()
+    def rows() = spark.sql("SELECT * FROM demand").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3)))
+    def hourUs(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    try {
+      // batch 1: hour 10 sums to 3.00; still OPEN -> silent
+      mem.addData((t("2024-01-31 10:00:00"), "a", Some(1.00)),
+        (t("2024-01-31 10:30:00"), "a", Some(2.00)))
+      q.processAllAvailable()
+      rows() shouldBe empty
+      // batch 2: hour 11 opens -> hour 10 closes as the cycle's first
+      // positive peak (state crossed the batch boundary); a null is a gap
+      mem.addData((t("2024-01-31 11:05:00"), "a", None),
+        (t("2024-01-31 11:10:00"), "a", Some(1.00)))
+      q.processAllAvailable()
+      rows().toSeq shouldBe Seq(
+        ("a", "2024-01-01", hourUs("2024-01-31 10:00:00"), 300L))
+      // batch 3: Feb reading closes hour 11 (1.00 < 3.00 -> NOT a Jan
+      // peak) and resets the cycle; then a NEGATIVE Feb hour closes
+      // without alarming (peaks must beat max(0, priors)); finally a
+      // positive Feb hour closes as Feb's first peak
+      mem.addData((t("2024-02-01 00:10:00"), "a", Some(-5.00)),
+        (t("2024-02-01 01:10:00"), "a", Some(2.50)),
+        (t("2024-02-01 02:10:00"), "a", Some(0.25)))
+      q.processAllAvailable()
+      rows().toSeq.sortBy(_._3) shouldBe Seq(
+        ("a", "2024-01-01", hourUs("2024-01-31 10:00:00"), 300L),
+        ("a", "2024-02-01", hourUs("2024-02-01 01:00:00"), 250L))
+    } finally q.stop()
+  }
+
   test("touDailyStream: daily TOU cells close with the watermark and are " +
     "bit-identical to the batch band split") {
     implicit val sqlCtx = spark.sqlContext

@@ -59,7 +59,7 @@ object Bench {
     * happen. Spark logs "Expr codegen error and falling back to
     * interpreter mode" at WARN through the root logger — attaching here
     * sees every query's events regardless of which class emitted them. */
-  private final class FallbackCounter
+  private[graft] final class FallbackCounter
       extends org.apache.logging.log4j.core.appender.AbstractAppender(
         "graftFallbackCounter", null, null, true,
         org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
@@ -72,7 +72,15 @@ object Bench {
     }
   }
 
-  private def installFallbackCounter(): FallbackCounter = {
+  /** MUST be called AFTER Spark initializes logging (session built +
+    * setLogLevel): touching the log4j2 context first would leave the
+    * DefaultConfiguration with a second appender, which makes Spark's
+    * `islog4j2DefaultConfigured()` false and silently skips loading its
+    * log4j2 defaults — root stays at DefaultConfiguration's ERROR until
+    * setLogLevel, and the log layout changes (code-review r8 finding).
+    * Warm-up and all measured passes run after this attach, so every
+    * query-time event is still counted. */
+  private[graft] def installFallbackCounter(): FallbackCounter = {
     val app = new FallbackCounter
     app.start()
     try {
@@ -88,7 +96,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val fallbacks = installFallbackCounter()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,6 +110,10 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // attach only now — Spark's log4j2 defaults are loaded and the root
+    // level is WARN, so fallback events reach the appender (see the
+    // ordering note on installFallbackCounter)
+    val fallbacks = installFallbackCounter()
     // Warm-up pass: run every query once unmeasured so Janino codegen
     // compilation and JIT warm-up (observed 3-25× on the heavy near-dup
     // plans) don't bill the measured pass. Steady-state throughput is the
@@ -139,10 +150,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // in-artifact adjudication: fresh median vs committed envelope max
-    val outliers = adjudicate(results, loadEnvelopeMax())
-      .map { case (n, got, max) =>
+    val outlierRows = adjudicate(results, loadEnvelopeMax())
+    def outlierJson(rows: Seq[(String, Double, Double)]): String =
+      rows.map { case (n, got, max) =>
         f"""{"name":"$n","got":$got%.3f,"envelope_max":$max%.3f}"""
       }.mkString("[", ",", "]")
+    val outliers = outlierJson(outlierRows)
     val nFallbacks = fallbacks.count.get()
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
@@ -155,7 +168,15 @@ object Bench {
     // reader.
     println(json)
     val (maxName, maxT) = results.maxBy(_._2)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"outliers":$outliers,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
+    // the headline line must ALWAYS fit the driver's ~2.2 KB stdout tail
+    // whole — exactly the mass-inflation scenario that produces many
+    // outliers would otherwise truncate it mid-object (the r4/r5
+    // parsed-null failure mode; code-review r8 finding). Cap the inline
+    // list at the 3 worst by ratio and carry the full count; the complete
+    // array lives in the detail line and the SPARK_GRAFT_BENCH_OUT file.
+    val headOutliers = outlierJson(
+      outlierRows.sortBy { case (_, got, max) => -(got / max) }.take(3))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
     // belt-and-braces for the driver's parser: also drop the JSON in a known
     // file, immune to any logger prefixes on stdout. Overridable so
     // back-to-back runs over different SF dirs don't clobber each other.

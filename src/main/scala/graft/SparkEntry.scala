@@ -2055,6 +2055,18 @@ object SparkEntry {
         _.select(col("grp"), col("tsUs").as("ts_us"), col("bucket"),
           col("runLen").as("run_len")))
     }),
+    // Streaming degree-day grain: the M&V regression's daily input cells
+    // computed incrementally — temp rows ('view') close as (day, hdd,
+    // cdd) under the _temp sentinel, load rows as per-key (day,
+    // load_cents); the batch regression consumes the closed cells.
+    // Closed form: the batch daily rollup over days whose end clears the
+    // final watermark (the q_stream_billing oracle shape).
+    "q_stream_degree_day" -> ((s, d) => {
+      val out = graft.streaming.Streams.degreeDayDailyStream(
+        streamingEvents(s, d), "ts", col("event_type") === "view",
+        col("event_type"), col("value"), baseCents = 15000L)
+      runAvailableNow(s, out, "degree_day", d, df => df)
+    }),
     // Streaming demand-peak alerts: per-meter max-hourly-so-far per
     // calendar cycle in three longs of state — every CLOSED hour that
     // sets a new positive cycle maximum emits one row (the real-time
@@ -3538,6 +3550,12 @@ object SparkEntry {
                 CAST(fp AS BIGINT) AS fp
          FROM fpx"""
     },
+    // NOTE: like every text oracle in this file (q_simhash_fixed,
+    // q_minhash_fixed, q_doc_stats, ...), tokenization parity rests on
+    // the corpus convention of single-space-separated text with no
+    // leading/trailing whitespace — Java split(" ") drops TRAILING empty
+    // tokens where DuckDB string_split keeps them (verified absent in
+    // all testdata SFs; code-review r8).
     // fixed-merge-table BPE segmentation replay: per DISTINCT word, greedy
     // merge application as a recursive CTE over space-separated symbol
     // strings — each step picks the min-rank merge whose ' a b ' pattern
@@ -4950,6 +4968,34 @@ object SparkEntry {
              AS used_cents,
            COALESCE(reading_cents - prev < 0, FALSE) AS is_discontinuity
          FROM l""",
+    // degree-day grain replay: batch daily rollup (temp rows under the
+    // _temp sentinel -> Euclidean-floor-mean vs base, load rows per key)
+    // restricted to days whose end clears the final watermark
+    "q_stream_degree_day" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         cells AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CASE WHEN event_type = 'view' THEN '_temp'
+                  ELSE event_type END AS grp,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events, mx
+           WHERE value IS NOT NULL
+           GROUP BY 1, 2, mx.m
+           HAVING CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 DAY
+             <= m - INTERVAL 2 HOUR),
+         tm AS (SELECT day, grp, s, n,
+             CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS tmean
+           FROM cells)
+         SELECT day, grp,
+           CASE WHEN grp <> '_temp' THEN s END AS load_cents,
+           CASE WHEN grp = '_temp'
+                THEN GREATEST(CAST(0 AS BIGINT), 15000 - tmean)
+             END AS hdd_cents,
+           CASE WHEN grp = '_temp'
+                THEN GREATEST(CAST(0 AS BIGINT), tmean - 15000)
+             END AS cdd_cents,
+           n
+         FROM tm""",
     // demand-peak replay: hourly floor-cent sums, each key's LAST hour
     // dropped (never closed by a later reading), a peak = a closed hour
     // strictly above greatest(0, max of the month's PRIOR closed hours)

@@ -76,6 +76,38 @@ object Streams {
         col("peak_cents"), col("off_cents"))
   }
 
+  /** Streaming daily degree-day grain — the incremental front half of
+    * [[graft.engine.Forecast.degreeDaySensitivity]] (the regression itself
+    * stays batch, like [[touDailyStream]] leaves monthly assembly batch:
+    * model fitting over day-sized grain is not stream work). One
+    * watermarked 1-day tumbling aggregation over the MIXED feed: rows
+    * matching `isTemp` land in the sentinel `_temp` group and close as
+    * (day, hdd_cents, cdd_cents) cells — Euclidean-floor-mean temperature
+    * vs `baseCents`, the batch operator's exact arithmetic — while load
+    * rows close as per-key (day, load_cents) cells. Append emits each
+    * cell once when the watermark passes the day end; the single-run
+    * closed form is the batch daily rollup restricted to closed days
+    * (the oracle). Keys must not collide with the `_temp` sentinel. */
+  def degreeDayDailyStream(events: DataFrame, ts: String, isTemp: Column,
+                           key: Column, value: Column, baseCents: Long,
+                           lateness: String = "2 hours"): DataFrame = {
+    require(baseCents > 0, s"baseCents > 0: $baseCents")
+    val cents = floor(value * lit(100.0)).cast("long")
+    val tmean = ((col("_s") - pmod(col("_s"), col("n"))) / col("n"))
+      .cast("long")
+    events.filter(value.isNotNull).withWatermark(ts, lateness)
+      .groupBy(window(col(ts), "1 day").as("win"),
+        when(isTemp, lit("_temp")).otherwise(key.cast("string")).as("grp"))
+      .agg(sum(cents).as("_s"), count(lit(1)).as("n"))
+      .select(col("win.start").cast("date").as("day"), col("grp"),
+        when(col("grp") =!= "_temp", col("_s")).as("load_cents"),
+        when(col("grp") === "_temp",
+          greatest(lit(0L), lit(baseCents) - tmean)).as("hdd_cents"),
+        when(col("grp") === "_temp",
+          greatest(lit(0L), tmean - lit(baseCents))).as("cdd_cents"),
+        col("n"))
+  }
+
   /** S14/U3 as a stream: exactly-once-per-key within the watermark horizon
     * (duplicate re-deliveries from upstream retries are dropped). */
   def dedupStream(events: DataFrame, ts: String, keys: Seq[String],
@@ -355,9 +387,12 @@ object Streams {
     * own cycle. Peaks are STRICT improvements over max(0, closed hours
     * so far): a cycle of net-export (negative) hours never alarms.
     * Readings fold in (ts, cents) order per batch (the [[alertStream]]
-    * tie rule); NULL readings are dropped; hour/month boundaries are UTC
-    * wall-clock (`unix_micros` grid / proleptic LocalDate — no session-TZ
-    * dependence). The single-batch AvailableNow run equals the batch
+    * tie rule); NULL readings are dropped; a cross-batch reading OLDER
+    * than the open hour is dropped too (watermark-free stream — zero
+    * declared late-data tolerance; folding it would close the open hour
+    * on a partial sum and corrupt the ratchet); hour/month boundaries are
+    * UTC wall-clock (`unix_micros` grid / proleptic LocalDate — no
+    * session-TZ dependence). The single-batch AvailableNow run equals the batch
     * closed form: hourly sums, drop each key's last hour, emit hours
     * exceeding `greatest(0, max of prior closed hours in the month)` —
     * the oracle. State never ages: three longs per key, the
@@ -388,7 +423,7 @@ object Streams {
             val h = us - Math.floorMod(us, HourUs)
             if (curHour == Long.MinValue) { curHour = h; curSum = vc }
             else if (h == curHour) curSum += vc
-            else {
+            else if (h > curHour) {
               // close the open hour into ITS month's cycle max
               if (curSum > maxSoFar) {
                 out += DemandPeak(k, monthOf(curHour), curHour, curSum)
@@ -397,6 +432,13 @@ object Streams {
               if (monthOf(h) != monthOf(curHour)) maxSoFar = 0L
               curHour = h; curSum = vc
             }
+            // h < curHour: a cross-batch LATE reading for an already-
+            // closed hour. Dropped — closing the open hour on it would
+            // emit a partial-sum peak, rewind the open hour, and (across
+            // a month boundary) spuriously reset the cycle ratchet
+            // (code-review r8 finding). This stream is watermark-free by
+            // design (state never ages), so late-data tolerance is the
+            // declared zero of the alertStream family.
           }
           state.update((curHour, curSum, maxSoFar))
           out.result().iterator

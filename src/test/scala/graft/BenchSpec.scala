@@ -24,6 +24,21 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.adjudicate(fresh, Map.empty) shouldBe empty
   }
 
+  test("FallbackCounter: a WARN event carrying the interpreter-fallback " +
+    "phrase increments the counter; unrelated events don't") {
+    val app = Bench.installFallbackCounter()
+    // the attach point guarantees root level WARN in production (Bench
+    // installs after setLogLevel); force it here so the test JVM's prior
+    // log state can't mask the event
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.WARN)
+    val log = org.apache.logging.log4j.LogManager.getLogger("graft.benchspec")
+    val before = app.count.get()
+    log.warn("Expr codegen error and falling back to interpreter mode")
+    log.warn("some unrelated warning")
+    app.count.get() shouldBe before + 1
+  }
+
   test("loadEnvelopeMax: reads the committed BENCH_MEDIANS.json; absent " +
     "file degrades to empty (bench must still produce its number)") {
     val env = Bench.loadEnvelopeMax()

@@ -66,6 +66,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("degreeDayDailyStream: closed days emit temp cells (Euclidean-mean " +
+    "hdd/cdd) and per-key load cells; open day stays silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.degreeDayDailyStream(
+      mem.toDF().toDF("ts", "k", "v"), "ts", col("k") === "temp",
+      col("k"), col("v"), baseCents = 1000L)
+    val q = out.writeStream.format("memory").queryName("degday")
+      .outputMode(Streams.hourlySumMode).start()
+    def rows() = spark.sql("SELECT * FROM degday").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    try {
+      // day 1: temps 7.00, 8.01 (mean floor 750 cents -> hdd 250, cdd 0);
+      // meter "a" load 1.00 + 2.50
+      mem.addData((t("2024-01-01 06:00:00"), "temp", 7.00),
+        (t("2024-01-01 18:00:00"), "temp", 8.01),
+        (t("2024-01-01 07:00:00"), "a", 1.00),
+        (t("2024-01-01 19:00:00"), "a", 2.50))
+      q.processAllAvailable()
+      rows() shouldBe empty // day 1 still open
+      // day 2 03:00 advances the watermark to 01:00 -> day 1 closes
+      mem.addData((t("2024-01-02 03:00:00"), "temp", 30.00))
+      q.processAllAvailable()
+      rows().toSet shouldBe Set(
+        ("2024-01-01", "_temp", None, Some(250L), Some(0L), 2L),
+        ("2024-01-01", "a", Some(350L), None, None, 2L))
+    } finally q.stop()
+  }
+
   test("demandPeakStream: ratcheting peaks per cycle, open hour silent, " +
     "month reset, negative hours never alarm, batch-boundary safe") {
     implicit val sqlCtx = spark.sqlContext
@@ -98,6 +130,17 @@ class StreamsSpec extends SparkSpec {
       mem.addData((t("2024-02-01 00:10:00"), "a", Some(-5.00)),
         (t("2024-02-01 01:10:00"), "a", Some(2.50)),
         (t("2024-02-01 02:10:00"), "a", Some(0.25)))
+      q.processAllAvailable()
+      rows().toSeq.sortBy(_._3) shouldBe Seq(
+        ("a", "2024-01-01", hourUs("2024-01-31 10:00:00"), 300L),
+        ("a", "2024-02-01", hourUs("2024-02-01 01:00:00"), 250L))
+      // batch 4: a LATE cross-batch reading older than the open hour
+      // (even from the previous month) is dropped — it must not close
+      // the open hour on a partial sum nor reset the Feb ratchet; a
+      // normal later-hour reading then closes hour 02 (0.25 < 2.50, no
+      // new peak) and the output is unchanged
+      mem.addData((t("2024-01-31 23:55:00"), "a", Some(9.99)),
+        (t("2024-02-01 03:10:00"), "a", Some(0.10)))
       q.processAllAvailable()
       rows().toSeq.sortBy(_._3) shouldBe Seq(
         ("a", "2024-01-01", hourUs("2024-01-31 10:00:00"), 300L),

@@ -746,6 +746,43 @@ object Similarity {
       pqEncodeCol(normalized(v), codebooks).as("codes"))
   }
 
+  /** IVF-PQ search over an ON-DISK index sunk with `partitionBy("cl")` —
+    * the FAISS-style 100 TB layout [[ivfPqIndex]] promises, demonstrated
+    * end-to-end (the PQ twin of [[ivfCosineTopKPartitioned]]): the query
+    * batch is driver-held (model-scale), so probe lists are computed up
+    * front ([[probeLists]] — same scoring and tie-break as the executor
+    * expression) and the reader gets a LITERAL `cl IN (...)` predicate;
+    * list pruning IS partition pruning (unprobed lists are never listed,
+    * opened, or read — asserted on `selectedPartitions` in
+    * SimilaritySpec), and a touched row costs m ints + m table lookups
+    * instead of dim floats. Queries are L2-normalized for the ADC table
+    * exactly as in [[ivfPqTopKWith]]; results are identical to it on the
+    * same index (spec'd). Output (qid, cid, adc, rn). */
+  def ivfPqTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String,
+                           cents: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           queries: Seq[(Long, Array[Double])], k: Int,
+                           nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probed = queries.map { case (qid, qv) =>
+      (qid, qv, probeLists(cents, qv, nprobe))
+    }
+    val lists = probed.flatMap(_._3).distinct.sorted
+    val qdf = probed
+      .flatMap { case (qid, qv, ls) => ls.map(cl => (qid, qv, cl)) }
+      .toDF("qid", "qv", "cl")
+      .select(col("qid"),
+        pqAdcTableCol(normalized(col("qv")), codebooks).as("tbl"), col("cl"))
+    val scored = spark.read.parquet(indexPath)
+      .filter(col("cl").isin(lists: _*)) // static partition pruning
+      .join(broadcast(qdf), Seq("cl"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(pqAdcScoreCol(col("codes"), col("tbl")), 6).as("cos"))
+    topKPerQuery(scored, k).withColumnRenamed("cos", "adc")
+  }
+
   /** IVF-PQ search: each query probes its `nprobe` nearest lists and
     * ADC-scores ONLY the rows in them — candidate count is ~nprobe/nlist of
     * the corpus, each costing m table lookups instead of a dim-float

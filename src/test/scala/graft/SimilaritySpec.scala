@@ -239,6 +239,49 @@ class SimilaritySpec extends SparkSpec {
     scan.selectedPartitions.partitionCount shouldBe probedLists.size
   }
 
+  test("IVF-PQ partitioned index: list pruning IS partition pruning; " +
+    "results match the in-memory IVF-PQ path") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = clusteredCorpus
+    val cents = Similarity.ivfTrainCentroids(emb, col("vec_id"), col("embedding"))
+    val cb = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 4, k = 16)
+    val indexed = Similarity.ivfPqIndex(emb, col("vec_id"), col("embedding"),
+      cents, cb)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_").toString + "/idx"
+    indexed.write.partitionBy("cl").parquet(dir)
+    val qs = Seq(0L, 101L, 202L)
+    val queries = emb.filter(col("vec_id").isin(qs: _*))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val res = Similarity.ivfPqTopKPartitioned(spark, dir, cents, cb,
+      queries, 5)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    asSet(res.collect()) shouldBe
+      asSet(Similarity.ivfPqTopKWith(indexed, cents, cb, emb, col("vec_id"),
+        col("embedding"), qs, 5).collect())
+    // the scan plans ONLY the probed lists' partitions — a literal
+    // partition filter, visible before any file is read
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val probedLists = queries.flatMap(q =>
+      Similarity.probeLists(cents, q._2, 4)).distinct
+    val scan = scans(res.queryExecution.executedPlan).head
+    scan.partitionFilters should not be empty
+    scan.selectedPartitions.partitionCount shouldBe probedLists.size
+  }
+
   test("NearestCentroids expression: ordering, ties, nulls, strict width") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
     def probe(v: Option[Seq[Double]], nprobe: Int) =

@@ -93,8 +93,11 @@ object Streams {
                            lateness: String = "2 hours"): DataFrame = {
     require(baseCents > 0, s"baseCents > 0: $baseCents")
     val cents = floor(value * lit(100.0)).cast("long")
-    val tmean = ((col("_s") - pmod(col("_s"), col("n"))) / col("n"))
-      .cast("long")
+    // sign-safe Euclidean floor mean in PURE integer arithmetic
+    // (`div`, not `/`-then-cast: double division is exact only while a
+    // day's cents sum stays ≤ 2⁵³ — ADVICE r8; the DuckDB oracle's `//`
+    // and the batch operator's floorDiv hold unconditionally)
+    val tmean = expr("(_s - pmod(_s, n)) div n")
     events.filter(value.isNotNull).withWatermark(ts, lateness)
       .groupBy(window(col(ts), "1 day").as("win"),
         when(isTemp, lit("_temp")).otherwise(key.cast("string")).as("grp"))

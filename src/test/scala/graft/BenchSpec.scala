@@ -24,9 +24,31 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.adjudicate(fresh, Map.empty) shouldBe empty
   }
 
+  test("retestOutliers: a flagged entry slowed on pass 1 but clean on the " +
+    "idle-queue retest is exonerated as environment; a genuinely slow one " +
+    "stays a regression") {
+    // the BENCH_r08 shape: q_winnow_fixed read 7.43 s vs envelope max
+    // 1.818 s under driver load, then 2.4–2.6 s steady-state at the judge
+    val flagged = Seq(("q_env", 7.43, 1.818), ("q_real", 9.0, 2.0))
+    val idleQueue = Map("q_env" -> 2.5, "q_real" -> 8.7)
+    val out = Bench.retestOutliers(flagged, idleQueue)
+    out shouldBe Seq(
+      ("q_env", 7.43, 1.818, 2.5, "environment"),   // 2.5 ≤ 1.5 × 1.818
+      ("q_real", 9.0, 2.0, 8.7, "regression"))      // 8.7 > 1.5 × 2.0
+    // the verdict threshold is the SAME factor that flagged the sample —
+    // a retest that would not have been flagged closes the case
+    Bench.retestOutliers(Seq(("q_a", 5.0, 1.0)), _ => 1.5)
+      .head._5 shouldBe "environment"
+    Bench.retestOutliers(Seq(("q_a", 5.0, 1.0)), _ => 1.51)
+      .head._5 shouldBe "regression"
+    Bench.retestOutliers(Seq.empty, idleQueue) shouldBe empty
+  }
+
   test("FallbackCounter: a WARN event carrying the interpreter-fallback " +
     "phrase increments the counter; unrelated events don't") {
     val app = Bench.installFallbackCounter()
+    // the -1 sentinel path (ADVICE r8) only fires when this is false
+    app.attached shouldBe true
     // the attach point guarantees root level WARN in production (Bench
     // installs after setLogLevel); force it here so the test JVM's prior
     // log state can't mask the event

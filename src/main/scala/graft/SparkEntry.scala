@@ -1001,6 +1001,48 @@ object SparkEntry {
                 AND l.l_shipdate <= TIMESTAMP '1996-12-31'
                GROUP BY 1""")
     }),
+    // A4 per-key high-watermark through SQL (twin: q_watermark) — the
+    // reference's live resume probe (daily_pv_automation.py:79-87) reaches
+    // the engine through both APIs
+    "q_sql_watermark" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id AS grp, max(ts) AS last_ts,
+               max(event_type) AS carry
+               FROM events_v GROUP BY 1""")
+    }),
+    // A5 backfill probe through SQL (twin: q_incomplete_days): the view
+    // wraps Tables.eventsRange — the pushdown entry point for the
+    // nanos-physical events table — and the SQL restates the half-open
+    // range as a residual predicate (the q_sql_sum_range pattern)
+    "q_sql_incomplete_days" -> ((s, d) => {
+      Tables.eventsRange(s, d, "2024-01-05", "2024-01-12")
+        .createOrReplaceTempView("events_backfill_v")
+      s.sql("""SELECT to_date(ts) AS day,
+                 COUNT(DISTINCT hour(ts)) AS n_hours
+               FROM events_backfill_v
+               WHERE event_type = 'error'
+                 AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+               GROUP BY 1
+               HAVING COUNT(DISTINCT hour(ts)) < 24""")
+    }),
+    // P11 rolling recency panel through SQL (twin: q_rolling_window):
+    // same daily pre-aggregate, same RANGE frame over the TZ-safe
+    // datediff day index (see Analytics.rollingByKey's DST note)
+    "q_sql_rolling" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""WITH daily AS (
+                 SELECT event_type AS grp, to_date(ts) AS day,
+                   SUM(value) AS dv, COUNT(*) AS dn
+                 FROM events_v GROUP BY 1, 2)
+               SELECT grp, day,
+                 round(SUM(dv) OVER w, 2) AS rolling_total,
+                 SUM(dn) OVER w AS rolling_n
+               FROM daily
+               WINDOW w AS (PARTITION BY grp
+                 ORDER BY CAST(datediff(day, DATE '1970-01-01') AS BIGINT)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""")
+    }),
     // per-vector squared L2 norm through SQL via the registered native
     // graft_norm_sq expression — map-only scan, DuckDB replays the same
     // sequential sum of squares with list_inner_product(v, v)
@@ -1434,6 +1476,16 @@ object SparkEntry {
       val pairs = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
       NearDup.dedupClusters(pairs, docs, col("doc_id"))
         .filter(col("doc_id") =!= col("cluster")) // non-canonical members
+    }),
+    // same contract through the ALTERNATING LARGE-STAR/SMALL-STAR engine
+    // (O(log n) rounds vs O(component diameter) — the adversarial-chain
+    // scale path); same edge set, same oracle SQL text as q_dedup_clusters,
+    // so the cross-engine hash match IS the parity proof at sf scale
+    "q_dedup_clusters_star" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.jaccardPairs(docs, col("doc_id"), col("text"), 0.1)
+      NearDup.dedupClustersStar(pairs, docs, col("doc_id"))
+        .filter(col("doc_id") =!= col("cluster"))
     }),
     // curation keep-rule over the duplicate clusters: canonical = argmax
     // quality (n_chars as the declared score, ties to the smaller id) —
@@ -2075,6 +2127,14 @@ object SparkEntry {
     // q_stream_billing). Single-batch AvailableNow == the batch closed
     // form: hourly sums minus each key's open last hour, peaks strictly
     // above greatest(0, prior closed hours of the month) — the oracle.
+    // SINGLE-BATCH ASSUMPTION (ADVICE r8): that equivalence holds because
+    // streamingEvents exposes exactly ONE parquet file, which AvailableNow
+    // processes as one micro-batch (well under the file source's
+    // maxFilesPerTrigger default of 1000), so no key's rows can cross
+    // batches out of hour order into the stream's late-drop path. A
+    // multi-file source here would need the rig extended the
+    // q_stream_restart way (explicit per-tick files, oracle restricted to
+    // hours closed by each tick) — not silently reuse this oracle.
     "q_stream_demand_peak" -> ((s, d) => {
       val out = graft.streaming.Streams.demandPeakStream(
         streamingEvents(s, d), "ts", "user_id", "value")
@@ -2254,6 +2314,14 @@ object SparkEntry {
     "q_sql_cosine_topk" -> baseOracles("q_ann_cosine_topk"),
     "q_sql_sum_range" -> baseOracles("q_sum_over_range"),
     "q_sql_dim_activity" -> baseOracles("q_dim_activity_range"),
+    // the star-alternation CC engine shares the propagation variant's
+    // oracle VERBATIM — the hash match is the cross-engine parity proof
+    "q_dedup_clusters_star" -> baseOracles("q_dedup_clusters"),
+    // r9 mirrors: the remaining reference SQL consumers (Grafana recency
+    // panel, automation watermark + backfill probes) through spark.sql
+    "q_sql_watermark" -> baseOracles("q_watermark"),
+    "q_sql_incomplete_days" -> baseOracles("q_incomplete_days"),
+    "q_sql_rolling" -> baseOracles("q_rolling_window"),
     "q_sql_embed_norm" ->
       """SELECT vec_id,
          round(list_inner_product(

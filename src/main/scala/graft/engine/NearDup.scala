@@ -606,10 +606,20 @@ object NearDup {
     * lineage-truncated RDD. Set true (after
     * `spark.sparkContext.setCheckpointDir(...)`) to checkpoint to the cluster
     * FS instead for fault tolerance.
+    *
+    * `strict` (default TRUE, the house loud-failure contract — the
+    * maxKeys/maxDays/maxNodes pattern): non-convergence within `maxIters`
+    * THROWS instead of returning split labels, because a silently-split
+    * component corrupts everything downstream (keep-rules would keep
+    * multiple "canonicals" per true cluster). Set false only for
+    * exploratory runs that tolerate partial labels; the stderr warning
+    * still fires. For adversarial chain-shaped components, prefer
+    * [[dedupClustersStar]] — O(log n) rounds instead of O(diameter).
     * Output: (doc_id, cluster) where cluster = min doc_id of the component. */
   def dedupClusters(pairs: DataFrame, allDocs: DataFrame, id: Column,
                     maxIters: Int = 20,
-                    reliableCheckpoint: Boolean = false): DataFrame = {
+                    reliableCheckpoint: Boolean = false,
+                    strict: Boolean = true): DataFrame = {
     def ckptEager(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     def ckptLazy(df: DataFrame): DataFrame =
@@ -646,13 +656,106 @@ object NearDup {
       labels = updated.drop("_changed")
       iter += 1
     }
-    if (!converged)
-      System.err.println(s"[graft] dedupClusters: NOT converged after " +
-        s"$maxIters iterations — components with diameter > $maxIters " +
-        "carry split labels; raise maxIters")
+    if (!converged) {
+      val msg = s"dedupClusters: NOT converged after $maxIters iterations " +
+        s"— components with diameter > $maxIters carry split labels; " +
+        "raise maxIters, or use dedupClustersStar (O(log n) rounds) for " +
+        "chain-shaped components"
+      if (strict) {
+        releaseCheckpoint(labels); releaseCheckpoint(edges)
+        throw new IllegalStateException(s"[graft] $msg")
+      }
+      System.err.println(s"[graft] $msg (strict=false: returning the " +
+        "split labels)")
+    }
     // edges are only referenced by the (already-materialized) label rounds
     releaseCheckpoint(edges)
     labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * rewriting — the O(log n)-round alternative to [[dedupClusters]]'s
+    * O(component diameter) min-label propagation, for adversarial
+    * chain-shaped components (a diameter-10⁴ path converges in ~30 rounds
+    * here vs 10⁴ there). Same contract and output: (doc_id, cluster =
+    * min doc_id of the component), strict-by-default loud non-convergence.
+    *
+    * The rewriting (after Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm):
+    *  - large-star(u): connect every STRICTLY LARGER neighbor of u to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): over the (hi → lo) directed edge set, connect u
+    *    and every smaller neighbor to that same minimum.
+    * Both steps preserve connectivity and never increase the edge count
+    * beyond the symmetric closure; the fixpoint is min-rooted stars. Each
+    * step is one hash shuffle (groupBy-min joined back onto the adjacency
+    * — no windows, no sorts); edges stay canonical (hi > lo, distinct).
+    * Convergence = exact set equality with the previous round's edges
+    * (count match + anti-join emptiness, both on checkpointed frames).
+    * Docs with no pairs label themselves, as in [[dedupClusters]].
+    *
+    * Reference semantics anchor: same near-dup clustering contract as
+    * dedup.py:31-58's pair-collapse (see [[dedupClusters]]); this variant
+    * changes the round complexity, not the answer — NearDupSpec asserts
+    * bit-parity on random graphs. */
+  def dedupClustersStar(pairs: DataFrame, allDocs: DataFrame, id: Column,
+                        maxIters: Int = 40,
+                        reliableCheckpoint: Boolean = false,
+                        strict: Boolean = true): DataFrame = {
+    def ckptEager(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("hi").as("n"), col("lo").as("nb"))
+        .unionByName(edges.select(col("lo").as("n"), col("hi").as("nb")))
+      val mins = sym.groupBy(col("n"))
+        .agg(least(min(col("nb")), col("n")).as("m"))
+      sym.join(mins, "n").filter(col("nb") > col("n"))
+        .select(col("nb").as("hi"), col("m").as("lo")).distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withMin = edges.join(mins, "hi")
+      withMin.select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(mins.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+    // canonical (hi > lo) undirected edge set, self-loops dropped;
+    // eager-checkpointed so the upstream near-dup pipeline runs once
+    var edges = ckptEager(pairs
+      .select(greatest(col("id1"), col("id2")).as("hi"),
+        least(col("id1"), col("id2")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    var converged = edges.isEmpty // an edgeless corpus is all singletons
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = ckptEager(smallStar(largeStar(edges)))
+      // exact set-equality convergence: same cardinality and nothing new
+      // (anti-join one way suffices given distinct edge sets + count match)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      releaseCheckpoint(edges)
+      edges = next
+      iter += 1
+    }
+    if (!converged) {
+      val msg = s"dedupClustersStar: NOT converged after $maxIters " +
+        "alternation rounds (expected ~2·log₂(n) + 2) — raise maxIters"
+      if (strict) {
+        releaseCheckpoint(edges)
+        throw new IllegalStateException(s"[graft] $msg")
+      }
+      System.err.println(s"[graft] $msg (strict=false: returning the " +
+        "split labels)")
+    }
+    // fixpoint edges are min-rooted stars: hi → component minimum
+    val labels = allDocs.select(id.as("doc_id"))
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val out = ckptEager(labels)
+    releaseCheckpoint(edges)
+    out
   }
 
   /** Unpersist the checkpoint blocks backing a checkpointed DataFrame (the

@@ -52,6 +52,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assertParity("q_sql_dim_activity", "q_dim_activity_range")
   }
 
+  test("q_sql_watermark == q_watermark") {
+    assertParity("q_sql_watermark", "q_watermark")
+  }
+
+  test("q_sql_incomplete_days == q_incomplete_days") {
+    assertParity("q_sql_incomplete_days", "q_incomplete_days")
+  }
+
+  test("q_sql_rolling == q_rolling_window") {
+    assertParity("q_sql_rolling", "q_rolling_window")
+  }
+
   test("q_sql_embed_norm: registered graft_norm_sq == HOF sum of squares") {
     // independent DataFrame formulation: the HOF aggregate the native
     // expression documents itself against (ArrayDot.scala Scaladoc)
@@ -72,5 +84,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(o("q_sql_cosine_topk") == o("q_ann_cosine_topk"))
     assert(o("q_sql_sum_range") == o("q_sum_over_range"))
     assert(o("q_sql_dim_activity") == o("q_dim_activity_range"))
+    assert(o("q_sql_watermark") == o("q_watermark"))
+    assert(o("q_sql_incomplete_days") == o("q_incomplete_days"))
+    assert(o("q_sql_rolling") == o("q_rolling_window"))
+    // and the two-engine CC parity pair shares one oracle text
+    assert(o("q_dedup_clusters_star") == o("q_dedup_clusters"))
   }
 }

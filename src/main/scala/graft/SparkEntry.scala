@@ -1926,6 +1926,37 @@ object SparkEntry {
       Multimodal.sampleFrames(media, everyN = 2)
     }),
 
+    // full PNG path on real compressed pixel data: synthesize a valid
+    // 8-bit PNG per doc (channel count cycling 1/3/4 by id; every payload
+    // exercises all five filter predictors), Inflater-decode + unfilter
+    // with the real parser through the sniffing media dispatcher
+    // (rows-only — binary payloads aren't SQL-expressible). Per-channel
+    // means project into fixed scalar columns; a grayscale payload's
+    // missing channels are NULL (element_at past the vector end).
+    "q_media_png" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val channels = (id % 3) match {
+          case 0 => 1
+          case 1 => 3
+          case _ => 4
+        }
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.Decoders.syntheticPng(id, channels = channels.toInt))
+      }.toDF()
+      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          // size guards keep ANSI element_at off the out-of-bounds path
+          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+            .as("mean_c2"),
+          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+            .as("mean_c3"))
+    }),
+
     // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
     // S13 idempotent date-partition overwrite: initial load days <20, then a
     // corrected re-delivery of days >=15 (doubled) — only those partitions
@@ -2118,6 +2149,42 @@ object SparkEntry {
         streamingEvents(s, d), "ts", col("event_type") === "view",
         col("event_type"), col("value"), baseCents = 15000L)
       runAvailableNow(s, out, "degree_day", d, df => df)
+    }),
+    // Streaming historical-mean fill: W5 (the reference's E2 imputation
+    // flow) in real time — per micro-batch, readings left-join the
+    // BROADCAST (key, month, day, hour) historical-mean lookup, then the
+    // key mean, then the global mean (the batch coalesce chain).
+    // Calibration = first half of January (the q_stream_cusum window);
+    // micro-unit Euclidean floor means, so the whole chain is bit-exact
+    // cross-engine. Stateless (the enrichStream regime) — the oracle is
+    // the batch fallback-chain replay over ALL events, no watermark gate.
+    "q_stream_hist_fill" -> ((s, d) => {
+      val cal = Tables.eventsRange(s, d,
+          "2024-01-01 00:00:00", "2024-01-16 00:00:00")
+        .filter(col("value").isNotNull)
+        .select(col("user_id").cast("string").as("grp"),
+          month(col("ts")).as("m"), dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("vu"))
+      val hist = cal.groupBy(col("grp"), col("m"), col("d"), col("h"))
+        .agg(sum(col("vu")).as("su"), count(lit(1)).as("n"))
+        .withColumn("hist_micro", expr("(su - pmod(su, n)) div n"))
+        .select(col("grp"), col("m"), col("d"), col("h"), col("hist_micro"))
+      val km = cal.groupBy(col("grp"))
+        .agg(sum(col("vu")).as("su"), count(lit(1)).as("n"))
+        .withColumn("key_micro", expr("(su - pmod(su, n)) div n"))
+        .select(col("grp"), col("key_micro"))
+      // corpus-mean fallback: one aggregate row to the driver (the
+      // cusum-calibration model-sized pattern)
+      val g = cal.agg(sum(col("vu")).as("su"), count(lit(1)).as("n")).first()
+      val globalMicro =
+        if (g.isNullAt(0) || g.getLong(1) == 0L) 0L
+        else Math.floorDiv(g.getLong(0), g.getLong(1))
+      val out = graft.streaming.Streams.histFillStream(
+        streamingEvents(s, d), "ts", col("user_id"), col("value"),
+        hist, km, globalMicro)
+      runAvailableNow(s, out, "hist_fill", d, df => df)
     }),
     // Streaming demand-peak alerts: per-meter max-hourly-so-far per
     // calendar cycle in three longs of state — every CLOSED hour that
@@ -5089,6 +5156,43 @@ object SparkEntry {
            CAST(epoch_ns(hstart)//1000 AS BIGINT) AS hour_us,
            hc AS peak_cents
          FROM pk WHERE hc > prior""",
+    // stateless historical-fill replay: the stream emits the batch
+    // coalesce chain row-for-row (no watermark — the lookups are static
+    // dimensions, not streams), so the oracle is the same chain over ALL
+    // events with the calibration-window lookups rebuilt in SQL
+    "q_stream_hist_fill" ->
+      """WITH cal AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+             EXTRACT(month FROM ts) AS m, EXTRACT(day FROM ts) AS d,
+             EXTRACT(hour FROM ts) AS h,
+             CAST(floor(value*1000000 + 0.5) AS BIGINT) AS vu
+           FROM events
+           WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-16'),
+         hist AS (SELECT grp, m, d, h,
+             (s - (((s % n) + n) % n)) // n AS hist_micro
+           FROM (SELECT grp, m, d, h, CAST(SUM(vu) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+                 FROM cal GROUP BY 1, 2, 3, 4)),
+         km AS (SELECT grp, (s - (((s % n) + n) % n)) // n AS key_micro
+           FROM (SELECT grp, CAST(SUM(vu) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM cal GROUP BY 1)),
+         gm AS (SELECT (s - (((s % n) + n) % n)) // n AS global_micro
+           FROM (SELECT CAST(SUM(vu) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM cal)),
+         ev AS (SELECT CAST(user_id AS VARCHAR) AS grp, ts,
+             EXTRACT(month FROM ts) AS m, EXTRACT(day FROM ts) AS d,
+             EXTRACT(hour FROM ts) AS h,
+             CAST(floor(value*1000000 + 0.5) AS BIGINT) AS v_micro
+           FROM events)
+         SELECT ev.grp, ev.ts, ev.v_micro,
+           CAST(COALESCE(ev.v_micro, hist.hist_micro, km.key_micro,
+             gm.global_micro) AS BIGINT) AS v_filled_micro,
+           CASE WHEN ev.v_micro IS NOT NULL THEN 'present'
+                WHEN hist.hist_micro IS NOT NULL THEN 'hist'
+                WHEN km.key_micro IS NOT NULL THEN 'key'
+                ELSE 'global' END AS fill_src
+         FROM ev LEFT JOIN hist USING (grp, m, d, h)
+           LEFT JOIN km USING (grp) CROSS JOIN gm""",
     // flatline alarm replay: the stuck-run gaps-and-islands in (us, vc)
     // fold order, alarms where rank-within-island == minLen
     "q_stream_flatline" ->

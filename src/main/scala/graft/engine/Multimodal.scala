@@ -176,7 +176,10 @@ object Multimodal {
       * typo'd kind silently getting histogram "features" is exactly the
       * degradation this decoder's contract forbids. */
     val media: Decoder = {
-      case ("image", bytes) => bmp24(bytes)
+      case ("image", bytes) =>
+        // container sniffing by magic bytes — the real-pipeline shape: a
+        // corpus's "image" column holds mixed containers
+        if (isPng(bytes)) png(bytes) else bmp24(bytes)
       case ("audio", bytes) => wavPcm16(bytes)
       case ("video", bytes) =>
         val frames = gif87Frames(bytes)
@@ -435,6 +438,234 @@ object Multimodal {
       }
       out += 0x3b.toByte              // trailer
       out.result()
+    }
+
+    /** One decoded PNG image: dimensions, channel count, interleaved 8-bit
+      * samples (grayscale=1, gray+alpha=2, RGB=3, RGBA=4 channels). */
+    case class PngImage(width: Int, height: Int, channels: Int,
+                        pixels: Array[Byte])
+
+    private val pngSig =
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    /** PNG magic-byte sniff (for mixed-container image columns). */
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (0 until 8).forall(i => (b(i) & 0xff) == pngSig(i))
+
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    /** REAL dependency-free PNG decoder — the single most common image
+      * container a 2026 training corpus carries (the reference pipeline has
+      * no imagery; this is brief-driven multimodal surface). Pure JDK:
+      * `java.util.zip.Inflater` for the IDAT zlib stream, then the five
+      * scanline filter predictors (None/Sub/Up/Average/Paeth) per the PNG
+      * spec (public: RFC 2083 / W3C PNG). Supports 8-bit grayscale (color
+      * type 0), gray+alpha (4), RGB (2) and RGBA (6), non-interlaced;
+      * chunk CRCs are VERIFIED. Same loud-failure contract as [[bmp24]]:
+      * 16-bit depth, Adam7 interlace, palette images, bad CRCs, truncated
+      * or over-long pixel streams all throw, never degrade. */
+    def pngImage(payload: Array[Byte]): PngImage = {
+      require(isPng(payload), "not a PNG payload (bad signature)")
+      var off = 8
+      var width = -1; var height = -1; var channels = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      val crc = new java.util.zip.CRC32()
+      while (!done) {
+        require(off + 12 <= payload.length, "truncated PNG (no IEND)")
+        val len = be32(payload, off)
+        require(len >= 0 && off + 12L + len <= payload.length,
+          s"bad PNG chunk length $len")
+        val typ = new String(payload, off + 4, 4, "US-ASCII")
+        crc.reset()
+        crc.update(payload, off + 4, 4 + len)
+        require(crc.getValue.toInt == be32(payload, off + 8 + len),
+          s"bad CRC on PNG chunk $typ")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, s"bad IHDR length $len")
+            width = be32(payload, off + 8)
+            height = be32(payload, off + 12)
+            val bitDepth = payload(off + 16) & 0xff
+            val colorType = payload(off + 17) & 0xff
+            val interlace = payload(off + 20) & 0xff
+            require(width > 0 && height > 0,
+              s"bad dimensions ${width}x$height")
+            require(bitDepth == 8,
+              s"only 8-bit PNG supported (bitDepth=$bitDepth)")
+            require(interlace == 0, "interlaced (Adam7) PNG not supported")
+            channels = colorType match {
+              case 0 => 1
+              case 2 => 3
+              case 4 => 2
+              case 6 => 4
+              case 3 => throw new IllegalArgumentException(
+                "palette (indexed) PNG not supported")
+              case t => throw new IllegalArgumentException(
+                s"bad PNG color type $t")
+            }
+            // the full filtered stream must fit an Int-sized array
+            require((width.toLong * channels + 1) * height <= Int.MaxValue,
+              s"image too large: ${width}x$height")
+          case "IDAT" =>
+            require(channels > 0, "IDAT before IHDR")
+            idat.write(payload, off + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks (tEXt, pHYs, …) skipped per spec
+        }
+        off += 12 + len
+      }
+      require(channels > 0 && idat.size() > 0, "missing IHDR/IDAT chunk")
+      val stride = width * channels
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val got =
+        try {
+          var g = 0
+          var stalled = false
+          while (g < raw.length && !inf.finished() && !stalled) {
+            val n = inf.inflate(raw, g, raw.length - g)
+            if (n == 0 && (inf.finished() || inf.needsInput())) stalled = true
+            g += n
+          }
+          // a conforming stream ends EXACTLY at the scanline boundary —
+          // surplus compressed pixels are corruption, same as a deficit
+          require(g < raw.length || inf.finished() ||
+            inf.inflate(new Array[Byte](1)) == 0,
+            "PNG pixel stream longer than width*height scanlines")
+          g
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt PNG deflate stream: ${e.getMessage}")
+        } finally inf.end()
+      require(got == raw.length,
+        s"PNG pixel stream decoded $got of ${raw.length} filtered bytes")
+      // unfilter: recon(x) = raw(x) + predictor over already-reconstructed
+      // neighbors a=left, b=up, c=up-left (per-byte, distance = channels)
+      val out = new Array[Byte](stride * height)
+      val bpp = channels
+      var y = 0
+      while (y < height) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val rowOff = y * (stride + 1) + 1
+        val outOff = y * stride
+        var x = 0
+        while (x < stride) {
+          val rawB = raw(rowOff + x) & 0xff
+          val a = if (x >= bpp) out(outOff + x - bpp) & 0xff else 0
+          val b = if (y > 0) out(outOff - stride + x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) out(outOff - stride + x - bpp) & 0xff
+                  else 0
+          val recon = f match {
+            case 0 => rawB
+            case 1 => rawB + a
+            case 2 => rawB + b
+            case 3 => rawB + ((a + b) >> 1)
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => throw new IllegalArgumentException(
+              s"bad PNG filter type $other in row $y")
+          }
+          out(outOff + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      PngImage(width, height, channels, out)
+    }
+
+    /** PNG → [width, height, channels, per-channel means…] (0-255, 6 dp) —
+      * the [[bmp24]]-shaped feature vector for the PNG container. */
+    def png(payload: Array[Byte]): Array[Double] = {
+      val img = pngImage(payload)
+      val sums = new Array[Double](img.channels)
+      var i = 0
+      while (i < img.pixels.length) {
+        sums(i % img.channels) += (img.pixels(i) & 0xff)
+        i += 1
+      }
+      val n = img.width.toDouble * img.height
+      Array(img.width.toDouble, img.height.toDouble,
+        img.channels.toDouble) ++ sums.map(s => round6(s / n))
+    }
+
+    private def be32Bytes(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+    /** A complete PNG chunk: length + type + body + CRC32(type‖body). */
+    private def pngChunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(body)
+      be32Bytes(body.length) ++ tb ++ body ++ be32Bytes(crc.getValue.toInt)
+    }
+
+    /** Deterministic valid 8-bit PNG (default 5×5): pixel bytes are a pure
+      * function of `seed`; row y is filtered with type y % 5, so ONE payload
+      * with h ≥ 5 exercises all five predictors; zlib framing and chunk
+      * CRCs are real (JDK Deflater/CRC32), so any conforming reader accepts
+      * it. `channels`: 1 (grayscale), 3 (RGB) or 4 (RGBA). */
+    def syntheticPng(seed: Long, w: Int = 5, h: Int = 5,
+                     channels: Int = 3): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(channels == 1 || channels == 3 || channels == 4,
+        s"channels must be 1/3/4: $channels")
+      val stride = w * channels
+      val px = Array.tabulate(h * stride)(i =>
+        ((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L, i % 61) >>>
+          (i % 7)) & 0xff).toByte)
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        val f = y % 5
+        raw(y * (stride + 1)) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = px(y * stride + x) & 0xff
+          val a = if (x >= channels) px(y * stride + x - channels) & 0xff
+                  else 0
+          val b = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val c = if (y > 0 && x >= channels)
+            px((y - 1) * stride + x - channels) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case _ =>
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw)
+      defl.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+      val ihdr = be32Bytes(w) ++ be32Bytes(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      pngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
+        pngChunk("IDAT", buf.toByteArray) ++
+        pngChunk("IEND", Array.empty[Byte])
     }
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to

@@ -149,6 +149,46 @@ object Streams {
                    keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** W5 historical fill as a STREAM — the reference's E2 imputation flow
+    * (impute_missing.py:147-184) in real time: each micro-batch LEFT-joins
+    * the BROADCAST static (grp, m, d, h) historical-mean lookup, then the
+    * per-key mean, then the global mean — the exact coalesce fallback
+    * chain of [[graft.engine.Impute.historicalFill]] — so a gap is filled
+    * the moment the reading (or its null placeholder) arrives. Stateless
+    * by construction (the [[enrichStream]] regime: no watermark, no join
+    * state to evict — the lookups are not streams), so a late row fills
+    * identically to an on-time one and append emits every row exactly
+    * once, in its own batch; the single-run AvailableNow output equals
+    * the batch fallback-chain replay over the same rows (the oracle).
+    *
+    * Integer contract: readings quantize to micro-units on entry
+    * (floor(v·10⁶ + ½), the q_hist_mean_mdh convention) and lookup means
+    * are Euclidean floor means, so fills are bit-exact cross-engine —
+    * no FP-accumulation sensitivity (the batch operator's round(·,6) at
+    * micro precision). `hist`: (grp, m, d, h, hist_micro); `keyMeans`:
+    * (grp, key_micro); `globalMicro`: the corpus-mean fallback scalar
+    * (model-sized driver value, the cusum-calibration pattern). Lookups
+    * are dimension-sized (≤ keys × 12·31·24 cells) — broadcast holds at
+    * any corpus scale because the grid, not the corpus, bounds them.
+    * Output: (grp, ts, v_micro, v_filled_micro, fill_src). */
+  def histFillStream(events: DataFrame, ts: String, key: Column,
+                     value: Column, hist: DataFrame, keyMeans: DataFrame,
+                     globalMicro: Long): DataFrame =
+    events.select(key.cast("string").as("grp"), col(ts).as("ts"),
+        floor(value * lit(1000000.0) + lit(0.5)).cast("long").as("v_micro"))
+      .withColumn("m", month(col("ts")))
+      .withColumn("d", dayofmonth(col("ts")))
+      .withColumn("h", hour(col("ts")))
+      .join(broadcast(hist), Seq("grp", "m", "d", "h"), "left")
+      .join(broadcast(keyMeans), Seq("grp"), "left")
+      .select(col("grp"), col("ts"), col("v_micro"),
+        coalesce(col("v_micro"), col("hist_micro"), col("key_micro"),
+          lit(globalMicro)).as("v_filled_micro"),
+        when(col("v_micro").isNotNull, lit("present"))
+          .when(col("hist_micro").isNotNull, lit("hist"))
+          .when(col("key_micro").isNotNull, lit("key"))
+          .otherwise(lit("global")).as("fill_src"))
+
   /** Stream-stream interval join: each left event enriched with right events
     * of the same key within [left.ts - tolerance, left.ts] — the streaming
     * generation⋈weather overlay. Both sides watermarked so join state is

@@ -232,6 +232,120 @@ class MultimodalSpec extends SparkSpec {
       (f.rgb(3 * i + 2) & 0xff))) shouldBe Seq.fill(4)((255, 0, 0))
   }
 
+  // spec-local PNG assembler, INDEPENDENT of the production generator:
+  // hand-chosen filtered scanline bytes go in verbatim, so a shared
+  // misunderstanding between syntheticPng's encoder and pngImage's decoder
+  // (which are exact inverses by construction) cannot cancel out here
+  private def pngOf(w: Int, h: Int, bitDepth: Int, colorType: Int,
+                    interlace: Int, filtered: Array[Byte]): Array[Byte] = {
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, body: Array[Byte]) = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      be(body.length) ++ tb ++ body ++ be(crc.getValue.toInt)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be(w) ++ be(h) ++
+        Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0,
+          interlace.toByte)) ++
+      chunk("IDAT", buf.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  test("Decoders.pngImage: hand-filtered scanlines reconstruct exactly — " +
+    "all five predictors (None/Sub/Up/Average/Paeth)") {
+    // 2×5 grayscale; target recon rows [10,20] [30,45] [40,60] [50,80]
+    // [70,90]; filter bytes hand-derived per the PNG spec:
+    //   row0 None: raw = pixels
+    //   row1 Sub:  raw = [30, 45-30]
+    //   row2 Up:   raw = [40-30, 60-45]
+    //   row3 Avg:  raw = [50-floor((0+40)/2), 80-floor((50+60)/2)]
+    //   row4 Paeth: a/b/c=(0,50,0)→pred 50; (70,80,50)→p=100→pred b=80
+    val filtered = Array[Byte](
+      0, 10, 20,
+      1, 30, 15,
+      2, 10, 15,
+      3, 30, 25,
+      4, 20, 10)
+    val img = Multimodal.Decoders.pngImage(pngOf(2, 5, 8, 0, 0, filtered))
+    (img.width, img.height, img.channels) shouldBe ((2, 5, 1))
+    img.pixels.map(_ & 0xff).toSeq shouldBe
+      Seq(10, 20, 30, 45, 40, 60, 50, 80, 70, 90)
+    // feature wrapper: [w, h, channels, mean] over the known pixels
+    Multimodal.Decoders.png(pngOf(2, 5, 8, 0, 0, filtered)).toSeq shouldBe
+      Seq(2.0, 5.0, 1.0, 49.5)
+  }
+
+  test("Decoders.pngImage: RGB predictors step by CHANNELS, not 1 byte " +
+    "(Sub row with per-channel left neighbors)") {
+    // 2×1 RGB, Sub filter: recon px0 = (100, 150, 200); px1 = px0 + (5, 6, 7)
+    val filtered = Array[Byte](1, 100.toByte, 150.toByte, 200.toByte, 5, 6, 7)
+    val img = Multimodal.Decoders.pngImage(pngOf(2, 1, 8, 2, 0, filtered))
+    (img.width, img.height, img.channels) shouldBe ((2, 1, 3))
+    img.pixels.map(_ & 0xff).toSeq shouldBe Seq(100, 150, 200, 105, 156, 207)
+  }
+
+  test("syntheticPng: valid, deterministic, decodes through all five " +
+    "filters at every channel count; the media dispatcher sniffs PNG") {
+    for (ch <- Seq(1, 3, 4)) {
+      val p1 = Multimodal.Decoders.syntheticPng(42L, channels = ch)
+      p1 shouldBe Multimodal.Decoders.syntheticPng(42L, channels = ch)
+      val img = Multimodal.Decoders.pngImage(p1)
+      (img.width, img.height, img.channels) shouldBe ((5, 5, ch))
+      img.pixels.length shouldBe 25 * ch
+    }
+    // kind=image + PNG magic routes to the PNG parser, not bmp24
+    val feats = Multimodal.Decoders.media("image",
+      Multimodal.Decoders.syntheticPng(7L))
+    feats.take(3).toSeq shouldBe Seq(5.0, 5.0, 3.0)
+  }
+
+  test("pngImage loud failures: 16-bit, interlace, palette, bad CRC, " +
+    "filter-type garbage, truncated and over-long pixel streams") {
+    val good = Array[Byte](0, 10, 20, 0, 30, 40) // 2×2 gray, None filters
+    def px(bitDepth: Int = 8, colorType: Int = 0, interlace: Int = 0,
+           filtered: Array[Byte] = good) =
+      pngOf(2, 2, bitDepth, colorType, interlace, filtered)
+    Multimodal.Decoders.pngImage(px()).pixels.map(_ & 0xff).toSeq shouldBe
+      Seq(10, 20, 30, 40)
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(px(bitDepth = 16))
+    }.getMessage should include("8-bit")
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(px(interlace = 1))
+    }.getMessage should include("interlaced")
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(px(colorType = 3))
+    }.getMessage should include("palette")
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(
+        px(filtered = Array[Byte](9, 10, 20, 0, 30, 40)))
+    }.getMessage should include("filter type")
+    intercept[IllegalArgumentException] { // one scanline short
+      Multimodal.Decoders.pngImage(px(filtered = good.take(3)))
+    }
+    intercept[IllegalArgumentException] { // one scanline over
+      Multimodal.Decoders.pngImage(px(filtered = good ++ good.take(3)))
+    }
+    // corrupt one IDAT payload byte -> the CRC check must catch it
+    val p = px()
+    val idatOff = p.indexOfSlice("IDAT".getBytes("US-ASCII").toSeq)
+    p(idatOff + 4) = (p(idatOff + 4) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(p)
+    }.getMessage should include("CRC")
+    intercept[IllegalArgumentException] { // not a PNG at all
+      Multimodal.Decoders.pngImage("plain text".getBytes)
+    }
+  }
+
   test("sampleFrames: real GIF frames, every-nth sampling, pixel means") {
     val gif = Multimodal.Decoders.syntheticGif87(42L, nFrames = 5)
     val media = Seq((1L, "video", gif)).toDF("media_id", "kind", "payload")

@@ -218,6 +218,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histFillStream: the full coalesce chain (present → hist → key → " +
+    "global) per batch; a late second-batch row fills identically " +
+    "(stateless); lookup-miss falls through, never drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val hist = Seq(("a", 1, 1, 0, 5000000L))
+      .toDF("grp", "m", "d", "h", "hist_micro")
+    val km = Seq(("a", 3000000L), ("b", 7000000L)).toDF("grp", "key_micro")
+    val out = Streams.histFillStream(mem.toDF().toDF("ts", "k", "v"), "ts",
+      col("k"), col("v"), hist, km, globalMicro = 1000000L)
+    val q = out.writeStream.format("memory").queryName("histfill")
+      .outputMode(Streams.hourlySumMode).start()
+    def rows() = spark.sql("SELECT * FROM histfill").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getString(4))).toSet
+    try {
+      mem.addData(
+        (t("2024-01-01 00:10:00"), "a", Some(2.5)), // present, bit-exact
+        (t("2024-01-01 00:20:00"), "a", None),      // (1,1,0) hist cell hit
+        (t("2024-01-01 05:00:00"), "a", None),      // no hist cell → key
+        (t("2024-01-01 05:30:00"), "c", None))      // unknown key → global
+      q.processAllAvailable()
+      rows() shouldBe Set(
+        ("a", "2024-01-01 00:10:00.0", 2500000L, "present"),
+        ("a", "2024-01-01 00:20:00.0", 5000000L, "hist"),
+        ("a", "2024-01-01 05:00:00.0", 3000000L, "key"),
+        ("c", "2024-01-01 05:30:00.0", 1000000L, "global"))
+      // a LATE row (earlier ts than everything above) in a later batch
+      // fills through the same chain — stateless, no watermark to drop it
+      mem.addData((t("2024-01-01 00:05:00"), "a", None))
+      q.processAllAvailable()
+      rows() should contain(
+        ("a", "2024-01-01 00:05:00.0", 5000000L, "hist"))
+      rows().size shouldBe 5
+    } finally q.stop()
+  }
+
   test("enrichStream: matched events carry dim attrs, unmatched keep NULLs; " +
     "a file dim's snapshot is PINNED at stream start") {
     implicit val sqlCtx = spark.sqlContext

@@ -1957,6 +1957,50 @@ object SparkEntry {
             .as("mean_c3"))
     }),
 
+    // full PNG resize path: synthetic PNG → NN resample through the
+    // container-sniffing resize dispatcher → re-encoded PNG (real zlib +
+    // CRCs) → real decode — payload transforms compose across containers
+    // (rows-only — binary payloads aren't SQL-expressible)
+    "q_media_png_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val channels = (id % 3) match {
+          case 0 => 1
+          case 1 => 3
+          case _ => 4
+        }
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.Decoders.syntheticPng(id, channels = channels.toInt))
+      }.toDF()
+      Multimodal.extractFeatures(
+          Multimodal.resizeImages(media, 3, 3), Multimodal.Decoders.media)
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+            .as("mean_c2"),
+          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+            .as("mean_c3"))
+    }),
+
+    // full audio frame path: synthetic 16-bit PCM WAV per doc (length and
+    // channel count vary by id) → per-frame ALL-INTEGER features (abs sum,
+    // energy, zero crossings), every 2nd frame — the voice-activity /
+    // quality row multiplier (rows-only — binary payloads aren't
+    // SQL-expressible; the integer outputs are spec'd bit-exact)
+    "q_media_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.Decoders.syntheticWav(id,
+            nPerChannel = 40 + (id % 5).toInt * 7,
+            channels = 1 + (id % 2).toInt))
+      }.toDF()
+      Multimodal.sampleAudioFrames(media, frameLen = 16, everyN = 2)
+    }),
+
     // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
     // S13 idempotent date-partition overwrite: initial load days <20, then a
     // corrected re-delivery of days >=15 (doubled) — only those partitions

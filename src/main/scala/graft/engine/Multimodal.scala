@@ -125,16 +125,16 @@ object Multimodal {
         round6(sumR / n), round6(sumG / n), round6(sumB / n))
     }
 
-    /** 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks) → [sampleRate,
-      * channels, nSamples, rms] with samples normalized to [-1, 1) and rms
-      * rounded to 6 dp. Unknown chunks are skipped per the RIFF contract
-      * (chunk sizes pad to even offsets). */
-    def wavPcm16(payload: Array[Byte]): Array[Double] = {
+    /** RIFF walk for a 16-bit PCM WAV: (sampleRate, channels, data byte
+      * offset, interleaved sample count). Shared by [[wavPcm16]] and
+      * [[wavClip]]. Unknown chunks are skipped per the RIFF contract (chunk
+      * sizes pad to even offsets); malformed payloads fail loudly. */
+    private def wavPcmLocate(payload: Array[Byte]): (Int, Int, Int, Int) = {
       require(payload.length >= 44 &&
         new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
         new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a WAV payload")
       var off = 12
-      var sampleRate = -1; var channels = -1; var bits = -1
+      var sampleRate = -1; var channels = -1
       var dataOff = -1; var dataLen = -1
       while (off + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
         val id = new String(payload, off, 4, "US-ASCII")
@@ -147,7 +147,7 @@ object Multimodal {
             require(u16(payload, off + 8) == 1, "only PCM WAV supported")
             channels = u16(payload, off + 10)
             sampleRate = i32(payload, off + 12)
-            bits = u16(payload, off + 22)
+            val bits = u16(payload, off + 22)
             require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
           case "data" => dataOff = off + 8; dataLen = size
           case _ => ()
@@ -155,7 +155,14 @@ object Multimodal {
         off += 8 + size + (size & 1) // chunks pad to even offsets
       }
       require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
-      val nSamples = dataLen / 2
+      (sampleRate, channels, dataOff, dataLen / 2)
+    }
+
+    /** 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks) → [sampleRate,
+      * channels, nSamples, rms] with samples normalized to [-1, 1) and rms
+      * rounded to 6 dp. */
+    def wavPcm16(payload: Array[Byte]): Array[Double] = {
+      val (sampleRate, channels, dataOff, nSamples) = wavPcmLocate(payload)
       var sumSq = 0.0
       var i = 0
       while (i < nSamples) {
@@ -166,6 +173,50 @@ object Multimodal {
       val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
       Array(sampleRate.toDouble, channels.toDouble, nSamples.toDouble,
         round6(rms))
+    }
+
+    /** One decoded PCM clip: rate, channel count, channel-interleaved
+      * 16-bit samples (instant t, channel c at index t·channels + c). */
+    case class WavClip(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** Full-sample WAV decode (vs [[wavPcm16]]'s streaming summary) — the
+      * raw material for frame-level feature extraction. */
+    def wavClip(payload: Array[Byte]): WavClip = {
+      val (sampleRate, channels, dataOff, nSamples) = wavPcmLocate(payload)
+      val s = new Array[Short](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        s(i) = u16(payload, dataOff + 2 * i).toShort
+        i += 1
+      }
+      WavClip(sampleRate, channels, s)
+    }
+
+    /** Deterministic VALID 16-bit PCM WAV: `nPerChannel` time instants of
+      * channel-interleaved samples that are a pure function of `seed`,
+      * sign-mixed across the full int16 range — the [[syntheticBmp]]-style
+      * payload generator for the audio path. */
+    def syntheticWav(seed: Long, nPerChannel: Int = 64, sampleRate: Int = 8000,
+                     channels: Int = 1): Array[Byte] = {
+      require(nPerChannel > 0 && channels > 0 && sampleRate > 0,
+        s"bad WAV spec: n=$nPerChannel ch=$channels rate=$sampleRate")
+      val n = nPerChannel * channels
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L + i,
+          i % 59) >>> (i % 11)) & 0xffffL).toInt - 32768).toShort
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+        le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+      "RIFF".getBytes("US-ASCII") ++
+        le32(4 + 8 + fmt.length + 8 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
     }
 
     /** Kind-dispatching media decoder over the real format parsers: BMP for
@@ -653,20 +704,77 @@ object Multimodal {
         }
         y += 1
       }
+      encodePng(w, h, channels, raw)
+    }
+
+    /** Assemble a VALID 8-bit PNG from already-filtered scanlines (real
+      * zlib framing + chunk CRCs) — shared by [[syntheticPng]] and
+      * [[resizePng]]. `filtered` is (stride+1)·h bytes: each row a filter
+      * byte then width·channels samples. */
+    private def encodePng(w: Int, h: Int, channels: Int,
+                          filtered: Array[Byte]): Array[Byte] = {
       val defl = new java.util.zip.Deflater()
-      defl.setInput(raw)
+      defl.setInput(filtered)
       defl.finish()
       val buf = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](4096)
       while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
       defl.end()
-      val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+      val colorType = channels match {
+        case 1 => 0
+        case 2 => 4
+        case 3 => 2
+        case 4 => 6
+        case c => throw new IllegalArgumentException(s"bad channel count $c")
+      }
       val ihdr = be32Bytes(w) ++ be32Bytes(h) ++
         Array[Byte](8, colorType.toByte, 0, 0, 0)
       pngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
         pngChunk("IDAT", buf.toByteArray) ++
         pngChunk("IEND", Array.empty[Byte])
     }
+
+    /** REAL nearest-neighbor resize of an 8-bit PNG to newW × newH — the
+      * [[resizeBmp24]] NN mapping (source pixel for output (x, y) is
+      * (x·srcW/newW, y·srcH/newH)) applied to the [[pngImage]] decode and
+      * re-encoded as a VALID PNG (filter-0 scanlines, real zlib + chunk
+      * CRCs), so the result feeds straight back into [[png]] or another
+      * resize — payload transforms compose. Channel count (and so color
+      * type) is preserved; same loud-failure contract as the decoder. */
+    def resizePng(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      require(newW > 0 && newH > 0, s"bad target dimensions ${newW}x$newH")
+      val img = pngImage(payload)
+      val ch = img.channels
+      val stride = newW * ch
+      require((stride + 1L) * newH <= Int.MaxValue,
+        s"target too large: ${newW}x$newH")
+      val raw = new Array[Byte]((stride + 1) * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * img.height / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * img.width / newW).toInt
+          val sp = (sy * img.width + sx) * ch
+          val dp = y * (stride + 1) + 1 + x * ch
+          var c = 0
+          while (c < ch) {
+            raw(dp + c) = img.pixels(sp + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(newW, newH, ch, raw)
+    }
+
+    /** Container-sniffing image resize: PNG payloads through [[resizePng]],
+      * BMP through [[resizeBmp24]] — the payload-transform twin of the
+      * [[media]] decode dispatcher for mixed-container image columns. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (isPng(payload)) resizePng(payload, w, h)
+      else resizeBmp24(payload, w, h)
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
       * newW × newH — source pixel for output (x, y) is
@@ -733,7 +841,7 @@ object Multimodal {
     * `extractFeatures(resizeImages(media, 64, 64))`. */
   def resizeImages(media: DataFrame, w: Int, h: Int,
                    resize: (Array[Byte], Int, Int) => Array[Byte] =
-                     Decoders.resizeBmp24): DataFrame = {
+                     Decoders.resizeImage): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -776,5 +884,59 @@ object Multimodal {
       }
     }.toDF("media_id", "kind", "frame_ix", "width", "height",
       "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL audio frame features: decode a 16-bit PCM WAV
+    * ([[Decoders.wavClip]]) and emit one row per `frameLen`-instant frame
+    * (keeping every `everyN`th) with ALL-INTEGER per-frame statistics —
+    * abs-amplitude sum, energy (sum of squares), and zero-crossing count —
+    * the standard cheap voice-activity / audio-quality features, bit-exact
+    * across engines by construction (no FP accumulation). Frames are
+    * non-overlapping windows of `frameLen` time instants over the
+    * channel-interleaved stream; statistics pool all channels, crossings
+    * are counted per channel between within-frame neighbors (sign flip on
+    * the `< 0` boundary); the trailing partial frame is kept with its
+    * actual `n_samples`. Same `flatMap` row-multiplier shape as
+    * [[sampleFrames]]; non-WAV payloads fail loudly.
+    * Output: (media_id, kind, frame_ix, n_samples, abs_sum, sq_sum,
+    * zero_crossings). */
+  def sampleAudioFrames(media: DataFrame, frameLen: Int,
+                        everyN: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(frameLen >= 1, s"frameLen must be >= 1: $frameLen")
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    media.as[MediaRecord].flatMap { r =>
+      val clip = Decoders.wavClip(r.payload)
+      val ch = clip.channels
+      require(clip.samples.length % ch == 0,
+        s"interleaved sample count ${clip.samples.length} not divisible " +
+          s"by $ch channels")
+      val instants = clip.samples.length / ch
+      val nFrames = (instants + frameLen - 1) / frameLen
+      (0 until nFrames by everyN).map { fx =>
+        val from = fx * frameLen
+        val until = math.min(from + frameLen, instants)
+        var absSum = 0L
+        var sqSum = 0L
+        var zc = 0L
+        var t = from
+        while (t < until) {
+          var c = 0
+          while (c < ch) {
+            val v = clip.samples(t * ch + c).toLong
+            absSum += math.abs(v)
+            sqSum += v * v
+            if (t > from &&
+                (clip.samples((t - 1) * ch + c) < 0) != (v < 0)) zc += 1
+            c += 1
+          }
+          t += 1
+        }
+        (r.media_id, r.kind, fx.toLong, ((until - from) * ch).toLong,
+          absSum, sqSum, zc)
+      }
+    }.toDF("media_id", "kind", "frame_ix", "n_samples", "abs_sum",
+      "sq_sum", "zero_crossings")
   }
 }

@@ -346,6 +346,125 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Decoders.resizePng: exact NN mapping on hand-built pixels; " +
+    "identity preserves; upscale replicates; channels survive re-encode") {
+    // 4×2 RGB, all rows filter-0 so the pixel bytes are literal:
+    // px(x, y, c) = 40y + 10x + c — every byte distinct and < 256
+    def p(x: Int, y: Int, c: Int) = (40 * y + 10 * x + c).toByte
+    val filtered =
+      (0 until 2).flatMap { y =>
+        0.toByte +: (0 until 4).flatMap(x => (0 until 3).map(c => p(x, y, c)))
+      }.toArray
+    val src = pngOf(4, 2, 8, 2, 0, filtered)
+    // 2×1 target: sy = y*2/1 -> 0; sx = x*4/2 -> {0, 2}
+    val out = Multimodal.Decoders.pngImage(
+      Multimodal.Decoders.resizePng(src, 2, 1))
+    (out.width, out.height, out.channels) shouldBe ((2, 1, 3))
+    out.pixels.toSeq shouldBe Seq(p(0, 0, 0), p(0, 0, 1), p(0, 0, 2),
+      p(2, 0, 0), p(2, 0, 1), p(2, 0, 2))
+    // identity resize preserves pixels exactly, at every channel count
+    for (ch <- Seq(1, 3, 4)) {
+      val payload = Multimodal.Decoders.syntheticPng(9L, channels = ch)
+      val orig = Multimodal.Decoders.pngImage(payload)
+      val same = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.resizePng(payload, 5, 5))
+      same.channels shouldBe ch
+      same.pixels.toSeq shouldBe orig.pixels.toSeq
+    }
+    // 1×1 upscale replicates the single pixel
+    val one = pngOf(1, 1, 8, 0, 0, Array[Byte](0, 77))
+    val up = Multimodal.Decoders.pngImage(
+      Multimodal.Decoders.resizePng(one, 3, 3))
+    up.pixels.map(_ & 0xff).toSeq shouldBe Seq.fill(9)(77)
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.resizePng(one, 0, 3)
+    }
+  }
+
+  test("Decoders.resizeImage + resizeImages default: mixed PNG/BMP image " +
+    "column routes by magic bytes, each result a valid same-container " +
+    "payload") {
+    val png = Multimodal.Decoders.syntheticPng(3L, channels = 3)
+    val bmp = Multimodal.Decoders.syntheticBmp(3L)
+    Multimodal.Decoders.isPng(
+      Multimodal.Decoders.resizeImage(png, 3, 3)) shouldBe true
+    val rb = Multimodal.Decoders.resizeImage(bmp, 3, 3)
+    (rb(0), rb(1)) shouldBe (('B'.toByte, 'M'.toByte))
+    val media = Seq((1L, "image", png), (2L, "image", bmp))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.resizeImages(media, 3, 3), Multimodal.Decoders.media)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](3).take(2)).toMap
+    feats(1L) shouldBe Seq(3.0, 3.0)
+    feats(2L) shouldBe Seq(3.0, 3.0)
+  }
+
+  // spec-local WAV assembler, INDEPENDENT of the production generator:
+  // hand-chosen samples go in verbatim (little-endian int16, interleaved)
+  private def wavOf(rate: Int, channels: Int,
+                    samples: Array[Short]): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val data = samples.flatMap(s => le16(s.toInt & 0xffff))
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 +
+      data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  test("syntheticWav: deterministic, valid, parses with the declared " +
+    "rate/channels/sample count; wavClip round-trips the sample array") {
+    val w = Multimodal.Decoders.syntheticWav(42L, nPerChannel = 10,
+      sampleRate = 16000, channels = 2)
+    w shouldBe Multimodal.Decoders.syntheticWav(42L, nPerChannel = 10,
+      sampleRate = 16000, channels = 2)
+    Multimodal.Decoders.wavPcm16(w).take(3).toSeq shouldBe
+      Seq(16000.0, 2.0, 20.0)
+    val clip = Multimodal.Decoders.wavClip(w)
+    (clip.sampleRate, clip.channels, clip.samples.length) shouldBe
+      ((16000, 2, 20))
+  }
+
+  test("sampleAudioFrames: hand-computed integer features — mono framing " +
+    "with a partial tail, stereo per-channel crossings, everyN sampling, " +
+    "loud non-WAV failure") {
+    // mono, frameLen=4: f0 = [100,-200,300,-400] -> abs 1000, sq 300000,
+    // zc 3; f1 (partial) = [500,600] -> n 2, abs 1100, sq 610000, zc 0
+    val mono = wavOf(8000, 1, Array[Short](100, -200, 300, -400, 500, 600))
+    val m = Multimodal.sampleAudioFrames(
+      Seq((1L, "audio", mono)).toDF("media_id", "kind", "payload"),
+      frameLen = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    m shouldBe Set((0L, 4L, 1000L, 300000L, 3L), (1L, 2L, 1100L, 610000L, 0L))
+    // stereo interleaved [1,-5, -1,5, 2,-5], frameLen=2: f0 crossings are
+    // per channel (A: 1→-1, B: -5→5) -> zc 2, abs 12, sq 52, n 4;
+    // f1 = one instant -> n 2, abs 7, sq 29, zc 0
+    val stereo = wavOf(8000, 2, Array[Short](1, -5, -1, 5, 2, -5))
+    val st = Multimodal.sampleAudioFrames(
+      Seq((2L, "audio", stereo)).toDF("media_id", "kind", "payload"),
+      frameLen = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    st shouldBe Set((0L, 4L, 12L, 52L, 2L), (1L, 2L, 7L, 29L, 0L))
+    // everyN=2 keeps frames 0 and 2 only
+    val six = wavOf(8000, 1, Array[Short](1, 2, 3, 4, 5, 6))
+    Multimodal.sampleAudioFrames(
+      Seq((3L, "audio", six)).toDF("media_id", "kind", "payload"),
+      frameLen = 2, everyN = 2)
+      .collect().map(_.getLong(2)).toSet shouldBe Set(0L, 2L)
+    val boom = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleAudioFrames(
+        Seq((4L, "audio", "not audio".getBytes))
+          .toDF("media_id", "kind", "payload"), frameLen = 2).collect()
+    }
+    boom.getMessage should include("WAV")
+  }
+
   test("sampleFrames: real GIF frames, every-nth sampling, pixel means") {
     val gif = Multimodal.Decoders.syntheticGif87(42L, nFrames = 5)
     val media = Seq((1L, "video", gif)).toDF("media_id", "kind", "payload")

@@ -1,0 +1,94 @@
+package graft
+
+/** Spec-side media container assemblers, INDEPENDENT of the production
+  * generators in `Multimodal.Decoders`: fixtures built here encode the
+  * test author's reading of the public specs (RFC 2083 / W3C PNG, RIFF
+  * WAVE), so a shared misunderstanding between a production encoder and
+  * its exact-inverse decoder cannot cancel out in round-trip tests. */
+object MediaTestFixtures {
+
+  /** Assemble a PNG from already-filtered scanline bytes (verbatim). */
+  def pngOf(w: Int, h: Int, bitDepth: Int, colorType: Int,
+            interlace: Int, filtered: Array[Byte]): Array[Byte] = {
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, body: Array[Byte]) = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      be(body.length) ++ tb ++ body ++ be(crc.getValue.toInt)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be(w) ++ be(h) ++
+        Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0,
+          interlace.toByte)) ++
+      chunk("IDAT", buf.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Reference scanline FILTERING (the encoder direction of RFC 2083 §6,
+    * written from the spec text): raw(x) = recon(x) − predictor(a, b, c)
+    * mod 256, with a = left, b = up, c = up-left at distance `channels`.
+    * Row y gets filter type `filters(y)`. */
+  def filterScanlines(w: Int, h: Int, channels: Int, pixels: Array[Byte],
+                      filters: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h * channels && filters.length == h)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = filters(y)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val a = if (x >= channels) pixels(y * stride + x - channels) & 0xff
+                else 0
+        val b = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= channels)
+          pixels((y - 1) * stride + x - channels) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          case other => throw new IllegalArgumentException(
+            s"bad filter $other")
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    raw
+  }
+
+  /** PNG color type for a channel count (RFC 2083 §4.1.1). */
+  def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0
+    case 2 => 4
+    case 3 => 2
+    case 4 => 6
+  }
+
+  /** Assemble a 16-bit PCM WAV from hand-chosen interleaved samples. */
+  def wavOf(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val data = samples.flatMap(s => le16(s.toInt & 0xffff))
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 +
+      data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+}

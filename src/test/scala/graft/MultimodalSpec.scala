@@ -232,32 +232,13 @@ class MultimodalSpec extends SparkSpec {
       (f.rgb(3 * i + 2) & 0xff))) shouldBe Seq.fill(4)((255, 0, 0))
   }
 
-  // spec-local PNG assembler, INDEPENDENT of the production generator:
+  // spec-side PNG assembler, INDEPENDENT of the production generator:
   // hand-chosen filtered scanline bytes go in verbatim, so a shared
   // misunderstanding between syntheticPng's encoder and pngImage's decoder
   // (which are exact inverses by construction) cannot cancel out here
   private def pngOf(w: Int, h: Int, bitDepth: Int, colorType: Int,
-                    interlace: Int, filtered: Array[Byte]): Array[Byte] = {
-    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
-      (v >> 8).toByte, v.toByte)
-    def chunk(typ: String, body: Array[Byte]) = {
-      val tb = typ.getBytes("US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(body)
-      be(body.length) ++ tb ++ body ++ be(crc.getValue.toInt)
-    }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered); defl.finish()
-    val buf = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](4096)
-    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
-    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", be(w) ++ be(h) ++
-        Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0,
-          interlace.toByte)) ++
-      chunk("IDAT", buf.toByteArray) ++ chunk("IEND", Array.empty[Byte])
-  }
+                    interlace: Int, filtered: Array[Byte]): Array[Byte] =
+    MediaTestFixtures.pngOf(w, h, bitDepth, colorType, interlace, filtered)
 
   test("Decoders.pngImage: hand-filtered scanlines reconstruct exactly — " +
     "all five predictors (None/Sub/Up/Average/Paeth)") {
@@ -400,21 +381,11 @@ class MultimodalSpec extends SparkSpec {
     feats(2L) shouldBe Seq(3.0, 3.0)
   }
 
-  // spec-local WAV assembler, INDEPENDENT of the production generator:
+  // spec-side WAV assembler, INDEPENDENT of the production generator:
   // hand-chosen samples go in verbatim (little-endian int16, interleaved)
   private def wavOf(rate: Int, channels: Int,
-                    samples: Array[Short]): Array[Byte] = {
-    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
-    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
-      (v >> 24).toByte)
-    val data = samples.flatMap(s => le16(s.toInt & 0xffff))
-    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
-      le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
-    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 +
-      data.length) ++ "WAVE".getBytes("US-ASCII") ++
-      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
-      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
-  }
+                    samples: Array[Short]): Array[Byte] =
+    MediaTestFixtures.wavOf(rate, channels, samples)
 
   test("syntheticWav: deterministic, valid, parses with the declared " +
     "rate/channels/sample count; wavClip round-trips the sample array") {

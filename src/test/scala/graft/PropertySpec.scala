@@ -362,4 +362,91 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: pngImage inverts spec-reference filtering — random " +
+    "pixels, random per-row filter types, all four channel counts") {
+    import graft.engine.Multimodal
+    val imgGen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      px <- Gen.listOfN(w * h * ch, Gen.choose(0, 255))
+      fs <- Gen.listOfN(h, Gen.choose(0, 4))
+    } yield (w, h, ch, px.map(_.toByte).toArray, fs.toArray)
+    forAll(imgGen, n = 30) { case (w, h, ch, px, fs) =>
+      val payload = MediaTestFixtures.pngOf(w, h, 8,
+        MediaTestFixtures.colorTypeOf(ch), 0,
+        MediaTestFixtures.filterScanlines(w, h, ch, px, fs))
+      val img = Multimodal.Decoders.pngImage(payload)
+      (img.width, img.height, img.channels) shouldBe ((w, h, ch))
+      img.pixels.toSeq shouldBe px.toSeq
+    }
+  }
+
+  test("property: resizePng NN law — out(x, y) == src(x·srcW/newW, " +
+    "y·srcH/newH) for random dims; identity resize is the identity") {
+    import graft.engine.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 8)
+      h <- Gen.choose(1, 8)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      nw <- Gen.choose(1, 10)
+      nh <- Gen.choose(1, 10)
+      px <- Gen.listOfN(w * h * ch, Gen.choose(0, 255))
+    } yield (w, h, ch, nw, nh, px.map(_.toByte).toArray)
+    forAll(gen, n = 30) { case (w, h, ch, nw, nh, px) =>
+      val src = MediaTestFixtures.pngOf(w, h, 8,
+        MediaTestFixtures.colorTypeOf(ch), 0,
+        MediaTestFixtures.filterScanlines(w, h, ch, px,
+          Array.tabulate(h)(_ % 5)))
+      val out = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.resizePng(src, nw, nh))
+      (out.width, out.height, out.channels) shouldBe ((nw, nh, ch))
+      for (y <- 0 until nh; x <- 0 until nw; c <- 0 until ch) {
+        val sx = (x.toLong * w / nw).toInt
+        val sy = (y.toLong * h / nh).toInt
+        out.pixels((y * nw + x) * ch + c) shouldBe
+          px((sy * w + sx) * ch + c)
+      }
+      val id = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.resizePng(src, w, h))
+      id.pixels.toSeq shouldBe px.toSeq
+    }
+  }
+
+  test("property: sampleAudioFrames matches a from-scratch collections " +
+    "reference on random clips") {
+    import graft.engine.Multimodal
+    val clipGen = for {
+      ch <- Gen.oneOf(1, 2, 3)
+      nInst <- Gen.choose(1, 30)
+      frameLen <- Gen.choose(1, 7)
+      everyN <- Gen.choose(1, 3)
+      samples <- Gen.listOfN(nInst * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (ch, nInst, frameLen, everyN, samples.map(_.toShort).toArray)
+    forAll(clipGen, n = 10) { case (ch, nInst, frameLen, everyN, samples) =>
+      val media = Seq((7L, "audio",
+        MediaTestFixtures.wavOf(8000, ch, samples)))
+        .toDF("media_id", "kind", "payload")
+      val got = Multimodal.sampleAudioFrames(media, frameLen, everyN)
+        .collect().map(r => r.getLong(2) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      // reference: channel-major frames over plain collections
+      val byChannel = (0 until ch).map(c =>
+        (0 until nInst).map(t => samples(t * ch + c).toInt))
+      val expect =
+        (0 until (nInst + frameLen - 1) / frameLen by everyN).map { fx =>
+          val chunk = byChannel.map(_.slice(fx * frameLen,
+            (fx + 1) * frameLen))
+          val flat = chunk.flatten
+          val zc = chunk.map(cs => cs.indices.drop(1)
+            .count(i => (cs(i - 1) < 0) != (cs(i) < 0))).sum
+          fx.toLong -> ((flat.size.toLong,
+            flat.map(v => math.abs(v.toLong)).sum,
+            flat.map(v => v.toLong * v).sum, zc.toLong))
+        }.toMap
+      got shouldBe expect
+    }
+  }
 }

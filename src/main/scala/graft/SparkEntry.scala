@@ -193,6 +193,38 @@ object SparkEntry {
       s.readStream.schema(schema).parquet(dir.toString))
   }
 
+  /** Channel-cycling synthetic-PNG media frame shared by the PNG queries
+    * (q_media_png / q_media_png_resize): one valid 8-bit PNG per doc,
+    * channels cycling 1/3/4 by id, every payload exercising all five
+    * filter predictors. */
+  private def pngMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val channels = (id % 3) match {
+        case 0 => 1
+        case 1 => 3
+        case _ => 4
+      }
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.Decoders.syntheticPng(id, channels = channels.toInt))
+    }.toDF()
+  }
+
+  /** Project the [w, h, channels, per-channel means…] image feature vector
+    * into flat scalar columns (the rows-only comparator needs sortable
+    * scalars); channels a payload lacks come back NULL. */
+  private def imageFeatureCols(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("n_bytes"),
+      element_at(col("feature"), 1).as("width"),
+      element_at(col("feature"), 2).as("height"),
+      element_at(col("feature"), 3).as("channels"),
+      element_at(col("feature"), 4).as("mean_c1"),
+      // size guards keep ANSI element_at off the out-of-bounds path
+      when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+        .as("mean_c2"),
+      when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+        .as("mean_c3"))
+
   /** Run a streaming frame to completion under AvailableNow (append mode)
     * through a memory sink, spill the result to a stable per-(tag, sfDir)
     * parquet dir, DROP the sink table, and return the spilled frame.
@@ -1895,23 +1927,18 @@ object SparkEntry {
 
     // full image path on real pixel data: synthesize a valid BMP per doc,
     // resize through the NN resampler, decode with the real parser
-    // (rows-only — binary payloads aren't SQL-expressible). The BMP feature
-    // vector [width, height, meanR, meanG, meanB] is projected into named
-    // scalar columns: the driver's rows-only comparator sorts cell values,
-    // so the output must be flat sortable scalars, not arrays.
+    // (rows-only — binary payloads aren't SQL-expressible). The image
+    // feature vector [width, height, channels, per-channel means…] is
+    // projected into named scalar columns: the driver's rows-only
+    // comparator sorts cell values, so the output must be flat sortable
+    // scalars, not arrays.
     "q_media_resize" -> ((s, d) => {
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
         Multimodal.MediaRecord(id, "image", Multimodal.Decoders.syntheticBmp(id))
       }.toDF()
-      Multimodal.extractFeatures(
-          Multimodal.resizeImages(media, 4, 4), Multimodal.Decoders.media)
-        .select(col("media_id"), col("n_bytes"),
-          element_at(col("feature"), 1).as("width"),
-          element_at(col("feature"), 2).as("height"),
-          element_at(col("feature"), 3).as("mean_r"),
-          element_at(col("feature"), 4).as("mean_g"),
-          element_at(col("feature"), 5).as("mean_b"))
+      imageFeatureCols(Multimodal.extractFeatures(
+        Multimodal.resizeImages(media, 4, 4), Multimodal.Decoders.media))
     }),
 
     // full video path on real frame data: synthesize a 4-frame GIF87a per
@@ -1926,64 +1953,23 @@ object SparkEntry {
       Multimodal.sampleFrames(media, everyN = 2)
     }),
 
-    // full PNG path on real compressed pixel data: synthesize a valid
-    // 8-bit PNG per doc (channel count cycling 1/3/4 by id; every payload
-    // exercises all five filter predictors), Inflater-decode + unfilter
-    // with the real parser through the sniffing media dispatcher
-    // (rows-only — binary payloads aren't SQL-expressible). Per-channel
-    // means project into fixed scalar columns; a grayscale payload's
-    // missing channels are NULL (element_at past the vector end).
-    "q_media_png" -> ((s, d) => {
-      import s.implicits._
-      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
-        val channels = (id % 3) match {
-          case 0 => 1
-          case 1 => 3
-          case _ => 4
-        }
-        Multimodal.MediaRecord(id, "image",
-          Multimodal.Decoders.syntheticPng(id, channels = channels.toInt))
-      }.toDF()
-      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
-        .select(col("media_id"), col("n_bytes"),
-          element_at(col("feature"), 1).as("width"),
-          element_at(col("feature"), 2).as("height"),
-          element_at(col("feature"), 3).as("channels"),
-          element_at(col("feature"), 4).as("mean_c1"),
-          // size guards keep ANSI element_at off the out-of-bounds path
-          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
-            .as("mean_c2"),
-          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
-            .as("mean_c3"))
-    }),
+    // full PNG path on real compressed pixel data ([[pngMedia]] payloads),
+    // Inflater-decode + unfilter with the real parser through the sniffing
+    // media dispatcher (rows-only — binary payloads aren't
+    // SQL-expressible). Per-channel means project into fixed scalar
+    // columns; a grayscale payload's missing channels are NULL.
+    "q_media_png" -> ((s, d) =>
+      imageFeatureCols(Multimodal.extractFeatures(
+        pngMedia(s, d), Multimodal.Decoders.media))),
 
     // full PNG resize path: synthetic PNG → NN resample through the
     // container-sniffing resize dispatcher → re-encoded PNG (real zlib +
     // CRCs) → real decode — payload transforms compose across containers
     // (rows-only — binary payloads aren't SQL-expressible)
-    "q_media_png_resize" -> ((s, d) => {
-      import s.implicits._
-      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
-        val channels = (id % 3) match {
-          case 0 => 1
-          case 1 => 3
-          case _ => 4
-        }
-        Multimodal.MediaRecord(id, "image",
-          Multimodal.Decoders.syntheticPng(id, channels = channels.toInt))
-      }.toDF()
-      Multimodal.extractFeatures(
-          Multimodal.resizeImages(media, 3, 3), Multimodal.Decoders.media)
-        .select(col("media_id"), col("n_bytes"),
-          element_at(col("feature"), 1).as("width"),
-          element_at(col("feature"), 2).as("height"),
-          element_at(col("feature"), 3).as("channels"),
-          element_at(col("feature"), 4).as("mean_c1"),
-          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
-            .as("mean_c2"),
-          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
-            .as("mean_c3"))
-    }),
+    "q_media_png_resize" -> ((s, d) =>
+      imageFeatureCols(Multimodal.extractFeatures(
+        Multimodal.resizeImages(pngMedia(s, d), 3, 3),
+        Multimodal.Decoders.media))),
 
     // full audio frame path: synthetic 16-bit PCM WAV per doc (length and
     // channel count vary by id) → per-frame ALL-INTEGER features (abs sum,
@@ -5229,8 +5215,12 @@ object SparkEntry {
              CAST(floor(value*1000000 + 0.5) AS BIGINT) AS v_micro
            FROM events)
          SELECT ev.grp, ev.ts, ev.v_micro,
+           -- trailing 0: an EMPTY calibration window aggregates to a NULL
+           -- global mean here, while the engine's driver-side fallback
+           -- scalar is 0 in that case — keep the pair equivalent on any
+           -- corpus, not just ones with January data
            CAST(COALESCE(ev.v_micro, hist.hist_micro, km.key_micro,
-             gm.global_micro) AS BIGINT) AS v_filled_micro,
+             gm.global_micro, 0) AS BIGINT) AS v_filled_micro,
            CASE WHEN ev.v_micro IS NOT NULL THEN 'present'
                 WHEN hist.hist_micro IS NOT NULL THEN 'hist'
                 WHEN km.key_micro IS NOT NULL THEN 'key'

@@ -87,9 +87,13 @@ object Multimodal {
     private def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-    /** 24-bit uncompressed bottom-up BMP → [width, height, meanR, meanG,
-      * meanB] (means over all pixels, 0-255, rounded to 6 dp). Rows are
-      * padded to 4-byte boundaries per the format. */
+    /** 24-bit uncompressed bottom-up BMP → [width, height, channels=3,
+      * meanR, meanG, meanB] (means over all pixels, 0-255, rounded to
+      * 6 dp). Rows are padded to 4-byte boundaries per the format. The
+      * vector shape matches [[png]] position for position — [w, h,
+      * channels, per-channel means…] — so a MIXED image column decoded
+      * through [[media]] unions coherently (element 4 is always the first
+      * channel mean, never sometimes a channel count). */
     def bmp24(payload: Array[Byte]): Array[Double] = {
       require(payload.length >= 54 &&
         payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
@@ -121,7 +125,7 @@ object Multimodal {
         y += 1
       }
       val n = width.toDouble * height
-      Array(width.toDouble, height.toDouble,
+      Array(width.toDouble, height.toDouble, 3.0,
         round6(sumR / n), round6(sumG / n), round6(sumB / n))
     }
 
@@ -579,6 +583,11 @@ object Multimodal {
           var stalled = false
           while (g < raw.length && !inf.finished() && !stalled) {
             val n = inf.inflate(raw, g, raw.length - g)
+            // FDICT is forbidden in PNG zlib streams (RFC 2083 §2.2); an
+            // Inflater waiting on a preset dictionary returns 0 with
+            // needsInput()=false forever — guard or this loop never exits
+            require(!inf.needsDictionary(),
+              "PNG zlib stream requests a preset dictionary (FDICT set)")
             if (n == 0 && (inf.finished() || inf.needsInput())) stalled = true
             g += n
           }

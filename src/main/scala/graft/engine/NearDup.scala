@@ -747,10 +747,16 @@ object NearDup {
       System.err.println(s"[graft] $msg (strict=false: returning the " +
         "split labels)")
     }
-    // fixpoint edges are min-rooted stars: hi → component minimum
+    // fixpoint edges are min-rooted stars: hi → component minimum. A
+    // NON-converged (strict=false) edge set can still hold several lo's
+    // per hi (smallStar emits one per hub a node sits under) — collapse to
+    // the min so the contract holds on EVERY path: one row per doc, split
+    // labels at worst, never duplicated docs that a downstream keep-rule
+    // would double-count. At fixpoint the aggregate is a no-op.
+    val roots = edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
+      .withColumnRenamed("hi", "doc_id")
     val labels = allDocs.select(id.as("doc_id"))
-      .join(edges.select(col("hi").as("doc_id"), col("lo").as("cluster")),
-        Seq("doc_id"), "left")
+      .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
     val out = ckptEager(labels)

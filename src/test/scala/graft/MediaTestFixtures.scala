@@ -10,6 +10,21 @@ object MediaTestFixtures {
   /** Assemble a PNG from already-filtered scanline bytes (verbatim). */
   def pngOf(w: Int, h: Int, bitDepth: Int, colorType: Int,
             interlace: Int, filtered: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    pngOfRawIdat(w, h, bitDepth, colorType, interlace, buf.toByteArray)
+  }
+
+  /** Assemble a PNG around an ARBITRARY IDAT byte stream (valid chunk
+    * framing and CRCs, but the zlib payload goes in verbatim) — for
+    * corrupt-compressed-stream fixtures the deflating [[pngOf]] can't
+    * produce. */
+  def pngOfRawIdat(w: Int, h: Int, bitDepth: Int, colorType: Int,
+                   interlace: Int, idat: Array[Byte]): Array[Byte] = {
     def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
     def chunk(typ: String, body: Array[Byte]) = {
@@ -18,17 +33,11 @@ object MediaTestFixtures {
       crc.update(tb); crc.update(body)
       be(body.length) ++ tb ++ body ++ be(crc.getValue.toInt)
     }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered); defl.finish()
-    val buf = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](4096)
-    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", be(w) ++ be(h) ++
         Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0,
           interlace.toByte)) ++
-      chunk("IDAT", buf.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+      chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
   }
 
   /** Reference scanline FILTERING (the encoder direction of RFC 2083 §6,

@@ -72,7 +72,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("Decoders.bmp24: real pixel parse — dimensions and channel means") {
     Multimodal.Decoders.bmp24(bmpBytes).toSeq shouldBe
-      Seq(2.0, 2.0, 75.0, 65.0, 55.0) // w, h, meanR, meanG, meanB
+      Seq(2.0, 2.0, 3.0, 75.0, 65.0, 55.0) // w, h, ch, meanR, meanG, meanB
     intercept[IllegalArgumentException] {
       Multimodal.Decoders.bmp24("not an image".getBytes)
     }
@@ -98,7 +98,7 @@ class MultimodalSpec extends SparkSpec {
     ).toDF("media_id", "kind", "payload")
     val out = Multimodal.extractFeatures(media, Multimodal.Decoders.media)
       .orderBy("media_id").collect()
-    out(0).getSeq[Double](3) shouldBe Seq(2.0, 2.0, 75.0, 65.0, 55.0)
+    out(0).getSeq[Double](3) shouldBe Seq(2.0, 2.0, 3.0, 75.0, 65.0, 55.0)
     out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5)
     // video decodes the REAL GIF: [nFrames, w, h, first-frame means]
     val vf = out(2).getSeq[Double](3)
@@ -117,11 +117,11 @@ class MultimodalSpec extends SparkSpec {
     // 2×2 → 1×1 keeps the NN source pixel (0,0): bottom-left BGR(10,20,30)
     Multimodal.Decoders.bmp24(
       Multimodal.Decoders.resizeBmp24(bmpBytes, 1, 1)).toSeq shouldBe
-      Seq(1.0, 1.0, 30.0, 20.0, 10.0)
+      Seq(1.0, 1.0, 3.0, 30.0, 20.0, 10.0)
     // 2×2 → 4×4 replicates each pixel 4×: channel means are unchanged
     Multimodal.Decoders.bmp24(
       Multimodal.Decoders.resizeBmp24(bmpBytes, 4, 4)).toSeq shouldBe
-      Seq(4.0, 4.0, 75.0, 65.0, 55.0)
+      Seq(4.0, 4.0, 3.0, 75.0, 65.0, 55.0)
     // resize of a resize still parses (payload transforms compose)
     Multimodal.Decoders.bmp24(Multimodal.Decoders.resizeBmp24(
       Multimodal.Decoders.resizeBmp24(bmpBytes, 4, 4), 3, 2))(0) shouldBe 3.0
@@ -173,7 +173,7 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(
         Multimodal.resizeImages(media, 4, 4), Multimodal.Decoders.media)
       .orderBy("media_id").collect()
-    out(0).getSeq[Double](3) shouldBe Seq(4.0, 4.0, 75.0, 65.0, 55.0)
+    out(0).getSeq[Double](3) shouldBe Seq(4.0, 4.0, 3.0, 75.0, 65.0, 55.0)
     out(1).getSeq[Double](3) shouldBe Seq(8000.0, 1.0, 4.0, 0.5) // untouched
   }
 
@@ -325,6 +325,14 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // not a PNG at all
       Multimodal.Decoders.pngImage("plain text".getBytes)
     }
+    // FDICT zlib header (CMF 0x78, FLG 0xBB: bit 5 set, checksum % 31 ok):
+    // forbidden in PNG; an unguarded Inflater returns 0 forever here —
+    // must THROW, not hang the task (the loud-failure contract)
+    val fdict = MediaTestFixtures.pngOfRawIdat(2, 2, 8, 0, 0,
+      Array(0x78, 0xBB, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06).map(_.toByte))
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(fdict)
+    }.getMessage should include("FDICT")
   }
 
   test("Decoders.resizePng: exact NN mapping on hand-built pixels; " +
@@ -376,9 +384,10 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(
         Multimodal.resizeImages(media, 3, 3), Multimodal.Decoders.media)
       .collect().map(r => r.getLong(0) ->
-        r.getSeq[Double](3).take(2)).toMap
-    feats(1L) shouldBe Seq(3.0, 3.0)
-    feats(2L) shouldBe Seq(3.0, 3.0)
+        r.getSeq[Double](3).take(3)).toMap
+    // positionally COHERENT across containers: [w, h, channels, means...]
+    feats(1L) shouldBe Seq(3.0, 3.0, 3.0)
+    feats(2L) shouldBe Seq(3.0, 3.0, 3.0)
   }
 
   // spec-side WAV assembler, INDEPENDENT of the production generator:

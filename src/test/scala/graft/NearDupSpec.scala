@@ -416,6 +416,28 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClustersStar strict=false: a NON-converged edge set still " +
+    "yields exactly ONE (split) label per doc — never duplicated doc rows") {
+    // {(3,5),(1,5),(3,6),(2,6)} after one alternation holds hi=3 under TWO
+    // hubs ((3,1) and (3,2)) — an un-collapsed label join would emit doc 3
+    // twice and a downstream keep-rule would double-count it (r9 review)
+    val ids = Seq(1L, 2L, 3L, 5L, 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (1L, 5L), (3L, 6L), (2L, 6L))
+      .toDF("id1", "id2")
+    intercept[IllegalStateException] { // strict default still throws
+      NearDup.dedupClustersStar(pairs, ids, col("doc_id"), maxIters = 1)
+    }.getMessage should include("NOT converged")
+    val rows = NearDup.dedupClustersStar(pairs, ids, col("doc_id"),
+        maxIters = 1, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    rows.length shouldBe 5 // one row per doc, even on the split path
+    rows.toMap.keySet shouldBe Set(1L, 2L, 3L, 5L, 6L)
+    rows.toMap.apply(3L) shouldBe 1L // min of the split labels {1, 2}
+    // converged run on the same component: all one cluster
+    NearDup.dedupClustersStar(pairs, ids, col("doc_id"))
+      .collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+  }
+
   test("dedupClustersStar releases every checkpoint block except its result") {
     val sc = spark.sparkContext
     val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")

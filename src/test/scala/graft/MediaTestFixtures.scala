@@ -87,6 +87,28 @@ object MediaTestFixtures {
     case 4 => 6
   }
 
+  /** Assemble a 24-bit uncompressed BMP from top-down RGB pixel triples
+    * (pixels(y*w + x) = (r, g, b) with y=0 the TOP row): written from the
+    * format spec — bottom-up row order, BGR byte order, rows padded to
+    * 4-byte boundaries, 54-byte headers. */
+  def bmpOf(w: Int, h: Int, pixels: Array[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.length == w * h)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val px = new Array[Byte](rowSize * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y * w + x)
+      val off = (h - 1 - y) * rowSize + 3 * x // bottom-up storage
+      px(off) = b.toByte; px(off + 1) = g.toByte; px(off + 2) = r.toByte
+    }
+    "BM".getBytes("US-ASCII") ++ le32(54 + px.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(px.length) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ px
+  }
+
   /** Assemble a 16-bit PCM WAV from hand-chosen interleaved samples. */
   def wavOf(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)

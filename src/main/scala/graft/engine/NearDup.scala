@@ -750,11 +750,15 @@ object NearDup {
     // fixpoint edges are min-rooted stars: hi → component minimum. A
     // NON-converged (strict=false) edge set can still hold several lo's
     // per hi (smallStar emits one per hub a node sits under) — collapse to
-    // the min so the contract holds on EVERY path: one row per doc, split
-    // labels at worst, never duplicated docs that a downstream keep-rule
-    // would double-count. At fixpoint the aggregate is a no-op.
-    val roots = edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
-      .withColumnRenamed("hi", "doc_id")
+    // the min on that path so the contract holds everywhere: one row per
+    // doc, split labels at worst, never duplicated docs that a downstream
+    // keep-rule would double-count. The converged (common) path skips the
+    // aggregate — a star set already has exactly one lo per hi.
+    val roots =
+      if (converged)
+        edges.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+      else edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
+        .withColumnRenamed("hi", "doc_id")
     val labels = allDocs.select(id.as("doc_id"))
       .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),

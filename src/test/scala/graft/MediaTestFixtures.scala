@@ -109,6 +109,90 @@ object MediaTestFixtures {
       le32(0) ++ px
   }
 
+  /** Reference GIF-flavor LZW compressor (CompuServe GIF87a spec, written
+    * independently of the production generator): variable-width LSB-first
+    * codes starting at minCode+1 bits, CLEAR emitted first, dictionary
+    * capped at 4096 with the width bump when entry (1 << codeSize) is
+    * added. */
+  def lzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val bytes = Array.newBuilder[Byte]
+    var cur = 0L
+    var curBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      cur |= code.toLong << curBits
+      curBits += codeSize
+      while (curBits >= 8) {
+        bytes += (cur & 0xff).toByte
+        cur >>= 8
+        curBits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap[Vector[Int], Int]()
+    var dictSize = end + 1
+    def codeOf(w: Vector[Int]): Int =
+      if (w.length == 1) w.head else dict(w)
+    put(clear)
+    var w = Vector.empty[Int]
+    for (k <- idx) {
+      val wk = w :+ k
+      if (w.isEmpty || wk.length == 1 || dict.contains(wk)) w = wk
+      else {
+        put(codeOf(w))
+        if (dictSize < 4096) {
+          // the encoder's dictionary runs ONE entry ahead of the decoder's
+          // (it adds on every emission, the decoder only from the second
+          // code), so the width bump must fire on the PRE-add size — the
+          // decoder's post-add size at the same code position
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          dict(wk) = dictSize
+          dictSize += 1
+        }
+        w = Vector(k)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(end)
+    if (curBits > 0) bytes += (cur & 0xff).toByte
+    bytes.result()
+  }
+
+  /** Assemble a GIF87a from a global color table and per-frame pixel-index
+    * arrays (row-major, w·h each), compressing with [[lzwEncode]]. The
+    * palette length must be a power of two in [2, 256]. */
+  def gifOf(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+            frames: Seq[Array[Int]]): Array[Byte] = {
+    require(palette.length >= 2 && palette.length <= 256 &&
+      (palette.length & (palette.length - 1)) == 0)
+    require(frames.nonEmpty && frames.forall(_.length == w * h))
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    val bits = Integer.numberOfTrailingZeros(palette.length) // log2(entries)
+    val minCode = math.max(2, bits)
+    val out = Array.newBuilder[Byte]
+    out ++= "GIF87a".getBytes("US-ASCII")
+    out ++= le16(w) ++= le16(h)
+    out += (0x80 | ((bits - 1) << 4) | (bits - 1)).toByte // GCT present
+    out += 0; out += 0 // background index, aspect
+    palette.foreach { case (r, g, b) =>
+      out += r.toByte; out += g.toByte; out += b.toByte
+    }
+    frames.foreach { f =>
+      out += 0x2c.toByte
+      out ++= le16(0) ++= le16(0) ++= le16(w) ++= le16(h)
+      out += 0 // no local table, not interlaced
+      out += minCode.toByte
+      lzwEncode(f, minCode).grouped(255).foreach { blk =>
+        out += blk.length.toByte
+        out ++= blk
+      }
+      out += 0 // sub-block terminator
+    }
+    out += 0x3b.toByte
+    out.result()
+  }
+
   /** Assemble a 16-bit PCM WAV from hand-chosen interleaved samples. */
   def wavOf(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)

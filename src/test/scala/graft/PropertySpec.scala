@@ -450,6 +450,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: gif87Frames inverts a spec-reference LZW encoder — " +
+    "random palettes, dims, frame counts; a 96×96 noise frame drives the " +
+    "dictionary through every width bump to the 4096 cap") {
+    import graft.engine.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 10)
+      h <- Gen.choose(1, 10)
+      pbits <- Gen.oneOf(1, 2, 3)
+      nf <- Gen.choose(1, 3)
+      pal <- Gen.listOfN(1 << pbits, for {
+        r <- Gen.choose(0, 255)
+        g <- Gen.choose(0, 255)
+        b <- Gen.choose(0, 255)
+      } yield (r, g, b))
+      fs <- Gen.listOfN(nf,
+        Gen.listOfN(w * h, Gen.choose(0, (1 << pbits) - 1)))
+    } yield (w, h, pal.toArray, fs.map(_.toArray))
+    forAll(gen, n = 30) { case (w, h, pal, fs) =>
+      val frames = Multimodal.Decoders.gif87Frames(
+        MediaTestFixtures.gifOf(w, h, pal, fs))
+      frames.length shouldBe fs.length
+      frames.zip(fs).foreach { case (fr, idx) =>
+        (fr.width, fr.height) shouldBe ((w, h))
+        fr.rgb.toSeq shouldBe idx.flatMap { c =>
+          val (r, g, b) = pal(c)
+          Seq(r.toByte, g.toByte, b.toByte)
+        }.toSeq
+      }
+    }
+    // deterministic cap workout: 9216 noise pixels emit > 4096 codes, so
+    // both sides grow through every code width AND freeze at the full
+    // dictionary — the two LZW regimes random small frames rarely reach
+    val big = Array.tabulate(96 * 96)(i => (((i * 2654435761L) >>> 13) & 3).toInt)
+    val bigPal = Array((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val fr = Multimodal.Decoders.gif87Frames(
+      MediaTestFixtures.gifOf(96, 96, bigPal, Seq(big))).head
+    (fr.width, fr.height) shouldBe ((96, 96))
+    (0 until 96 * 96).foreach { i =>
+      val (r, g, b) = bigPal(big(i))
+      ((fr.rgb(3 * i) & 0xff, fr.rgb(3 * i + 1) & 0xff,
+        fr.rgb(3 * i + 2) & 0xff)) shouldBe ((r, g, b))
+    }
+  }
+
   test("property: sampleAudioFrames matches a from-scratch collections " +
     "reference on random clips") {
     import graft.engine.Multimodal

@@ -223,7 +223,11 @@ object SparkEntry {
       when(size(col("feature")) >= 5, element_at(col("feature"), 5))
         .as("mean_c2"),
       when(size(col("feature")) >= 6, element_at(col("feature"), 6))
-        .as("mean_c3"))
+        .as("mean_c3"),
+      // RGBA payloads carry a 4th (alpha) channel mean — surface it too
+      // so no computed feature element is silently dropped (ADVICE r9)
+      when(size(col("feature")) >= 7, element_at(col("feature"), 7))
+        .as("mean_c4"))
 
   /** Run a streaming frame to completion under AvailableNow (append mode)
     * through a memory sink, spill the result to a stable per-(tag, sfDir)
@@ -431,6 +435,56 @@ object SparkEntry {
     appendDays(ev.filter(col("ts") >= lit(cut)))
     runOnce()
     s.read.parquet(tbl).select(col("k"), col("event_id"), col("v"))
+  }
+
+  /** E1 streaming ingestion rig (VERDICT r9 missing #3): two cron ticks of
+    * wide daily-PV deliveries through [[graft.streaming.Streams
+    * .meltIngestSink]]. Tick 1 delivers every day < 2024-01-20 plain;
+    * tick 2 re-delivers days >= 2024-01-15 CORRECTED (values doubled) —
+    * the overlap exercises the idempotent day overwrite and the second run
+    * exercises checkpoint restart (only the new file is melted). Each
+    * delivered file carries complete days, honoring the sink's
+    * day-complete contract. The transform is stateless, so the final table
+    * equals the batch closed form: per-hour sums, doubled from Jan 15 on —
+    * the oracle. */
+  private def runStreamMeltIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_melt",
+      d.replaceAll("[^a-zA-Z0-9]", "_"))
+    def wipe(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    wipe(base)
+    val src = base.resolve("src")
+    Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val tbl = base.resolve("tbl").toString
+    val ev = Tables.events(s, d)
+    def wide(f: DataFrame): DataFrame =
+      Unpivot.pivotByHour(f, col("ts"), col("event_type"), col("value"))
+    def deliver(f: DataFrame): Unit =
+      f.coalesce(1).write.mode("append").parquet(src.toString)
+    deliver(wide(ev.filter(to_date(col("ts")) < lit("2024-01-20"))))
+    val schema = s.read.parquet(src.toString).schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    def runOnce(): Unit = {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.streaming.Streams.meltIngestSink(
+        s.readStream.schema(schema).parquet(src.toString),
+        b => Unpivot.meltHours(b, Seq("ymd", "grp"), Unpivot.hourNames)
+          .filter(col("generation").isNotNull) // P5 dropna, as the reference
+          .select(col("grp"),
+            Unpivot.tsZeroBased(col("ymd"), col("hour_col")).as("ts"),
+            round(col("generation"), 2).as("total")),
+        "ts", tbl, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    runOnce()
+    deliver(wide(ev.filter(to_date(col("ts")) >= lit("2024-01-15"))
+      .withColumn("value", col("value") * 2)))
+    runOnce()
+    s.read.parquet(tbl).select(col("grp"), col("ts"), col("total"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1971,6 +2025,27 @@ object SparkEntry {
         Multimodal.resizeImages(pngMedia(s, d), 3, 3),
         Multimodal.Decoders.media))),
 
+    // full JPEG path on real entropy-coded data: one valid baseline JPEG
+    // per doc (grayscale/4:4:4/4:2:0 and restart markers cycling by id —
+    // the whole decode surface), Huffman-decode + dequant + IDCT + color
+    // convert with the real parser through the sniffing media dispatcher
+    // (rows-only — binary payloads aren't SQL-expressible). Decode
+    // arithmetic is pinned by JpegSpec's exact-pixel fixtures and the
+    // ImageIO cross-fuzz.
+    "q_media_jpeg" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        graft.engine.Multimodal.MediaRecord(id, "image",
+          graft.engine.Jpeg.syntheticJpeg(id,
+            w = 9 + (id % 3).toInt * 4, h = 11 + (id % 2).toInt * 6,
+            channels = if (id % 4 == 0) 1 else 3,
+            subsample = id % 3 == 0,
+            restartEvery = if (id % 5 == 0) 1 else 0))
+      }.toDF()
+      imageFeatureCols(Multimodal.extractFeatures(
+        media, Multimodal.Decoders.media))
+    }),
+
     // full audio frame path: synthetic 16-bit PCM WAV per doc (length and
     // channel count vary by id) → per-frame ALL-INTEGER features (abs sum,
     // energy, zero crossings), every 2nd frame — the voice-activity /
@@ -1985,6 +2060,54 @@ object SparkEntry {
             channels = 1 + (id % 2).toInt))
       }.toDF()
       Multimodal.sampleAudioFrames(media, frameLen = 16, everyN = 2)
+    }),
+
+    // fixed-model twin of the video frame path: palette indices follow a
+    // SQL-expressible law, assembled into REAL GIF87a containers and
+    // pushed through the REAL LZW decode → frame-sample → pixel-mean
+    // path; the oracle regenerates the law and recomputes the means
+    // (255·k/16 has ≤4 decimal digits, so round-to-6dp is exact on both
+    // engines — no FP-boundary exposure). The Knuth-style multiplicative
+    // mix (then /8 before mod 4) gives varied per-frame color counts — a
+    // plain linear law is uniform mod 4 and every mean degenerates to the
+    // same value, pinning nothing.
+    "q_gif_frames_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val nf = 1 + (id % 3).toInt
+        Multimodal.MediaRecord(id, "video",
+          Multimodal.Decoders.gif87FromIndices(4, 4, (0 until nf).map(f =>
+            Array.tabulate(16)(i =>
+              (((id * 2654435761L + f * 40503L + i * 2246822519L) / 8)
+                % 4).toInt))))
+      }.toDF()
+      Multimodal.sampleFrames(media, everyN = 2)
+        .select(col("media_id"), col("frame_ix"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    // fixed-model twin of the audio frame path (the q_centroid_assign
+    // pattern): samples follow a SQL-expressible integer law, assembled
+    // into REAL WAV containers and pushed through the REAL decode →
+    // framing → all-integer statistics path; the oracle regenerates the
+    // law with a lateral range() and recomputes the identical arithmetic —
+    // a cross-engine replay of the frame mechanics, closing the tier where
+    // only specs pinned them (VERDICT r9 #7)
+    "q_audio_frames_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val ch = 1 + (id % 2).toInt
+        val n = (30 + (id % 4).toInt * 8) * ch // interleaved sample count
+        // stride 15923 wraps the 16-bit range every ~4 samples, so frames
+        // actually cross zero (a slow stride would leave every sample
+        // negative at these lengths and the zc column degenerately 0)
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.Decoders.pcmWav(8000, ch, Array.tabulate(n)(i =>
+            (((id * 7919 + i * 15923) % 65536) - 32768).toShort)))
+      }.toDF()
+      Multimodal.sampleAudioFrames(media, frameLen = 16, everyN = 2)
+        .select(col("media_id"), col("frame_ix"), col("n_samples"),
+          col("abs_sum"), col("sq_sum"), col("zero_crossings"))
     }),
 
     // ---- Sinks S13/S14 (SURVEY §2.1) — write, then read the table back ----
@@ -2155,6 +2278,11 @@ object SparkEntry {
     // at-least-once batch re-delivery made exactly-once by the last-batch
     // marker; the folded table equals the global keep-last per user.
     "q_stream_sink_upsert" -> ((s, d) => runStreamUpsert(s, d)),
+    // E1 ingestion as a stream: wide daily-PV deliveries melted per
+    // micro-batch into the idempotent date-partition sink (S13) across two
+    // cron ticks with an overlapping corrected re-delivery — see
+    // runStreamMeltIngest for the closed form that is the oracle
+    "q_stream_melt_ingest" -> ((s, d) => runStreamMeltIngest(s, d)),
     // Streaming flatline (stuck-meter) alarm: one alarm per stuck run,
     // fired at the reading where the same-bucket run first reaches 3 —
     // the VEE stale-register check in real time; two longs of state per
@@ -4735,6 +4863,63 @@ object SparkEntry {
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          SELECT k, event_id, v FROM r WHERE rn = 1""",
+    // fixed-model video frame oracle: regenerate the palette-index law and
+    // recompute the per-frame channel means the engine reached through a
+    // REAL GIF container and the real LZW decode + frame-sample path
+    "q_gif_frames_fixed" ->
+      """WITH docs AS (SELECT doc_id, 1 + (doc_id % 3) AS nf FROM documents),
+         fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM docs),
+         pxi AS (SELECT doc_id, f, unnest(range(0, 16)) AS i FROM fr
+                 WHERE f % 2 = 0),
+         px AS (SELECT doc_id, f,
+                  ((doc_id*2654435761 + f*40503 + i*2246822519) // 8) % 4
+                    AS v
+                FROM pxi),
+         c AS (SELECT doc_id, f,
+             SUM(CASE WHEN v = 1 THEN 255.0 ELSE 0.0 END) / 16 AS mr,
+             SUM(CASE WHEN v = 2 THEN 255.0 ELSE 0.0 END) / 16 AS mg,
+             SUM(CASE WHEN v = 3 THEN 255.0 ELSE 0.0 END) / 16 AS mb
+           FROM px GROUP BY 1, 2)
+         SELECT doc_id AS media_id, f AS frame_ix,
+           4 AS width, 4 AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b
+         FROM c""",
+    // fixed-model audio frame oracle: regenerate the SQL-expressible
+    // sample law with a correlated range() and recompute the all-integer
+    // frame statistics; the engine side reached the same numbers through
+    // a REAL WAV container and the real decode+framing path. The previous-
+    // sample value is re-derived from the law (index i-ch), not a window —
+    // the guard t%16>0 keeps the i<ch garbage rows out of every sum.
+    "q_audio_frames_fixed" ->
+      """WITH docs AS (
+           SELECT doc_id, 1 + (doc_id % 2) AS ch,
+             (30 + (doc_id % 4) * 8) * (1 + (doc_id % 2)) AS n
+           FROM documents),
+         idx AS (SELECT doc_id, ch, unnest(range(0, n)) AS i FROM docs),
+         s AS (
+           SELECT doc_id, ch,
+             ((doc_id * 7919 + i * 15923) % 65536) - 32768 AS v,
+             ((doc_id * 7919 + (i - ch) * 15923) % 65536) - 32768 AS pv,
+             (i // ch) AS t
+           FROM idx)
+         SELECT doc_id AS media_id, t // 16 AS frame_ix,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+           CAST(SUM(CASE WHEN t % 16 > 0 AND ((pv < 0) != (v < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         FROM s WHERE (t // 16) % 2 = 0 GROUP BY 1, 2""",
+    // the closed form of the two-tick melt-ingest stream: hourly sums,
+    // doubled from the corrected re-delivery's first day on (2·Σv == Σ2v
+    // bit-exactly: power-of-two scaling commutes with IEEE rounding)
+    "q_stream_melt_ingest" ->
+      """WITH h AS (SELECT event_type AS grp, date_trunc('hour', ts) AS ts,
+             SUM(value) AS sv FROM events GROUP BY 1, 2)
+         SELECT grp, ts,
+           round(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN sv * 2 ELSE sv END, 2) AS total
+         FROM h""",
     "q_stream_alerts" ->
       """WITH p AS (SELECT event_type AS grp, epoch_ns(ts) // 1000 AS us,
              CAST(floor(value * 100) AS BIGINT) AS vc FROM events),

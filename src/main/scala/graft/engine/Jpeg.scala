@@ -1,0 +1,714 @@
+package graft.engine
+
+/** Dependency-free baseline-sequential JPEG codec (ITU-T T.81).
+  *
+  * The most common real-corpus image payload (reference stores opaque
+  * attachment blobs it never decodes — e.g. nambu_dong/README.md:1 maps the
+  * ingest surface; decode is brief-driven "multimodal columns" work, not
+  * reference-driven). Decode supports what baseline (SOF0) allows and the
+  * training-data corpus actually carries: 8-bit samples, grayscale or
+  * 3-component YCbCr, sampling factors 1–2 per axis (4:4:4 / 4:2:2 /
+  * 4:2:0 / 4:4:0), restart markers, multi-table DQT/DHT segments, fill
+  * bytes, APPn/COM skipping. Everything else fails LOUDLY — progressive
+  * (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit, DNL,
+  * non-interleaved multi-scan — never degrades (the [[Multimodal]] decoder
+  * contract).
+  *
+  * Chroma upsampling is nearest-neighbor replication (the spec leaves the
+  * filter to the decoder; T.81 A.1.1 only fixes the sampling grid).
+  * Encode ([[syntheticJpeg]]) is the valid-payload generator for the
+  * media queries: real FDCT, quantization, canonical Huffman coding, byte
+  * stuffing, optional restart markers and 4:2:0 subsampling. Its Huffman
+  * tables are deliberately uniform-length (all 12 DC symbols at 4 bits,
+  * all 162 AC symbols at 8 bits) — a legal canonical code that keeps the
+  * table literal small; decoders read the DHT so any conforming reader
+  * accepts the stream (MultimodalSpec cross-checks against JDK ImageIO).
+  */
+object Jpeg {
+
+  /** One decoded image: interleaved samples, `channels` ∈ {1 (gray),
+    * 3 (RGB)}. */
+  final case class JpegImage(width: Int, height: Int, channels: Int,
+                             pixels: Array[Byte])
+
+  /** JPEG magic-byte sniff (SOI then a marker byte). */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Natural-order index of zigzag position k (T.81 Figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · C(u)/2 — the separable 8-point IDCT basis
+    * (T.81 A.3.3). */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16) *
+      (if (u == 0) math.sqrt(0.5) else 1.0) / 2.0
+  }
+
+  /** Canonical Huffman decode table per T.81 F.2.2.3 (MINCODE / MAXCODE /
+    * VALPTR). `bits(l)` = number of codes of length l+1 (l = 0..15). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 16 && bits.sum == vals.length && vals.nonEmpty,
+      s"bad Huffman table: ${bits.sum} codes, ${vals.length} values")
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+      require(code <= (1 << 17), "over-subscribed Huffman table")
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (code > maxCode(l)) {
+        require(l < 16, "invalid Huffman code in entropy stream")
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first reader over entropy-coded data with 0xFF00 byte-stuffing.
+    * A non-stuffed marker mid-read is corruption (restart markers are
+    * consumed explicitly at MCU boundaries via [[expectRst]], never through
+    * [[bit]]). */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(pos < data.length, "truncated JPEG entropy stream")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "truncated JPEG entropy stream")
+          val m = data(pos) & 0xff
+          require(m == 0x00,
+            f"unexpected marker 0xff$m%02x inside entropy-coded data")
+          pos += 1
+          b = 0xff
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align, then consume the expected RSTn marker. */
+    def expectRst(n: Int): Unit = {
+      nbits = 0
+      require(pos + 2 <= data.length, "truncated JPEG at restart marker")
+      val got = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff)
+      require(got == 0xffd0 + n,
+        f"expected RST$n marker, found 0x$got%04x")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map the `t` received magnitude bits `v` to the
+    * signed coefficient value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0
+    else if (v < (1 << (t - 1))) v - (1 << t) + 1
+    else v
+
+  private final class Component(val id: Int, val hi: Int, val vi: Int,
+                                val tq: Int) {
+    var td = 0
+    var ta = 0
+    var plane: Array[Byte] = null
+    var planeW = 0
+  }
+
+  /** Full baseline decode. Same loud-failure contract as
+    * [[Multimodal.Decoders.pngImage]]. */
+  def jpegImage(payload: Array[Byte]): JpegImage = {
+    require(isJpeg(payload), "not a JPEG payload (bad SOI)")
+    var pos = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = -1
+    var height = -1
+    var comps: Array[Component] = null
+    var restartInterval = 0
+
+    def be16(off: Int): Int = {
+      require(off + 2 <= payload.length, "truncated JPEG segment")
+      ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+    }
+    def segment(): (Int, Int) = { // (body start, body end)
+      val len = be16(pos)
+      require(len >= 2 && pos + len <= payload.length,
+        s"bad JPEG segment length $len")
+      val r = (pos + 2, pos + len)
+      pos += len
+      r
+    }
+
+    var out: JpegImage = null
+    while (out == null) {
+      require(pos + 2 <= payload.length, "truncated JPEG (no SOS)")
+      require((payload(pos) & 0xff) == 0xff,
+        f"expected a marker at offset $pos")
+      // fill bytes: any number of 0xff before the marker code (B.1.1.2)
+      while ((payload(pos + 1) & 0xff) == 0xff) {
+        pos += 1
+        require(pos + 2 <= payload.length, "truncated JPEG (fill bytes)")
+      }
+      val marker = payload(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xdb => // DQT — possibly several tables in one segment
+          val (start, end) = segment()
+          var o = start
+          while (o < end) {
+            val pq = (payload(o) & 0xff) >> 4
+            val tq = payload(o) & 0x0f
+            require(pq == 0, "16-bit quantization tables not supported " +
+              "(baseline is 8-bit)")
+            require(tq < 4, s"bad DQT table id $tq")
+            require(o + 65 <= end, "truncated DQT table")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { // stored zigzag; keep natural order
+              t(Zigzag(k)) = payload(o + 1 + k) & 0xff
+              require(t(Zigzag(k)) > 0, "zero quantization step")
+              k += 1
+            }
+            qt(tq) = t
+            o += 65
+          }
+        case 0xc4 => // DHT — possibly several tables in one segment
+          val (start, end) = segment()
+          var o = start
+          while (o < end) {
+            val tc = (payload(o) & 0xff) >> 4
+            val th = payload(o) & 0x0f
+            require(tc < 2, s"bad DHT class $tc (arithmetic uses DAC)")
+            require(th < 4, s"bad DHT table id $th")
+            require(o + 17 <= end, "truncated DHT header")
+            val bits = Array.tabulate(16)(i => payload(o + 1 + i) & 0xff)
+            val n = bits.sum
+            require(o + 17 + n <= end, "truncated DHT values")
+            val vals = Array.tabulate(n)(i => payload(o + 17 + i) & 0xff)
+            val tab = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            o += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline sequential
+          val (start, end) = segment()
+          val precision = payload(start) & 0xff
+          require(precision == 8,
+            s"only 8-bit JPEG supported (precision=$precision)")
+          height = be16(start + 1)
+          width = be16(start + 3)
+          require(width > 0, s"bad width $width")
+          require(height > 0,
+            "height 0 (DNL-deferred dimensions) not supported")
+          val nf = payload(start + 5) & 0xff
+          require(nf == 1 || nf == 3,
+            s"only grayscale/YCbCr JPEG supported ($nf components)")
+          require(start + 6 + 3 * nf <= end, "truncated SOF0")
+          comps = Array.tabulate(nf) { i =>
+            val o = start + 6 + 3 * i
+            val hv = payload(o + 1) & 0xff
+            val c = new Component(payload(o) & 0xff, hv >> 4, hv & 0x0f,
+              payload(o + 2) & 0x0f)
+            require(c.hi >= 1 && c.hi <= 2 && c.vi >= 1 && c.vi <= 2,
+              s"sampling factors ${c.hi}x${c.vi} not supported (1-2 only)")
+            c
+          }
+          if (nf == 1) require(comps(0).hi == 1 && comps(0).vi == 1,
+            "subsampled single-component JPEG not supported")
+        case x if x == 0xc2 || (x >= 0xc1 && x <= 0xcf && x != 0xc4 &&
+            x != 0xc8 && x != 0xcc) =>
+          throw new IllegalArgumentException(f"unsupported JPEG SOF marker " +
+            f"0xff$x%02x (only baseline sequential SOF0 is supported — " +
+            "progressive/arithmetic/hierarchical/lossless all refuse)")
+        case 0xdd => // DRI
+          val (start, _) = segment()
+          restartInterval = be16(start)
+        case 0xda => // SOS — decode the single interleaved scan
+          val (start, end) = segment()
+          require(comps != null, "SOS before SOF0")
+          val ns = payload(start) & 0xff
+          require(ns == comps.length,
+            s"only a single interleaved scan is supported " +
+              s"($ns of ${comps.length} components in SOS)")
+          require(start + 1 + 2 * ns + 3 <= end, "truncated SOS header")
+          var i = 0
+          while (i < ns) {
+            val cs = payload(start + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(
+              throw new IllegalArgumentException(s"SOS component $cs not in SOF"))
+            val tdta = payload(start + 2 + 2 * i) & 0xff
+            c.td = tdta >> 4
+            c.ta = tdta & 0x0f
+            i += 1
+          }
+          val ss = payload(start + 1 + 2 * ns) & 0xff
+          val se = payload(start + 2 + 2 * ns) & 0xff
+          val ahal = payload(start + 3 + 2 * ns) & 0xff
+          require(ss == 0 && se == 63 && ahal == 0,
+            s"non-baseline spectral selection Ss=$ss Se=$se AhAl=$ahal")
+          out = decodeScan(payload, pos, width, height, comps, qt,
+            dcTabs, acTabs, restartInterval)
+        case 0xd9 =>
+          throw new IllegalArgumentException("EOI before any image data")
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe =>
+          segment() // APPn / COM — metadata, skipped
+        case 0x01 => () // TEM — standalone, no segment body
+        case other =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG marker 0xff$other%02x")
+      }
+    }
+    out
+  }
+
+  /** Entropy-decode all MCUs of the interleaved scan, IDCT into per-
+    * component planes, then upsample + color-convert. */
+  private def decodeScan(payload: Array[Byte], scanStart: Int,
+                         width: Int, height: Int, comps: Array[Component],
+                         qt: Array[Array[Int]], dcTabs: Array[HuffTable],
+                         acTabs: Array[HuffTable],
+                         restartInterval: Int): JpegImage = {
+    val hmax = comps.map(_.hi).max
+    val vmax = comps.map(_.vi).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      require(qt(c.tq) != null, s"component ${c.id} references missing " +
+        s"quantization table ${c.tq}")
+      require(dcTabs(c.td) != null && acTabs(c.ta) != null,
+        s"component ${c.id} references missing Huffman table")
+      c.planeW = mcusX * 8 * c.hi
+      val planeH = mcusY * 8 * c.vi
+      require(c.planeW.toLong * planeH <= Int.MaxValue,
+        s"image too large: ${width}x$height")
+      c.plane = new Array[Byte](c.planeW * planeH)
+    }
+    val br = new BitReader(payload, scanStart)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    var rstN = 0
+    val total = mcusX.toLong * mcusY
+    while (mcu < total) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.expectRst(rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = (mcu / mcusX).toInt
+      val mx = (mcu % mcusX).toInt
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.vi) {
+          var bx = 0
+          while (bx < c.hi) {
+            // ---- one 8x8 block (T.81 F.2.1.2 / F.2.2.2) ----
+            java.util.Arrays.fill(coef, 0)
+            val t = dcTabs(c.td).decode(br)
+            require(t <= 11, s"bad DC category $t")
+            pred(ci) += extend(br.bits(t), t)
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acTabs(c.ta).decode(br)
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL: 16 zeros
+                else eob = true      // EOB
+              } else {
+                k += r
+                require(k < 64, "AC run past end of block")
+                require(s <= 10, s"bad AC size $s")
+                coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            // ---- IDCT (separable, double precision) + level shift ----
+            var y = 0
+            while (y < 8) { // rows: tmp(y,x) = sum_u coef(y,u)·basis(x,u)
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) {
+                  acc += coef(y * 8 + u) * Cos(x)(u)
+                  u += 1
+                }
+                tmp(y * 8 + x) = acc
+                x += 1
+              }
+              y += 1
+            }
+            val px = (mx * c.hi + bx) * 8
+            val py = (my * c.vi + by) * 8
+            var x = 0
+            while (x < 8) { // cols, then clamp into the plane
+              var yy = 0
+              while (yy < 8) {
+                var acc = 0.0
+                var v = 0
+                while (v < 8) {
+                  acc += tmp(v * 8 + x) * Cos(yy)(v)
+                  v += 1
+                }
+                val s = math.round(acc + 128).toInt
+                c.plane((py + yy) * c.planeW + px + x) =
+                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                yy += 1
+              }
+              x += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // ---- upsample (nearest-neighbor replication) + color convert ----
+    if (comps.length == 1) {
+      val c = comps(0)
+      val pix = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, pix, y * width, width)
+        y += 1
+      }
+      JpegImage(width, height, 1, pix)
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val pix = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val lum = cy.plane(
+            (y * cy.vi / vmax) * cy.planeW + x * cy.hi / hmax) & 0xff
+          val b1 = (cb.plane(
+            (y * cb.vi / vmax) * cb.planeW + x * cb.hi / hmax) & 0xff) - 128
+          val r1 = (cr.plane(
+            (y * cr.vi / vmax) * cr.planeW + x * cr.hi / hmax) & 0xff) - 128
+          val o = (y * width + x) * 3
+          pix(o) = clamp8(math.round(lum + 1.402 * r1).toInt)
+          pix(o + 1) = clamp8(math.round(
+            lum - 0.344136 * b1 - 0.714136 * r1).toInt)
+          pix(o + 2) = clamp8(math.round(lum + 1.772 * b1).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, 3, pix)
+    }
+  }
+
+  private def clamp8(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** JPEG → [width, height, channels, per-channel means…] — the
+    * [[Multimodal.Decoders.png]]-shaped feature vector for the JPEG
+    * container. */
+  def features(payload: Array[Byte]): Array[Double] = {
+    val img = jpegImage(payload)
+    val sums = new Array[Double](img.channels)
+    var i = 0
+    while (i < img.pixels.length) {
+      sums(i % img.channels) += (img.pixels(i) & 0xff)
+      i += 1
+    }
+    val n = img.width.toDouble * img.height
+    Array(img.width.toDouble, img.height.toDouble, img.channels.toDouble) ++
+      sums.map(s => round6(s / n))
+  }
+
+  // ------------------------------------------------------------------
+  // Encoder — the valid-payload generator (real FDCT + quantization +
+  // canonical Huffman + byte stuffing; optional 4:2:0 and restarts).
+  // ------------------------------------------------------------------
+
+  /** Uniform quantization steps: fine enough that synthetic content
+    * survives recognizably, coarse enough to exercise real quantization. */
+  private val QLuma = 16
+  private val QChroma = 24
+
+  /** Uniform-length canonical Huffman specs (see object doc): all 12 DC
+    * categories at 4 bits, all 162 baseline AC symbols at 8 bits. */
+  private val DcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+  private val AcBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals: Array[Int] =
+    Array(0x00, 0xf0) ++
+      (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
+  private val AcCode: Map[Int, Int] = AcVals.zipWithIndex.toMap
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing (B.1.1.5)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (F.1.2.3). */
+    def flush(): Unit = if (nbits > 0) {
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private def magnitudeBits(v: Int): (Int, Int) = { // (category, value bits)
+    if (v == 0) (0, 0)
+    else {
+      val a = math.abs(v)
+      val s = 32 - Integer.numberOfLeadingZeros(a)
+      (s, if (v < 0) v + (1 << s) - 1 else v)
+    }
+  }
+
+  /** Forward DCT + uniform quantization of one level-shifted 8x8 block;
+    * returns coefficients in NATURAL order. */
+  private def fdctQuant(block: Array[Double], q: Int): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // rows
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { acc += block(u * 8 + i) * Cos(i)(x); i += 1 }
+        tmp(u * 8 + x) = acc
+        x += 1
+      }
+      u += 1
+    }
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) { // cols; Cos already carries C(u)/2 so fwd = transpose
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { acc += tmp(i * 8 + x) * Cos(i)(v); i += 1 }
+        out(v * 8 + x) = math.round(acc / q).toInt
+        x += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def encodeBlock(bw: BitWriter, coef: Array[Int],
+                          pred: Int): Int = {
+    val (cat, bits) = magnitudeBits(coef(0) - pred)
+    require(cat <= 11, s"DC difference category $cat out of baseline range")
+    bw.put(cat, 4) // DC: uniform 4-bit codes == the category itself
+    if (cat > 0) bw.put(bits, cat)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = coef(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(AcCode(0xf0), 8); run -= 16 }
+        val (s, b) = magnitudeBits(v)
+        require(s <= 10, s"AC magnitude category $s out of baseline range")
+        bw.put(AcCode((run << 4) | s), 8)
+        bw.put(b, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(AcCode(0x00), 8) // EOB
+    coef(0)
+  }
+
+  /** Deterministic VALID baseline JPEG: pixel bytes are a pure function of
+    * `seed` (the [[Multimodal.Decoders.syntheticPng]] pattern). `channels`
+    * 1 (grayscale) or 3 (color); `subsample` selects 4:2:0 for color;
+    * `restartEvery` > 0 emits DRI + RSTn markers every that many MCUs. */
+  def syntheticJpeg(seed: Long, w: Int = 16, h: Int = 16, channels: Int = 3,
+                    subsample: Boolean = false,
+                    restartEvery: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(channels == 1 || channels == 3, s"channels must be 1/3: $channels")
+    require(restartEvery >= 0, s"bad restart interval $restartEvery")
+    val px = Array.tabulate(w * h * channels)(i =>
+      ((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L, i % 61) >>>
+        (i % 7)) & 0xff).toInt)
+    encode(px, w, h, channels, subsample && channels == 3, restartEvery)
+  }
+
+  /** Assemble the full stream from interleaved 0-255 samples. */
+  private[graft] def encode(px: Array[Int], w: Int, h: Int, channels: Int,
+                            subsample: Boolean,
+                            restartEvery: Int): Array[Byte] = {
+    // component planes (level-shifted doubles)
+    val hY = if (subsample) 2 else 1
+    val planes: Array[Array[Double]] =
+      if (channels == 1) Array(Array.tabulate(w * h)(i => px(i) - 128.0))
+      else {
+        val y = new Array[Double](w * h)
+        val cbF = new Array[Double](w * h)
+        val crF = new Array[Double](w * h)
+        var i = 0
+        while (i < w * h) {
+          val r = px(3 * i); val g = px(3 * i + 1); val b = px(3 * i + 2)
+          y(i) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          cbF(i) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          crF(i) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          i += 1
+        }
+        if (!subsample) Array(y, cbF, crF)
+        else { // average each 2x2 (or clipped) neighborhood
+          val cw = (w + 1) / 2; val ch2 = (h + 1) / 2
+          def down(src: Array[Double]): Array[Double] =
+            Array.tabulate(cw * ch2) { j =>
+              val cx = j % cw; val cy = j / cw
+              var s = 0.0; var n = 0
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val sx = 2 * cx + dx; val sy = 2 * cy + dy
+                  if (sx < w && sy < h) { s += src(sy * w + sx); n += 1 }
+                  dx += 1
+                }
+                dy += 1
+              }
+              s / n
+            }
+          Array(y, down(cbF), down(crF))
+        }
+      }
+    val compW = Array.tabulate(planes.length)(i =>
+      if (i == 0 || !subsample) w else (w + 1) / 2)
+    val compH = Array.tabulate(planes.length)(i =>
+      if (i == 0 || !subsample) h else (h + 1) / 2)
+    val hi = Array.tabulate(planes.length)(i => if (i == 0) hY else 1)
+    val vi = hi.clone()
+    val q = Array.tabulate(planes.length)(i => if (i == 0) QLuma else QChroma)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      u8(0xff); u8(marker); u16(body.length + 2); body.foreach(u8)
+    }
+    u8(0xff); u8(0xd8) // SOI
+    // DQT: both tables in one segment (multi-table parsing is part of the
+    // decode surface this generator exercises)
+    val nQt = if (channels == 1) 1 else 2
+    seg(0xdb, (0 until nQt).toArray.flatMap { t =>
+      Array(t) ++ Array.tabulate(64)(k => if (t == 0) QLuma else QChroma)
+    })
+    // SOF0
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, planes.length) ++
+      (0 until planes.length).flatMap(i =>
+        Array(i + 1, (hi(i) << 4) | vi(i), if (i == 0) 0 else 1)).toArray)
+    // DHT: DC + AC class-0 tables in one segment; all components share them
+    seg(0xc4,
+      Array(0x00) ++ DcBits ++ DcVals ++ Array(0x10) ++ AcBits ++ AcVals)
+    if (restartEvery > 0) seg(0xdd, Array(restartEvery >> 8, restartEvery & 0xff))
+    // SOS
+    seg(0xda, Array(planes.length) ++
+      (0 until planes.length).flatMap(i => Array(i + 1, 0)).toArray ++
+      Array(0, 63, 0))
+    // entropy-coded data
+    val hmax = hi.max; val vmax = vi.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](planes.length)
+    val block = new Array[Double](64)
+    var mcu = 0
+    var rstN = 0
+    while (mcu < mcusX * mcusY) {
+      if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+        bw.flush()
+        u8(0xff); u8(0xd0 + rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var ci = 0
+      while (ci < planes.length) {
+        var by = 0
+        while (by < vi(ci)) {
+          var bx = 0
+          while (bx < hi(ci)) {
+            val px0 = (mx * hi(ci) + bx) * 8
+            val py0 = (my * vi(ci) + by) * 8
+            var yy = 0
+            while (yy < 8) { // edge-replicated block fill
+              var xx = 0
+              while (xx < 8) {
+                val sx = math.min(px0 + xx, compW(ci) - 1)
+                val sy = math.min(py0 + yy, compH(ci) - 1)
+                block(yy * 8 + xx) = planes(ci)(sy * compW(ci) + sx)
+                xx += 1
+              }
+              yy += 1
+            }
+            pred(ci) = encodeBlock(bw, fdctQuant(block, q(ci)), pred(ci))
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+}

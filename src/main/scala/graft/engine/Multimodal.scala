@@ -159,6 +159,13 @@ object Multimodal {
         off += 8 + size + (size & 1) // chunks pad to even offsets
       }
       require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      // belt-and-braces restatement of the per-chunk bound above: every
+      // sample wavPcm16/wavClip will read lies inside the payload (a lying
+      // data-chunk size already failed the in-loop require — size >= 0 and
+      // off+8+size <= length — so this can only trip if that invariant is
+      // ever weakened)
+      require(dataOff + 2L * (dataLen / 2) <= payload.length,
+        s"WAV data chunk overruns payload (dataOff=$dataOff dataLen=$dataLen)")
       (sampleRate, channels, dataOff, dataLen / 2)
     }
 
@@ -196,22 +203,22 @@ object Multimodal {
       WavClip(sampleRate, channels, s)
     }
 
-    /** Deterministic VALID 16-bit PCM WAV: `nPerChannel` time instants of
-      * channel-interleaved samples that are a pure function of `seed`,
-      * sign-mixed across the full int16 range — the [[syntheticBmp]]-style
-      * payload generator for the audio path. */
-    def syntheticWav(seed: Long, nPerChannel: Int = 64, sampleRate: Int = 8000,
-                     channels: Int = 1): Array[Byte] = {
-      require(nPerChannel > 0 && channels > 0 && sampleRate > 0,
-        s"bad WAV spec: n=$nPerChannel ch=$channels rate=$sampleRate")
-      val n = nPerChannel * channels
-      val data = new Array[Byte](n * 2)
+    /** Assemble a VALID 16-bit PCM WAV from channel-interleaved samples —
+      * the inverse of [[wavClip]] (bit-exact round trip). Shared by
+      * [[syntheticWav]] and the fixed-model audio oracle, whose SQL-
+      * expressible sample law must enter the REAL decode path through a
+      * real container. */
+    def pcmWav(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && sampleRate > 0,
+        s"bad WAV spec: ch=$channels rate=$sampleRate")
+      require(samples.length % channels == 0,
+        s"${samples.length} samples not divisible by $channels channels")
+      val data = new Array[Byte](samples.length * 2)
       var i = 0
-      while (i < n) {
-        val v = (((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L + i,
-          i % 59) >>> (i % 11)) & 0xffffL).toInt - 32768).toShort
-        data(2 * i) = (v & 0xff).toByte
-        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
       val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
@@ -221,6 +228,19 @@ object Multimodal {
         "WAVE".getBytes("US-ASCII") ++
         "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
         "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    }
+
+    /** Deterministic VALID 16-bit PCM WAV: `nPerChannel` time instants of
+      * channel-interleaved samples that are a pure function of `seed`,
+      * sign-mixed across the full int16 range — the [[syntheticBmp]]-style
+      * payload generator for the audio path. */
+    def syntheticWav(seed: Long, nPerChannel: Int = 64, sampleRate: Int = 8000,
+                     channels: Int = 1): Array[Byte] = {
+      require(nPerChannel > 0, s"bad WAV spec: n=$nPerChannel")
+      val n = nPerChannel * channels
+      pcmWav(sampleRate, channels, Array.tabulate(n)(i =>
+        (((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L + i,
+          i % 59) >>> (i % 11)) & 0xffffL).toInt - 32768).toShort))
     }
 
     /** Kind-dispatching media decoder over the real format parsers: BMP for
@@ -234,7 +254,9 @@ object Multimodal {
       case ("image", bytes) =>
         // container sniffing by magic bytes — the real-pipeline shape: a
         // corpus's "image" column holds mixed containers
-        if (isPng(bytes)) png(bytes) else bmp24(bytes)
+        if (isPng(bytes)) png(bytes)
+        else if (Jpeg.isJpeg(bytes)) Jpeg.features(bytes)
+        else bmp24(bytes)
       case ("audio", bytes) => wavPcm16(bytes)
       case ("video", bytes) =>
         val frames = gif87Frames(bytes)
@@ -447,29 +469,33 @@ object Multimodal {
     private val gifPalette: Array[Byte] = Array[Byte](
       0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1)
 
-    /** Deterministic multi-frame GIF87a generator: `nFrames` 4×4 frames over
-      * the fixed 4-color table, pixel indices seeded — a VALID payload so the
-      * video path (decode → frame-sample) runs end-to-end on real frames.
-      * The LZW stream interleaves a clear code before every literal, which
-      * keeps the dictionary empty and the code width fixed — legal LZW that
-      * any conforming decoder (including [[gif87Frames]]) must accept. */
-    def syntheticGif87(seed: Long, nFrames: Int = 4): Array[Byte] = {
-      require(nFrames >= 1, s"nFrames must be >= 1: $nFrames")
+    /** Assemble a VALID GIF87a from EXPLICIT per-frame palette indices
+      * (0–3) over the fixed 4-color table — the [[pcmWav]]-style
+      * law-to-container assembler, shared by [[syntheticGif87]] and the
+      * fixed-model video oracle. The LZW stream interleaves a clear code
+      * before every literal, which keeps the dictionary empty and the code
+      * width fixed — legal LZW that any conforming decoder (including
+      * [[gif87Frames]]) must accept. */
+    def gif87FromIndices(w: Int, h: Int,
+                         frames: Seq[Array[Int]]): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(frames.nonEmpty, "at least one frame required")
       val out = Array.newBuilder[Byte]
       out ++= "GIF87a".getBytes("US-ASCII")
-      out ++= le16(4) ++= le16(4)     // logical screen 4×4
+      out ++= le16(w) ++= le16(h)     // logical screen
       out += 0x91.toByte              // GCT present, 4 entries (2 << 1)
       out += 0 += 0                   // background index, aspect
       out ++= gifPalette
-      for (f <- 0 until nFrames) {
+      frames.foreach { idx =>
+        require(idx.length == w * h,
+          s"frame has ${idx.length} indices, expected ${w * h}")
         out += 0x2c.toByte
-        out ++= le16(0) ++= le16(0) ++= le16(4) ++= le16(4)
+        out ++= le16(0) ++= le16(0) ++= le16(w) ++= le16(h)
         out += 0                      // no LCT, not interlaced
         out += 2                      // LZW min code size (4-color)
-        // 16 pixels as (clear, literal) pairs + end, 3-bit codes LSB-first
-        val codes = (0 until 16).flatMap { i =>
-          val px = (java.lang.Long.rotateLeft(
-            seed * 0x9e3779b97f4a7c15L + f, i) & 3).toInt
+        // pixels as (clear, literal) pairs + end, 3-bit codes LSB-first
+        val codes = idx.toSeq.flatMap { px =>
+          require(px >= 0 && px <= 3, s"palette index $px out of range")
           Seq(4, px)                  // clear, literal
         } :+ 5                        // end
         var acc = 0L
@@ -493,6 +519,17 @@ object Multimodal {
       }
       out += 0x3b.toByte              // trailer
       out.result()
+    }
+
+    /** Deterministic multi-frame GIF87a generator: `nFrames` 4×4 frames over
+      * the fixed 4-color table, pixel indices seeded — a VALID payload so the
+      * video path (decode → frame-sample) runs end-to-end on real frames. */
+    def syntheticGif87(seed: Long, nFrames: Int = 4): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames must be >= 1: $nFrames")
+      gif87FromIndices(4, 4, (0 until nFrames).map { f =>
+        Array.tabulate(16)(i => (java.lang.Long.rotateLeft(
+          seed * 0x9e3779b97f4a7c15L + f, i) & 3).toInt)
+      })
     }
 
     /** One decoded PNG image: dimensions, channel count, interleaved 8-bit
@@ -568,7 +605,19 @@ object Multimodal {
             require(channels > 0, "IDAT before IHDR")
             idat.write(payload, off + 8, len)
           case "IEND" => done = true
-          case _ => () // ancillary chunks (tEXt, pHYs, …) skipped per spec
+          case "PLTE" =>
+            // a suggested-quantization palette is legal alongside color types
+            // 2/6 and ignored by a truecolor decoder; the spec forbids it
+            // for grayscale (types 0/4)
+            require(channels == 3 || channels == 4,
+              "PLTE chunk in a grayscale PNG")
+          case _ =>
+            // only ANCILLARY chunks (first type byte lowercase, bit 5 set)
+            // may be skipped; an unrecognized CRITICAL chunk means the
+            // image can't be decoded correctly — fail loudly per the spec
+            // and this decoder's never-degrade contract (ADVICE r9)
+            require((payload(off + 4) & 0x20) != 0,
+              s"unknown critical PNG chunk $typ")
         }
         off += 12 + len
       }
@@ -780,9 +829,13 @@ object Multimodal {
 
     /** Container-sniffing image resize: PNG payloads through [[resizePng]],
       * BMP through [[resizeBmp24]] — the payload-transform twin of the
-      * [[media]] decode dispatcher for mixed-container image columns. */
+      * [[media]] decode dispatcher for mixed-container image columns.
+      * JPEG is decode-only (re-encoding would need a quality policy the
+      * caller never stated) — loud refusal, not a silent container swap. */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       if (isPng(payload)) resizePng(payload, w, h)
+      else if (Jpeg.isJpeg(payload)) throw new IllegalArgumentException(
+        "JPEG resize unsupported (decode-only container; transcode explicitly)")
       else resizeBmp24(payload, w, h)
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to

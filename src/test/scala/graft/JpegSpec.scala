@@ -1,0 +1,357 @@
+package graft
+
+import graft.engine.Jpeg
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Baseline JPEG codec verification, three independent ways:
+  *
+  *  1. SPEC-SIDE fixtures — a hand-rolled assembler in this file using the
+  *     T.81 Annex-K VARYING-LENGTH DC Huffman table (production's encoder
+  *     uses uniform-length codes, so a shared misunderstanding between
+  *     [[Jpeg.syntheticJpeg]] and [[Jpeg.jpegImage]] cannot cancel out
+  *     here), DC-only blocks whose IDCT output is exactly flat — expected
+  *     pixels computed by arithmetic, not by either codec.
+  *  2. JDK ImageIO cross-fuzz in BOTH directions with a small tolerance
+  *     (the JPEG spec bounds decoder accuracy, T.83 — IDCT rounding
+  *     differs legally between implementations; chroma-subsampled cases
+  *     use gray-valued content so upsampling-filter choice cancels).
+  *  3. Loud-failure probes for every unsupported-mode branch.
+  */
+class JpegSpec extends AnyFunSuite with Matchers {
+
+  // ---- spec-side assembler (independent of the production encoder) ----
+
+  private class Bw {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach { i =>
+      acc = (acc << 1) | ((code >> i) & 1); n += 1
+      if (n == 8) { out.write(acc); if (acc == 0xff) out.write(0); acc = 0; n = 0 }
+    }
+    def flush(): Unit = if (n > 0) {
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(acc); if (acc == 0xff) out.write(0); acc = 0; n = 0
+    }
+  }
+
+  /** Canonical codes from a BITS/HUFFVAL pair (T.81 C.2, re-derived here
+    * independently): value → (code, length). */
+  private def canonical(bits: Seq[Int], vals: Seq[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = Map.newBuilder[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) { m += vals(k) -> ((code, l)); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.result()
+  }
+
+  // T.81 Annex K.3.1 typical DC luminance table: varying code lengths 2–9
+  private val DcBits = Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = 0 to 11
+  private val DcCode = canonical(DcBits, DcVals)
+  // minimal AC table: the single EOB symbol at code length 1
+  private val AcBits = Seq(1) ++ Seq.fill(15)(0)
+  private val AcVals = Seq(0x00)
+
+  private def cat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def putDc(bw: Bw, diff: Int): Unit = {
+    val s = cat(diff)
+    val (c, l) = DcCode(s)
+    bw.put(c, l)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+  }
+  private def putEob(bw: Bw): Unit = bw.put(0, 1)
+
+  private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
+                  body: Seq[Int]): Unit = {
+    out.write(0xff); out.write(marker)
+    out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+    body.foreach(b => out.write(b & 0xff))
+  }
+  private def dqt(id: Int, q: Int): Seq[Int] = id +: Seq.fill(64)(q)
+  private def dht: Seq[Int] =
+    Seq(0x00) ++ DcBits ++ DcVals ++ Seq(0x10) ++ AcBits ++ AcVals
+
+  /** Grayscale DC-only JPEG: `dc(i)` is block i's quantized DC coefficient
+    * (raster order), all AC zero; every block decodes to the flat value
+    * round(dc·q00/8)+128. */
+  private def grayDcOnly(wb: Int, hb: Int, q00: Int, dc: Seq[Int],
+                         restartEvery: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, dqt(0, q00))
+    seg(out, 0xc0, Seq(8, (8 * hb) >> 8, (8 * hb) & 0xff,
+      (8 * wb) >> 8, (8 * wb) & 0xff, 1, 1, 0x11, 0))
+    seg(out, 0xc4, dht)
+    if (restartEvery > 0) seg(out, 0xdd, Seq(restartEvery >> 8, restartEvery & 0xff))
+    seg(out, 0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    val bw = new Bw
+    var pred = 0
+    var rst = 0
+    dc.zipWithIndex.foreach { case (v, i) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.flush()
+        bw.out.write(0xff); bw.out.write(0xd0 + rst)
+        rst = (rst + 1) & 7
+        pred = 0
+      }
+      putDc(bw, v - pred); pred = v
+      putEob(bw)
+    }
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  private def flat(dc: Int, q: Int): Int = {
+    val v = math.round(dc * q / 8.0).toInt + 128
+    math.max(0, math.min(255, v))
+  }
+
+  // ---- 1. spec-side exact-pixel fixtures ----
+
+  test("jpegImage: DC-only grayscale blocks decode to exactly flat values " +
+    "through the varying-length Annex-K Huffman table") {
+    // 3×2 blocks (24×16), dc·q00 a multiple of 8 so expectation is exact
+    val dc = Seq(0, 8, -8, 40, -64, 127)
+    val img = Jpeg.jpegImage(grayDcOnly(3, 2, 16, dc))
+    (img.width, img.height, img.channels) shouldBe ((24, 16, 1))
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val want = flat(dc(by * 3 + bx), 16)
+      for (y <- 0 until 8; x <- 0 until 8)
+        withClue(s"block ($bx,$by) pixel ($x,$y): ") {
+          (img.pixels((by * 8 + y) * 24 + bx * 8 + x) & 0xff) shouldBe want
+        }
+    }
+  }
+
+  test("jpegImage: restart markers reset the DC predictor and realign the " +
+    "bit stream; an out-of-order RST fails loudly") {
+    val dc = Seq(24, 32, -16, 8, 56, -40)
+    val withRst = grayDcOnly(3, 2, 8, dc, restartEvery = 2)
+    val img = Jpeg.jpegImage(withRst)
+    for (i <- dc.indices) {
+      val (bx, by) = (i % 3, i / 3)
+      (img.pixels(by * 8 * 24 + bx * 8) & 0xff) shouldBe flat(dc(i), 8)
+    }
+    // corrupt the first RST marker's index (FFD0 → FFD3): must throw
+    val bytes = withRst.clone()
+    val rstPos = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd0).get
+    bytes(rstPos + 1) = 0xd3.toByte
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(bytes)
+    }.getMessage should include("RST")
+  }
+
+  test("jpegImage: 4:2:0 color with flat DC-only planes — exact quadrant " +
+    "luma and exact color conversion (upsampling geometry pinned)") {
+    // 16×16: four Y blocks (quadrant values), one Cb and one Cr block
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, dqt(0, 8) ++ dqt(1, 8))
+    seg(out, 0xc0, Seq(8, 0, 16, 0, 16, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(out, 0xc4, dht)
+    seg(out, 0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val bw = new Bw
+    val yDc = Seq(-48, 16, 64, 96) // quadrants TL TR BL BR
+    var pred = 0
+    yDc.foreach { v => putDc(bw, v - pred); pred = v; putEob(bw) }
+    putDc(bw, -32); putEob(bw) // Cb: flat 128 + (-32*8/8) = 96
+    putDc(bw, 24); putEob(bw)  // Cr: flat 128 + 24 = 152
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    val img = Jpeg.jpegImage(out.toByteArray)
+    (img.width, img.height, img.channels) shouldBe ((16, 16, 3))
+    def expectRgb(lum: Int): (Int, Int, Int) = {
+      val b1 = 96 - 128; val r1 = 152 - 128
+      def c8(v: Long) = math.max(0, math.min(255, v)).toInt
+      (c8(math.round(lum + 1.402 * r1)),
+        c8(math.round(lum - 0.344136 * b1 - 0.714136 * r1)),
+        c8(math.round(lum + 1.772 * b1)))
+    }
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val lum = flat(yDc((y / 8) * 2 + x / 8), 8)
+      val (r, g, b) = expectRgb(lum)
+      val o = (y * 16 + x) * 3
+      withClue(s"($x,$y): ") {
+        ((img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+          img.pixels(o + 2) & 0xff)) shouldBe ((r, g, b))
+      }
+    }
+  }
+
+  // ---- 2. ImageIO cross-fuzz ----
+
+  private def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img
+  }
+
+  test("syntheticJpeg fuzz vs ImageIO: grayscale decodes within IDCT " +
+    "rounding tolerance at odd sizes (edge-replicated partial blocks)") {
+    for (seed <- 1L to 10L) {
+      val w = 7 + (seed % 11).toInt
+      val h = 9 + (seed % 7).toInt
+      val payload = Jpeg.syntheticJpeg(seed, w, h, channels = 1)
+      val ours = Jpeg.jpegImage(payload)
+      val ref = imageIoRead(payload)
+      (ref.getWidth, ref.getHeight) shouldBe ((w, h))
+      val px = new Array[Int](1)
+      for (y <- 0 until h; x <- 0 until w) {
+        ref.getRaster.getPixel(x, y, px)
+        withClue(s"seed=$seed ($x,$y): ") {
+          math.abs((ours.pixels(y * w + x) & 0xff) - px(0)) should be <= 2
+        }
+      }
+    }
+  }
+
+  test("syntheticJpeg fuzz vs ImageIO: color 4:4:4 and 4:2:0 (gray-valued " +
+    "content so upsampling-filter choice cancels) within tolerance; " +
+    "restart-marker stream decodes identically to the plain stream") {
+    for (seed <- 1L to 6L; subsample <- Seq(false, true)) {
+      val w = 10 + (seed % 5).toInt
+      val h = 8 + (seed % 6).toInt
+      // gray-valued RGB: Cb=Cr=0 exactly, so chroma planes are flat and
+      // every legal upsampling filter agrees
+      val px = Array.tabulate(w * h * 3) { i =>
+        val p = i / 3
+        (((seed * 31 + p * 197) >>> 3) & 0xff).toInt
+      }
+      val payload = Jpeg.encode(px, w, h, 3, subsample, 0)
+      val ours = Jpeg.jpegImage(payload)
+      val ref = imageIoRead(payload)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        withClue(s"seed=$seed sub=$subsample ($x,$y): ") {
+          math.abs((ours.pixels(o) & 0xff) - ((rgb >> 16) & 0xff)) should be <= 2
+          math.abs((ours.pixels(o + 1) & 0xff) - ((rgb >> 8) & 0xff)) should be <= 2
+          math.abs((ours.pixels(o + 2) & 0xff) - (rgb & 0xff)) should be <= 2
+        }
+      }
+    }
+    // restart markers are lossless bookkeeping: same coefficients, same
+    // pixels — bit-exact against the no-restart encoding of the same content
+    val a = Jpeg.jpegImage(Jpeg.syntheticJpeg(42L, 24, 16, 3, subsample = true,
+      restartEvery = 2))
+    val b = Jpeg.jpegImage(Jpeg.syntheticJpeg(42L, 24, 16, 3, subsample = true))
+    a.pixels.toSeq shouldBe b.pixels.toSeq
+  }
+
+  test("jpegImage fuzz: ImageIO-WRITTEN grayscale JPEGs (standard " +
+    "varying-length tables, writer-chosen quant) decode within tolerance " +
+    "of ImageIO's own reading") {
+    import java.awt.image.BufferedImage
+    for (seed <- 1L to 8L) {
+      val w = 6 + (seed % 13).toInt
+      val h = 5 + (seed % 9).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setPixel(x, y,
+          Array((((seed + x * 31 + y * 17) * 0x9e3779b9L >>> 16) & 0xff).toInt))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out) shouldBe true
+      val payload = out.toByteArray
+      val ours = Jpeg.jpegImage(payload)
+      (ours.width, ours.height, ours.channels) shouldBe ((w, h, 1))
+      val ref = imageIoRead(payload)
+      val px = new Array[Int](1)
+      for (y <- 0 until h; x <- 0 until w) {
+        ref.getRaster.getPixel(x, y, px)
+        withClue(s"seed=$seed ($x,$y): ") {
+          math.abs((ours.pixels(y * w + x) & 0xff) - px(0)) should be <= 2
+        }
+      }
+    }
+  }
+
+  test("jpegImage fuzz: ImageIO-written gray-valued COLOR JPEG (writer's " +
+    "own subsampling choice) decodes within tolerance") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (19, 13)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (((x * 41 + y * 23) * 0x9e3779b9L >>> 12) & 0xff).toInt
+      img.getRaster.setPixel(x, y, Array(v, v, v))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out) shouldBe true
+    val ours = Jpeg.jpegImage(out.toByteArray)
+    (ours.width, ours.height, ours.channels) shouldBe ((w, h, 3))
+    val ref = imageIoRead(out.toByteArray)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      withClue(s"($x,$y): ") {
+        math.abs((ours.pixels(o) & 0xff) - ((rgb >> 16) & 0xff)) should be <= 3
+        math.abs((ours.pixels(o + 1) & 0xff) - ((rgb >> 8) & 0xff)) should be <= 3
+        math.abs((ours.pixels(o + 2) & 0xff) - (rgb & 0xff)) should be <= 3
+      }
+    }
+  }
+
+  // ---- 3. loud failures ----
+
+  test("jpegImage loud failures: progressive, 16-bit DQT, truncation, " +
+    "garbage, EOI-first, marker in entropy data") {
+    val good = grayDcOnly(2, 1, 16, Seq(8, -8))
+    // SOF0 → SOF2 (progressive): find the FFC0 marker and flip it
+    val prog = good.clone()
+    val sofPos = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofPos + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(prog)
+    }.getMessage should include("SOF0")
+    // 16-bit quantization table (Pq=1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, Seq(0x10) ++ Seq.fill(128)(0x01))
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(out.toByteArray ++ good.drop(2))
+    }.getMessage should include("16-bit")
+    // truncated entropy stream
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(good.dropRight(6))
+    }
+    // not a JPEG at all
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage("definitely not a jpeg".getBytes)
+    }.getMessage should include("not a JPEG")
+    // EOI straight after SOI
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    }
+    Jpeg.isJpeg(good) shouldBe true
+    Jpeg.isJpeg("BM      ".getBytes) shouldBe false
+  }
+
+  test("features + dispatcher: JPEG payloads route through the sniffing " +
+    "media decoder; resize refuses the decode-only container loudly") {
+    val payload = Jpeg.syntheticJpeg(3L, 8, 8, channels = 1)
+    val f = graft.engine.Multimodal.Decoders.media("image", payload)
+    f(0) shouldBe 8.0
+    f(1) shouldBe 8.0
+    f(2) shouldBe 1.0
+    f.length shouldBe 4
+    // feature mean matches a direct decode
+    val img = Jpeg.jpegImage(payload)
+    val mean = BigDecimal(img.pixels.map(_ & 0xff).sum / 64.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    f(3) shouldBe mean
+    intercept[IllegalArgumentException] {
+      graft.engine.Multimodal.Decoders.resizeImage(payload, 4, 4)
+    }.getMessage should include("decode-only")
+  }
+}

@@ -565,6 +565,65 @@ class StreamsSpec extends SparkSpec {
     table() shouldBe after2
   }
 
+  test("meltIngestSink: wide daily rows melt per tick into the date-" +
+    "partition sink; a corrected re-delivered day REPLACES (not merges) " +
+    "its partition, other days untouched; same-content replay idempotent") {
+    import graft.engine.{Sink, Unpivot}
+    val base = java.nio.file.Files.createTempDirectory("graft_meltingest_")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val tbl = base.resolve("tbl").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val hourCols = Seq("h01", "h02", "h03")
+    def transform(b: org.apache.spark.sql.DataFrame) =
+      Unpivot.meltHours(b, Seq("ymd", "grp"), hourCols)
+        .filter(col("generation").isNotNull)
+        .select(col("grp"),
+          Unpivot.tsZeroBased(col("ymd"), col("hour_col")).as("ts"),
+          col("generation").as("total"))
+    val schema = Seq((d("2024-01-01"), "a", Option(1.0), Option(2.0),
+      Option.empty[Double])).toDF("ymd", "grp", "h01", "h02", "h03").schema
+    def run(): Unit = Streams.meltIngestSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      transform, "ts", tbl, ckpt)
+    def table() = spark.read.parquet(tbl).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    // tick 1: two days, nulls dropped like the reference's .dropna
+    val tick1 = Seq(
+      (d("2024-01-01"), "a", Option(1.0), Option(2.0), Option.empty[Double]),
+      (d("2024-01-01"), "b", Option(5.0), Option.empty[Double], Option(6.0)),
+      (d("2024-01-02"), "a", Option(7.0), Option(8.0), Option(9.0)))
+      .toDF("ymd", "grp", "h01", "h02", "h03")
+    tick1.coalesce(1).write.mode("append").parquet(src.toString)
+    run()
+    table() shouldBe Set(
+      ("a", "2024-01-01 00:00:00.0", 1.0), ("a", "2024-01-01 01:00:00.0", 2.0),
+      ("b", "2024-01-01 00:00:00.0", 5.0), ("b", "2024-01-01 02:00:00.0", 6.0),
+      ("a", "2024-01-02 00:00:00.0", 7.0), ("a", "2024-01-02 01:00:00.0", 8.0),
+      ("a", "2024-01-02 02:00:00.0", 9.0))
+    // tick 2 (same checkpoint — only the new file is processed): day 2
+    // re-delivered corrected and SHORTER; its partition must be replaced
+    // wholesale (the stale 9.0 row gone), day 1 untouched
+    val tick2 = Seq(
+      (d("2024-01-02"), "a", Option(70.0), Option(80.0), Option.empty[Double]))
+      .toDF("ymd", "grp", "h01", "h02", "h03")
+    tick2.coalesce(1).write.mode("append").parquet(src.toString)
+    run()
+    val after2 = table()
+    after2 shouldBe Set(
+      ("a", "2024-01-01 00:00:00.0", 1.0), ("a", "2024-01-01 01:00:00.0", 2.0),
+      ("b", "2024-01-01 00:00:00.0", 5.0), ("b", "2024-01-01 02:00:00.0", 6.0),
+      ("a", "2024-01-02 00:00:00.0", 70.0), ("a", "2024-01-02 01:00:00.0", 80.0))
+    // foreachBatch at-least-once: a same-content replay of tick 2's batch
+    // rewrites its day to identical rows — the sink needs no batch marker
+    Sink.overwriteDatePartitions(transform(tick2), col("ts"), tbl)
+    table() shouldBe after2
+    // and a no-new-data tick is a clean no-op
+    run()
+    table() shouldBe after2
+  }
+
   test("alertStream: running-mean state spans batches; minHistory " +
     "suppresses early rows; in-batch order is (ts, cents)") {
     implicit val sqlCtx = spark.sqlContext

@@ -188,6 +188,42 @@ class JpegSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("jpegImage: 4:2:2 color (2x1 sampling — two Y blocks beside one " +
+    "chroma block per MCU) pins the horizontal-only upsampling geometry") {
+    // 16×8: MCU is 16×8 — Y blocks left/right, one Cb and one Cr block
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, dqt(0, 8) ++ dqt(1, 8))
+    seg(out, 0xc0, Seq(8, 0, 8, 0, 16, 3,
+      1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1)) // Y 2x1, Cb/Cr 1x1
+    seg(out, 0xc4, dht)
+    seg(out, 0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val bw = new Bw
+    val yDc = Seq(-64, 80) // left half, right half
+    var pred = 0
+    yDc.foreach { v => putDc(bw, v - pred); pred = v; putEob(bw) }
+    putDc(bw, 16); putEob(bw)  // Cb flat 128+16 = 144
+    putDc(bw, -40); putEob(bw) // Cr flat 128-40 = 88
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    val img = Jpeg.jpegImage(out.toByteArray)
+    (img.width, img.height, img.channels) shouldBe ((16, 8, 3))
+    def c8(v: Long) = math.max(0, math.min(255, v)).toInt
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val lum = flat(yDc(x / 8), 8)
+      val b1 = 144 - 128; val r1 = 88 - 128
+      val o = (y * 16 + x) * 3
+      withClue(s"($x,$y): ") {
+        ((img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+          img.pixels(o + 2) & 0xff)) shouldBe ((
+          c8(math.round(lum + 1.402 * r1)),
+          c8(math.round(lum - 0.344136 * b1 - 0.714136 * r1)),
+          c8(math.round(lum + 1.772 * b1))))
+      }
+    }
+  }
+
   // ---- 2. ImageIO cross-fuzz ----
 
   private def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage = {

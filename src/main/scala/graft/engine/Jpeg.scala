@@ -2,10 +2,10 @@ package graft.engine
 
 /** Dependency-free baseline-sequential JPEG codec (ITU-T T.81).
   *
-  * The most common real-corpus image payload (reference stores opaque
-  * attachment blobs it never decodes — e.g. nambu_dong/README.md:1 maps the
-  * ingest surface; decode is brief-driven "multimodal columns" work, not
-  * reference-driven). Decode supports what baseline (SOF0) allows and the
+  * The most common real-corpus image payload. The reference pipeline never
+  * decodes media (its ingest surface is numeric REST/CSV —
+  * fetch_data/common/utils.py:1); this tier is brief-driven "multimodal
+  * columns" work. Decode supports what baseline (SOF0) allows and the
   * training-data corpus actually carries: 8-bit samples, grayscale or
   * 3-component YCbCr, sampling factors 1–2 per axis (4:4:4 / 4:2:2 /
   * 4:2:0 / 4:4:0), restart markers, multi-table DQT/DHT segments, fill

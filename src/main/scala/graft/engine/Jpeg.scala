@@ -71,10 +71,15 @@ object Jpeg {
           code += bits(l - 1); k += bits(l - 1)
           maxCode(l) = code - 1
         }
+        // canonical validity is PER LEVEL: after assigning this length's
+        // codes, at most 2^l codes may exist (e.g. bits=[3,0,…] — three
+        // 1-bit codes — is impossible and must fail here, not decode
+        // garbage; an end-of-loop check only catches gross overflow)
+        require(code <= (1 << l), s"over-subscribed Huffman table " +
+          s"($code codes at length $l)")
         code <<= 1
         l += 1
       }
-      require(code <= (1 << 17), "over-subscribed Huffman table")
     }
     def decode(br: BitReader): Int = {
       var code = br.bit()
@@ -118,10 +123,17 @@ object Jpeg {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Byte-align, then consume the expected RSTn marker. */
+    /** Byte-align, then consume the expected RSTn marker. Fill bytes
+      * (extra 0xFF) before the marker code are legal before ANY marker
+      * (T.81 B.1.1.2), restart markers included — skip them here just as
+      * the segment-level marker walk does. */
     def expectRst(n: Int): Unit = {
       nbits = 0
       require(pos + 2 <= data.length, "truncated JPEG at restart marker")
+      while ((data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) == 0xff) {
+        pos += 1
+        require(pos + 2 <= data.length, "truncated JPEG at restart marker")
+      }
       val got = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff)
       require(got == 0xffd0 + n,
         f"expected RST$n marker, found 0x$got%04x")
@@ -251,7 +263,11 @@ object Jpeg {
             f"0xff$x%02x (only baseline sequential SOF0 is supported — " +
             "progressive/arithmetic/hierarchical/lossless all refuse)")
         case 0xdd => // DRI
-          val (start, _) = segment()
+          val (start, end) = segment()
+          // be16 alone bounds-checks against the PAYLOAD; an empty DRI
+          // body would silently read the next marker's bytes as the
+          // interval and misattribute the failure far downstream
+          require(start + 2 <= end, "truncated DRI segment")
           restartInterval = be16(start)
         case 0xda => // SOS — decode the single interleaved scan
           val (start, end) = segment()
@@ -349,8 +365,13 @@ object Jpeg {
               val r = rs >> 4
               val s = rs & 0x0f
               if (s == 0) {
-                if (r == 15) k += 16 // ZRL: 16 zeros
-                else eob = true      // EOB
+                if (r == 15) {
+                  k += 16 // ZRL: 16 zeros
+                  // k == 64 (zeros filling exactly to coefficient 63) is
+                  // accepted — libjpeg-legal; past that the zeros overflow
+                  // the block: corrupt, and loud like the literal branch
+                  require(k <= 64, "ZRL past end of block")
+                } else eob = true    // EOB
               } else {
                 k += r
                 require(k < 64, "AC run past end of block")

@@ -335,10 +335,13 @@ object Streams {
                      tsCol: String, path: String, ckpt: String): Unit = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
-        val melted = transform(batch)
-        if (!melted.isEmpty)
+        // guard on the RAW batch: the check exists only to skip the
+        // AvailableNow trailing no-data batch, and foreachBatch frames
+        // re-execute per action — isEmpty on the TRANSFORMED frame would
+        // re-read and re-melt the tick's files a second time
+        if (!batch.isEmpty)
           graft.engine.Sink.overwriteDatePartitions(
-            melted, org.apache.spark.sql.functions.col(tsCol), path)
+            transform(batch), org.apache.spark.sql.functions.col(tsCol), path)
       }
     val q = wide.writeStream
       .foreachBatch(fn)

@@ -37,7 +37,12 @@ object BenchFocus {
     }
     for (n <- names) {
       val steady = times(n).drop(1).sorted
-      val med = steady(steady.size / 2)
+      // true median: even-sized steady sets average the two middle
+      // elements — taking the upper-middle alone biases the adjudication
+      // number high by up to the upper-half spread
+      val med =
+        if (steady.size % 2 == 1) steady(steady.size / 2)
+        else (steady(steady.size / 2 - 1) + steady(steady.size / 2)) / 2
       println(f"[focus] MEDIAN $n $med%.3f s (over ${steady.size} steady reps, " +
         f"load ${graft.Bench.systemLoad()}%.2f)")
     }

@@ -224,6 +224,60 @@ class JpegSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("jpegImage hardening (review findings): fill bytes before RSTn " +
+    "accepted; over-subscribed DHT, ZRL overflow, and empty DRI all loud") {
+    // (a) T.81 B.1.1.2: fill bytes are legal before ANY marker, restart
+    // markers included — inserting one must not change the decode
+    val dc = Seq(24, 32, -16, 8)
+    val withRst = grayDcOnly(2, 2, 8, dc, restartEvery = 2)
+    val rstPos = withRst.indices.find(i =>
+      (withRst(i) & 0xff) == 0xff && (withRst(i + 1) & 0xff) == 0xd0).get
+    val padded = withRst.take(rstPos) ++ Array(0xff.toByte) ++
+      withRst.drop(rstPos)
+    Jpeg.jpegImage(padded).pixels.toSeq shouldBe
+      Jpeg.jpegImage(withRst).pixels.toSeq
+    // (b) three codes of length 1 cannot exist — must fail at table build,
+    // not decode garbage through a structurally invalid table
+    val badDht = new java.io.ByteArrayOutputStream()
+    badDht.write(0xff); badDht.write(0xd8)
+    seg(badDht, 0xdb, dqt(0, 8))
+    seg(badDht, 0xc4, Seq(0x00) ++ (Seq(3) ++ Seq.fill(15)(0)) ++ Seq(0, 1, 2))
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(badDht.toByteArray ++
+        Array(0xff, 0xd9).map(_.toByte))
+    }.getMessage should include("over-subscribed")
+    // (c) ZRL runs past coefficient 63: AC table with EOB + ZRL at 2 bits,
+    // then DC + four ZRLs (k: 1→17→33→49→65) — must throw, mirroring the
+    // literal-coefficient branch's bounds check
+    val zrl = new java.io.ByteArrayOutputStream()
+    zrl.write(0xff); zrl.write(0xd8)
+    seg(zrl, 0xdb, dqt(0, 8))
+    seg(zrl, 0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(zrl, 0xc4, Seq(0x00) ++ DcBits ++ DcVals ++
+      Seq(0x10) ++ (Seq(0, 2) ++ Seq.fill(14)(0)) ++ Seq(0x00, 0xf0))
+    seg(zrl, 0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    val bw = new Bw
+    val (c0, l0) = DcCode(0)
+    bw.put(c0, l0)                       // DC diff 0
+    (1 to 4).foreach(_ => bw.put(1, 2))  // ZRL ×4 → k = 65
+    bw.flush()
+    zrl.write(bw.out.toByteArray)
+    zrl.write(0xff); zrl.write(0xd9)
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(zrl.toByteArray)
+    }.getMessage should include("ZRL past end of block")
+    // (d) DRI with an empty body must fail AT the DRI, not misread the
+    // next marker's bytes as the restart interval
+    val good = grayDcOnly(1, 1, 8, Seq(8))
+    val sosPos = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val emptyDri = good.take(sosPos) ++
+      Array(0xff, 0xdd, 0x00, 0x02).map(_.toByte) ++ good.drop(sosPos)
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(emptyDri)
+    }.getMessage should include("truncated DRI")
+  }
+
   // ---- 2. ImageIO cross-fuzz ----
 
   private def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage = {

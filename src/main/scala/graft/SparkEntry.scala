@@ -210,6 +210,26 @@ object SparkEntry {
     }.toDF()
   }
 
+  /** Law-pixel PNG media shared by the fixed-model PNG twins
+    * (q_png_fixed / q_png_resize_fixed): one valid 8×4 filter-0 PNG per
+    * doc, channels cycling 1/3/4, every sample a pure SQL-expressible
+    * integer function of (doc_id, interleaved index). */
+  private def pngLawMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val ch = (id % 3) match {
+        case 0 => 1
+        case 1 => 3
+        case _ => 4
+      }
+      val n = 8 * 4 * ch.toInt
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.Decoders.pngFromPixels(8, 4, ch.toInt,
+          Array.tabulate(n)(i =>
+            (((id * 2654435761L + i * 2246822519L) / 8) % 256).toByte)))
+    }.toDF()
+  }
+
   /** Project the [w, h, channels, per-channel means…] image feature vector
     * into flat scalar columns (the rows-only comparator needs sortable
     * scalars); channels a payload lacks come back NULL. */
@@ -2060,6 +2080,73 @@ object SparkEntry {
             channels = 1 + (id % 2).toInt))
       }.toDF()
       Multimodal.sampleAudioFrames(media, frameLen = 16, everyN = 2)
+    }),
+
+    // fixed-model twin of the PNG path: samples follow a SQL-expressible
+    // integer law, assembled into REAL PNGs (filter-0 scanlines, real
+    // zlib + CRCs) and decoded through the REAL Inflater+unfilter parser;
+    // the oracle regenerates the law and recomputes per-channel means.
+    // 8×4 = 32 pixels/channel ⇒ sums/32 have ≤5 decimal digits — exact at
+    // 6dp on both engines (the power-of-two denominator rule)
+    "q_png_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = pngLawMedia(s, d)
+      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("width"),
+          element_at(col("feature"), 2).cast("long").as("height"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+            .as("mean_c2"),
+          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+            .as("mean_c3"),
+          when(size(col("feature")) >= 7, element_at(col("feature"), 7))
+            .as("mean_c4"))
+    }),
+
+    // the same law table through the REAL NN resize (8×4 → 4×2: source
+    // pixel (2x, 2y)) and re-decode — resize arithmetic cross-engine;
+    // 8 pixels/channel ⇒ sums/8 exact at 6dp
+    "q_png_resize_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = pngLawMedia(s, d)
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(media, 4, 2), Multimodal.Decoders.media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("width"),
+          element_at(col("feature"), 2).cast("long").as("height"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+            .as("mean_c2"),
+          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+            .as("mean_c3"),
+          when(size(col("feature")) >= 7, element_at(col("feature"), 7))
+            .as("mean_c4"))
+    }),
+
+    // fixed-model twin of the JPEG path: flat EVEN-valued 8×8 blocks
+    // survive baseline JPEG bit-exactly at uniform q=16 (FDCT of a flat
+    // block is DC-only; dc = (v-128)/2 exact for even v; reconstruction
+    // 2·dc+128 = v), so the real encoder → real decoder round trip is
+    // SQL-replayable — the lossy codec oracled on its lossless subspace
+    "q_jpeg_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        def v(b: Int): Int =
+          ((((id * 2654435761L + b * 2246822519L) / 8) % 128) * 2).toInt
+        val px = Array.tabulate(16 * 8)(i => v((i % 16) / 8))
+        Multimodal.MediaRecord(id, "image",
+          graft.engine.Jpeg.encode(px, 16, 8, 1, subsample = false,
+            restartEvery = 0))
+      }.toDF()
+      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("width"),
+          element_at(col("feature"), 2).cast("long").as("height"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"))
     }),
 
     // fixed-model twin of the video frame path: palette indices follow a
@@ -4863,6 +4950,62 @@ object SparkEntry {
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          SELECT k, event_id, v FROM r WHERE rn = 1""",
+    // fixed-model PNG oracle: regenerate the sample law and recompute
+    // per-channel means; the engine reached the same numbers through a
+    // REAL PNG container (zlib + CRC) and the real Inflater+unfilter path
+    "q_png_fixed" ->
+      """WITH docs AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+           FROM documents),
+         px AS (SELECT doc_id, ch, unnest(range(0, 32 * ch)) AS i FROM docs),
+         v AS (SELECT doc_id, ch, i % ch AS c,
+             ((doc_id*2654435761 + i*2246822519) // 8) % 256 AS val FROM px),
+         m AS (SELECT doc_id, ch, c, SUM(val) / 32.0 AS mean
+               FROM v GROUP BY 1, 2, 3)
+         SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+           round(MAX(CASE WHEN c = 0 THEN mean END), 6) AS mean_c1,
+           round(MAX(CASE WHEN c = 1 THEN mean END), 6) AS mean_c2,
+           round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3,
+           round(MAX(CASE WHEN c = 3 THEN mean END), 6) AS mean_c4
+         FROM m GROUP BY 1, 2, 3, 4""",
+    // the same law through the NN resize: output (x,y) samples source
+    // (2x, 2y) — the resize arithmetic replayed cross-engine
+    "q_png_resize_fixed" ->
+      """WITH docs AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+           FROM documents),
+         xs AS (SELECT doc_id, ch, unnest(range(0, 4)) AS x FROM docs),
+         xy AS (SELECT doc_id, ch, x, unnest(range(0, 2)) AS y FROM xs),
+         xyc AS (SELECT doc_id, ch, x, y, unnest(range(0, ch)) AS c FROM xy),
+         v AS (SELECT doc_id, ch, c,
+             ((doc_id*2654435761 + (((2*y)*8 + 2*x)*ch + c)*2246822519) // 8)
+               % 256 AS val
+           FROM xyc),
+         m AS (SELECT doc_id, ch, c, SUM(val) / 8.0 AS mean
+               FROM v GROUP BY 1, 2, 3)
+         SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+           round(MAX(CASE WHEN c = 0 THEN mean END), 6) AS mean_c1,
+           round(MAX(CASE WHEN c = 1 THEN mean END), 6) AS mean_c2,
+           round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3,
+           round(MAX(CASE WHEN c = 3 THEN mean END), 6) AS mean_c4
+         FROM m GROUP BY 1, 2, 3, 4""",
+    // fixed-model JPEG oracle: flat even-valued blocks round-trip the
+    // REAL lossy codec bit-exactly at uniform q=16 (DC-only subspace),
+    // so the whole-image mean is the block-value average
+    "q_jpeg_fixed" ->
+      """WITH b AS (SELECT doc_id, unnest(range(0, 2)) AS blk
+                    FROM documents),
+         v AS (SELECT doc_id,
+             (((doc_id*2654435761 + blk*2246822519) // 8) % 128) * 2 AS val
+           FROM b)
+         SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels,
+           round(SUM(val) / 2.0, 6) AS mean_c1
+         FROM v GROUP BY 1""",
     // fixed-model video frame oracle: regenerate the palette-index law and
     // recompute the per-frame channel means the engine reached through a
     // REAL GIF container and the real LZW decode + frame-sample path

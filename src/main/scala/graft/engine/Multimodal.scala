@@ -765,6 +765,27 @@ object Multimodal {
       encodePng(w, h, channels, raw)
     }
 
+    /** Assemble a VALID 8-bit PNG from EXPLICIT interleaved samples
+      * (filter-0 scanlines, real zlib + chunk CRCs) — the
+      * [[pcmWav]]/[[gif87FromIndices]]-style law-to-container assembler
+      * for the fixed-model PNG oracles. */
+    def pngFromPixels(w: Int, h: Int, channels: Int,
+                      pixels: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(channels >= 1 && channels <= 4, s"bad channel count $channels")
+      require(pixels.length == w * h * channels,
+        s"${pixels.length} samples, expected ${w * h * channels}")
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        // filter byte 0 (None); samples verbatim
+        System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      encodePng(w, h, channels, raw)
+    }
+
     /** Assemble a VALID 8-bit PNG from already-filtered scanlines (real
       * zlib framing + chunk CRCs) — shared by [[syntheticPng]] and
       * [[resizePng]]. `filtered` is (stride+1)·h bytes: each row a filter

@@ -592,6 +592,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pngFromPixels: explicit samples round-trip the decoder bit-exactly " +
+    "at all four channel counts; wrong sample count fails loudly") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val px = Array.tabulate(8 * 4 * ch)(i => (fuzzByte(9L + ch, i)).toByte)
+      val img = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.pngFromPixels(8, 4, ch, px))
+      (img.width, img.height, img.channels) shouldBe ((8, 4, ch))
+      img.pixels.toSeq shouldBe px.toSeq
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngFromPixels(8, 4, 3, new Array[Byte](5))
+    }.getMessage should include("expected")
+  }
+
   test("pngImage: unknown CRITICAL chunk fails loudly; unknown ancillary " +
     "chunk is skipped (ADVICE r9)") {
     val good = Multimodal.Decoders.syntheticPng(5L, 4, 4, 3)

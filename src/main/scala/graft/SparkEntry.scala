@@ -2126,6 +2126,26 @@ object SparkEntry {
             .as("mean_c4"))
     }),
 
+    // fixed-model twin of the BMP path: the same sample law assembled
+    // into REAL 24-bit BMPs (bottom-up rows, BGR bytes, 4-byte padding —
+    // the mappings a reader can get wrong) and decoded by the real parser
+    "q_bmp_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.Decoders.bmpFromPixels(8, 4, Array.tabulate(96)(i =>
+            (((id * 2654435761L + i * 2246822519L) / 8) % 256).toByte)))
+      }.toDF()
+      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("width"),
+          element_at(col("feature"), 2).cast("long").as("height"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          element_at(col("feature"), 5).as("mean_c2"),
+          element_at(col("feature"), 6).as("mean_c3"))
+    }),
+
     // fixed-model twin of the JPEG path: flat EVEN-valued 8×8 blocks
     // survive baseline JPEG bit-exactly at uniform q=16 (FDCT of a flat
     // block is DC-only; dc = (v-128)/2 exact for even v; reconstruction
@@ -4992,6 +5012,21 @@ object SparkEntry {
            round(MAX(CASE WHEN c = 1 THEN mean END), 6) AS mean_c2,
            round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3,
            round(MAX(CASE WHEN c = 3 THEN mean END), 6) AS mean_c4
+         FROM m GROUP BY 1, 2, 3, 4""",
+    // fixed-model BMP oracle: regenerate the sample law and recompute
+    // per-channel means; any bottom-up/BGR/padding mix-up in the real
+    // container round trip would shift bytes across channels and diverge
+    "q_bmp_fixed" ->
+      """WITH px AS (SELECT doc_id, unnest(range(0, 96)) AS i
+                     FROM documents),
+         v AS (SELECT doc_id, i % 3 AS c,
+             ((doc_id*2654435761 + i*2246822519) // 8) % 256 AS val FROM px),
+         m AS (SELECT doc_id, c, SUM(val) / 32.0 AS mean FROM v GROUP BY 1, 2)
+         SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+           round(MAX(CASE WHEN c = 0 THEN mean END), 6) AS mean_c1,
+           round(MAX(CASE WHEN c = 1 THEN mean END), 6) AS mean_c2,
+           round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3
          FROM m GROUP BY 1, 2, 3, 4""",
     // fixed-model JPEG oracle: flat even-valued blocks round-trip the
     // REAL lossy codec bit-exactly at uniform q=16 (DC-only subspace),

@@ -293,6 +293,36 @@ object Multimodal {
         px.slice(6, 12) ++ Array[Byte](0, 0)   // top row + pad
     }
 
+    /** Assemble a VALID 24-bit uncompressed BMP from EXPLICIT top-down
+      * interleaved RGB samples — the law-to-container assembler for the
+      * fixed-model BMP oracle. Handles the container's bottom-up row
+      * order, BGR byte order, and 4-byte row padding, so the twin is
+      * sensitive to exactly the mapping bugs a BMP reader can have. */
+    def bmpFromPixels(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(rgb.length == w * h * 3,
+        s"${rgb.length} samples, expected ${w * h * 3}")
+      val rowSize = ((24 * w + 31) / 32) * 4
+      val data = new Array[Byte](rowSize * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val src = (y * w + x) * 3
+          val dst = (h - 1 - y) * rowSize + x * 3
+          data(dst) = rgb(src + 2)
+          data(dst + 1) = rgb(src + 1)
+          data(dst + 2) = rgb(src)
+          x += 1
+        }
+        y += 1
+      }
+      "BM".getBytes("US-ASCII") ++ le32(54 + data.length) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ data
+    }
+
     /** One decoded GIF frame: dimensions + interleaved RGB bytes. */
     case class GifFrame(width: Int, height: Int, rgb: Array[Byte])
 

@@ -606,6 +606,22 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage should include("expected")
   }
 
+  test("bmpFromPixels: hand-picked RGB values come back with exact channel " +
+    "means (pins BGR byte order + bottom-up rows); wrong length loud") {
+    // 2×2: distinct per-channel values so a BGR or row-order mix-up is
+    // visible in the means
+    val rgb = Array[Byte](10, 20, 30, 50, 60, 70, 90, 100, 110, (130 & 0xff).toByte, (140 & 0xff).toByte, (150 & 0xff).toByte)
+    val f = Multimodal.Decoders.bmp24(
+      Multimodal.Decoders.bmpFromPixels(2, 2, rgb))
+    f.take(3).toSeq shouldBe Seq(2.0, 2.0, 3.0)
+    f(3) shouldBe (10 + 50 + 90 + 130) / 4.0  // mean R
+    f(4) shouldBe (20 + 60 + 100 + 140) / 4.0 // mean G
+    f(5) shouldBe (30 + 70 + 110 + 150) / 4.0 // mean B
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.bmpFromPixels(2, 2, new Array[Byte](5))
+    }.getMessage should include("expected")
+  }
+
   test("pngImage: unknown CRITICAL chunk fails loudly; unknown ancillary " +
     "chunk is skipped (ADVICE r9)") {
     val good = Multimodal.Decoders.syntheticPng(5L, 4, 4, 3)

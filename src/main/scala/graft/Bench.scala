@@ -39,19 +39,31 @@ object Bench {
     }
 
   /** One adjudicated outlier as it appears in the artifact. `retest2` /
-    * `loadRetest2` are present only when the first retest still exceeded
-    * the threshold and a post-cooldown second retest ran. Loads are the
-    * 1-minute system load average (−1 when unreadable) captured right
-    * after each retest, so a reader can see whether a slow retest was
-    * itself taken on a busy machine. */
+    * `loadRetest2` / `extCpu2` are present only when the first retest still
+    * exceeded the threshold and a post-cooldown second retest ran. Loads
+    * are the 1-minute system load average (−1 when unreadable) captured
+    * right after each retest; `extCpu`/`extCpu2` are the PROCESS-EXTERNAL
+    * CPU fraction over each retest's window ([[externalCpuFrac]]) — unlike
+    * loadavg they are instantaneous and exclude this JVM, so an "idle
+    * retest" claim is machine-checkable (VERDICT r10 #5). `envStreak`
+    * counts CONSECUTIVE committed artifacts (this one included) whose
+    * verdict for this query was "environment": a genuine small regression
+    * that always retests just under the threshold would otherwise be
+    * exonerated forever (ADVICE r10) — a streak ≥ 3 is the escalation
+    * signal to stop exonerating and investigate. */
   final case class OutlierRow(name: String, got: Double, envelopeMax: Double,
                               retest: Double, loadRetest: Double,
+                              extCpu: Double,
                               retest2: Option[Double], loadRetest2: Option[Double],
-                              verdict: String)
+                              extCpu2: Option[Double],
+                              verdict: String, envStreak: Int)
 
   /** 1-minute system load average: /proc/loadavg first field, falling back
     * to the JMX bean, then −1 (load then reads as "not measured", never as
-    * "idle"). */
+    * "idle"). NOTE (VERDICT r10 wrong #2): loadavg decays over minutes and
+    * counts this process's own just-finished threads — fine for relative
+    * comparison, never an absolute idleness claim; [[externalCpuFrac]] is
+    * the instantaneous, self-excluding measurement. */
   def systemLoad(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
@@ -60,6 +72,100 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Exception => -1.0 }
     }
+
+  /** One machine+process CPU snapshot in jiffies: `total` = all /proc/stat
+    * cpu fields through steal (wall capacity × cores), `busy` = total −
+    * idle − iowait, `self` = this process's utime+stime across all threads
+    * (/proc/self/stat). All −1 when unreadable (non-Linux), so a failed
+    * read never masquerades as "idle". */
+  final case class CpuStat(total: Long, busy: Long, self: Long)
+
+  def readCpuStat(): CpuStat =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")))
+      val cpu = stat.linesIterator
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      val v = cpu.drop(1).take(8).map(_.toLong)
+      require(v.length == 8)
+      val total = v.sum
+      val idle = v(3) + v(4)
+      val selfLine = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // comm (field 2) may contain spaces — parse after its closing paren;
+      // utime/stime are fields 14/15 (1-indexed), i.e. 11/12 past state
+      val rest = selfLine.substring(selfLine.lastIndexOf(')') + 2)
+        .trim.split("\\s+")
+      val selfJ = rest(11).toLong + rest(12).toLong
+      CpuStat(total, total - idle, selfJ)
+    } catch { case _: Exception => CpuStat(-1, -1, -1) }
+
+  /** Fraction of the machine's CPU capacity consumed by OTHER processes
+    * between two snapshots: (Δbusy − Δself) / Δtotal, clamped to [0, 1];
+    * −1 when either snapshot was unreadable or the window is empty. Near 0
+    * ⇒ the window really was idle apart from this JVM — the
+    * machine-checkable form of the "idle retest" claim. Pure. */
+  def externalCpuFrac(a: CpuStat, b: CpuStat): Double =
+    if (a.total < 0 || b.total < 0 || b.total <= a.total) -1.0
+    else {
+      val ext = (b.busy - a.busy) - (b.self - a.self)
+      math.min(1.0, math.max(0.0, ext.toDouble / (b.total - a.total)))
+    }
+
+  /** Consecutive-"environment" streak for `name` over PRIOR artifacts'
+    * per-query verdict maps, NEWEST FIRST (current run excluded — callers
+    * add 1 for it). An artifact where the query was in-envelope (absent
+    * from outliers) breaks the streak: the query behaved that round. Pure
+    * (ADVICE r10: repeated exonerations must become visible). */
+  def envStreak(name: String,
+                priorVerdictsNewestFirst: Seq[Map[String, String]]): Int =
+    priorVerdictsNewestFirst
+      .takeWhile(_.get(name).contains("environment")).size
+
+  /** Per-query verdict maps from committed BENCH_r*.json artifacts in
+    * `dir`, newest round first. The driver wraps the headline line under
+    * a `parsed` node and caps its inline outlier list at the 3 worst — so
+    * the streak a reader can reconstruct from committed artifacts covers
+    * the WORST offenders, which are exactly the ones worth escalating.
+    * Unreadable dir/files → empty (streaks then start at this run — the
+    * bench must keep producing its number even when the repo layout
+    * changes under it). */
+  def loadPriorVerdicts(dir: String = "."): Seq[Map[String, String]] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rx = "BENCH_r(\\d+)\\.json".r
+      new java.io.File(dir).listFiles().toSeq
+        .flatMap { f =>
+          f.getName match {
+            case rx(n) => Some((n.toInt, f))
+            case _ => None
+          }
+        }
+        .sortBy(-_._1)
+        .map { case (_, f) =>
+          try {
+            val root = om.readTree(f)
+            val outs0 = if (root == null) null else root.get("outliers")
+            val outs =
+              if (outs0 != null) outs0
+              else if (root != null && root.get("parsed") != null)
+                root.get("parsed").get("outliers")
+              else null
+            if (outs == null || !outs.isArray) Map.empty[String, String]
+            else {
+              val b = Map.newBuilder[String, String]
+              val it = outs.elements()
+              while (it.hasNext) {
+                val o = it.next()
+                val n = o.get("name"); val v = o.get("verdict")
+                if (n != null && v != null) b += n.asText() -> v.asText()
+              }
+              b.result()
+            }
+          } catch { case _: Exception => Map.empty[String, String] }
+        }
+    } catch { case _: Exception => Seq.empty }
 
   /** The exoneration half of self-adjudication (r9; VERDICT r8 "missing
     * #1"): [[adjudicate]] can FLAG an environment-inflated sample but not
@@ -85,19 +191,28 @@ object Bench {
                      measure: String => Double,
                      factor: Double = 1.5,
                      load: () => Double = systemLoad _,
-                     cooldown: () => Unit = () => ()): Seq[OutlierRow] =
+                     cooldown: () => Unit = () => (),
+                     cpu: () => CpuStat = readCpuStat _,
+                     priorStreak: String => Int = _ => 0): Seq[OutlierRow] =
     flagged.map { case (name, got, max) =>
+      val c0 = cpu()
       val r1 = measure(name)
       val l1 = load()
+      val e1 = externalCpuFrac(c0, cpu())
       if (r1 <= factor * max)
-        OutlierRow(name, got, max, r1, l1, None, None, "environment")
+        OutlierRow(name, got, max, r1, l1, e1, None, None, None,
+          "environment", priorStreak(name) + 1)
       else {
         cooldown()
+        val c2 = cpu()
         val r2 = measure(name)
         val l2 = load()
+        val e2 = externalCpuFrac(c2, cpu())
         val verdict =
           if (r2 <= factor * max) "environment" else "regression"
-        OutlierRow(name, got, max, r1, l1, Some(r2), Some(l2), verdict)
+        OutlierRow(name, got, max, r1, l1, e1, Some(r2), Some(l2), Some(e2),
+          verdict,
+          if (verdict == "environment") priorStreak(name) + 1 else 0)
       }
     }
 
@@ -189,6 +304,12 @@ object Bench {
     // level is WARN, so fallback events reach the appender (see the
     // ordering note on installFallbackCounter)
     val fallbacks = installFallbackCounter()
+    // machine state BEFORE the suite contributes anything: loadavg here is
+    // uncontaminated by this run's own threads, and the CPU snapshot opens
+    // the process-external window the artifact reports (VERDICT r10 #5 —
+    // "idle" claims must be machine-checkable, not loadavg folklore)
+    val loadStart = systemLoad()
+    val cpuStart = readCpuStat()
     // Warm-up pass: run every query once unmeasured so Janino codegen
     // compilation and JIT warm-up (observed 3-25× on the heavy near-dup
     // plans) don't bill the measured pass. Steady-state throughput is the
@@ -228,33 +349,38 @@ object Bench {
     val total = results.map(_._2).sum
     // load at the end of the measured pass — the conditions the flagged
     // samples were taken under (VERDICT r9 missing #1: without this a
-    // reader can't tell a loaded driver run from a real slowdown)
+    // reader can't tell a loaded driver run from a real slowdown) — plus
+    // the suite-window process-external CPU fraction (r10 #5)
     val loadSample = systemLoad()
+    val cpuExternal = externalCpuFrac(cpuStart, readCpuStat())
     // in-artifact adjudication: fresh median vs committed envelope max,
     // then the exoneration pass — each flagged entry re-measured
     // median-of-3 now that the suite queue is idle, with a post-cooldown
     // second retest before any "regression" verdict (see retestOutliers)
+    // and the cross-round environment-streak counter (ADVICE r10)
     val byName = sorted.toMap
     val cooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_RETEST_COOLDOWN_SEC", "20").toLong
+    val priors = loadPriorVerdicts()
     val outlierRows = retestOutliers(
       adjudicate(results, loadEnvelopeMax()),
       name => medianOf3(name, byName(name)),
-      cooldown = () => Thread.sleep(cooldownSec * 1000L))
+      cooldown = () => Thread.sleep(cooldownSec * 1000L),
+      priorStreak = name => envStreak(name, priors))
     def outlierJson(rows: Seq[OutlierRow]): String =
       rows.map { r =>
-        val second = (r.retest2, r.loadRetest2) match {
-          case (Some(r2), Some(l2)) =>
-            f""","retest2":$r2%.3f,"load_retest2":$l2%.2f"""
+        val second = (r.retest2, r.loadRetest2, r.extCpu2) match {
+          case (Some(r2), Some(l2), Some(e2)) =>
+            f""","retest2":$r2%.3f,"load_retest2":$l2%.2f,"ext_cpu2":$e2%.3f"""
           case _ => ""
         }
-        f"""{"name":"${r.name}","got":${r.got}%.3f,"envelope_max":${r.envelopeMax}%.3f,"retest":${r.retest}%.3f,"load_retest":${r.loadRetest}%.2f$second,"verdict":"${r.verdict}"}"""
+        f"""{"name":"${r.name}","got":${r.got}%.3f,"envelope_max":${r.envelopeMax}%.3f,"retest":${r.retest}%.3f,"load_retest":${r.loadRetest}%.2f,"ext_cpu":${r.extCpu}%.3f$second,"verdict":"${r.verdict}","env_streak":${r.envStreak}}"""
       }.mkString("[", ",", "]")
     val outliers = outlierJson(outlierRows)
     val nFallbacks =
       if (fallbacks.attached) fallbacks.count.get() else -1L
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_sample":$loadSample%.2f,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
     // The driver captures only a ~2.2 KB tail of stdout, so a single line
     // carrying all ~99 per-query timings truncates mid-object and parses as
     // null (r4/r5 BENCH artifacts). Print the full detail line FIRST (tail
@@ -272,7 +398,7 @@ object Bench {
     // array lives in the detail line and the SPARK_GRAFT_BENCH_OUT file.
     val headOutliers = outlierJson(
       outlierRows.sortBy(r => -(r.got / r.envelopeMax)).take(3))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_sample":$loadSample%.2f,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
     // belt-and-braces for the driver's parser: also drop the JSON in a known
     // file, immune to any logger prefixes on stdout. Overridable so
     // back-to-back runs over different SF dirs don't clobber each other.

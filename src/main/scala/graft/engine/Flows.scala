@@ -59,6 +59,76 @@ object Flows {
     missing.unionByName(incomplete).distinct()
   }
 
+  /** E3 — resolve_backfill_range (namdong_collect_pv.py:154-175): start =
+    * explicit target, else the day AFTER the existing data's high-watermark
+    * (the reference's get_latest_collected_date + 1), else `defaultStart`;
+    * end = explicit (the cron caller passes its own "yesterday" — wall-
+    * clock stays out of the engine so runs are replayable). The watermark
+    * read is a one-row aggregate collect — model-sized by construction. */
+  def resolveBackfillRange(existing: DataFrame, ts: Column,
+                           targetStart: Option[String], targetEnd: String,
+                           defaultStart: String): (String, String) = {
+    val start = targetStart.getOrElse {
+      val row = existing.select(max(to_date(ts)).as("d")).first()
+      if (row.isNullAt(0)) defaultStart
+      else row.getDate(0).toLocalDate.plusDays(1).toString
+    }
+    (start, targetEnd)
+  }
+
+  /** E3 — the monthly-chunked backfill work list: every fetch-target day
+    * ([[backfillTargets]] — missing ∪ incomplete) tagged with its calendar-
+    * month chunk CLIPPED to the window — exactly the (date_s, date_e)
+    * pairs the reference's split_by_month hands its fetcher
+    * (namdong_collect_pv.py:75-88), derived per-row in one declarative
+    * pass instead of a driver-side month loop (the chunk for day d is
+    * [max(month_start(d), from), min(month_end(d), to)] — what the loop
+    * computes, without the loop). Output: (day, chunk_start, chunk_end). */
+  def monthlyBackfillTargets(existing: DataFrame, ts: Column, from: String,
+                             to: String,
+                             requiredHours: Int = 24): DataFrame =
+    backfillTargets(existing, ts, from, to, requiredHours)
+      .select(col("day"),
+        greatest(trunc(col("day"), "MM"), lit(from).cast("date"))
+          .as("chunk_start"),
+        least(last_day(col("day")), lit(to).cast("date")).as("chunk_end"))
+
+  /** E3 end-to-end — the monthly backfill FLOW: month-chunk the window's
+    * fetch targets, re-request each chunk through the out-of-engine
+    * `refetch` callback (SURVEY maps the HTTP fetch itself out of scope),
+    * and run each returned wide frame through the E1 tail (melt → ts →
+    * coerce → idempotent date-partition overwrite, [[dailyPvFlow]]).
+    * The chunk loop is driver-side over MONTHS of the requested window —
+    * the reference's own iteration unit — bounded by the window length,
+    * never by data volume. Because S13 overwrites exactly the touched
+    * date partitions, re-running the whole flow is idempotent (FlowsSpec
+    * pins this). Returns the union of written long frames (empty with the
+    * E1 output schema when the table is already complete). */
+  def monthlyBackfillFlow(existing: DataFrame, ts: Column, from: String,
+                          to: String,
+                          refetch: (String, String) => DataFrame,
+                          ymd: String, key: String, hourCols: Seq[String],
+                          sinkPath: String,
+                          requiredHours: Int = 24): DataFrame = {
+    val spark = existing.sparkSession
+    val chunks = monthlyBackfillTargets(existing, ts, from, to, requiredHours)
+      .select(col("chunk_start").cast("string"),
+        col("chunk_end").cast("string"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val written = chunks.toSeq.map { case (s, e) =>
+      dailyPvFlow(refetch(s, e), ymd, key, hourCols, sinkPath)
+    }
+    written.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("plant", StringType),
+          StructField("ts", TimestampType),
+          StructField("generation", DoubleType))))
+    }
+  }
+
   /** LLM corpus cleaning, end to end — the composition the training-data
     * operators exist for:
     *

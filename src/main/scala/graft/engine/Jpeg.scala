@@ -1,28 +1,44 @@
 package graft.engine
 
-/** Dependency-free baseline-sequential JPEG codec (ITU-T T.81).
+/** Dependency-free JPEG codec (ITU-T T.81): baseline sequential (SOF0) AND
+  * progressive (SOF2, Huffman) decode.
   *
   * The most common real-corpus image payload. The reference pipeline never
   * decodes media (its ingest surface is numeric REST/CSV —
   * fetch_data/common/utils.py:1); this tier is brief-driven "multimodal
-  * columns" work. Decode supports what baseline (SOF0) allows and the
-  * training-data corpus actually carries: 8-bit samples, grayscale or
-  * 3-component YCbCr, sampling factors 1–2 per axis (4:4:4 / 4:2:2 /
-  * 4:2:0 / 4:4:0), restart markers, multi-table DQT/DHT segments, fill
-  * bytes, APPn/COM skipping. Everything else fails LOUDLY — progressive
-  * (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit, DNL,
-  * non-interleaved multi-scan — never degrades (the [[Multimodal]] decoder
-  * contract).
+  * columns" work. Decode supports what a 2026 web corpus actually carries:
+  * 8-bit samples, grayscale or 3-component YCbCr, sampling factors 1–2 per
+  * axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart markers, multi-table
+  * DQT/DHT segments, fill bytes, APPn/COM skipping, and — since r11 — the
+  * full progressive repertoire: multi-scan spectral selection, successive
+  * approximation (DC and AC first + refinement passes, EOB runs),
+  * interleaved DC / non-interleaved AC scans. Everything else fails
+  * LOUDLY — arithmetic coding (SOF9+), hierarchical, lossless, 12-bit,
+  * DNL — never degrades (the [[Multimodal]] decoder contract).
   *
-  * Chroma upsampling is nearest-neighbor replication (the spec leaves the
-  * filter to the decoder; T.81 A.1.1 only fixes the sampling grid).
-  * Encode ([[syntheticJpeg]]) is the valid-payload generator for the
-  * media queries: real FDCT, quantization, canonical Huffman coding, byte
-  * stuffing, optional restart markers and 4:2:0 subsampling. Its Huffman
-  * tables are deliberately uniform-length (all 12 DC symbols at 4 bits,
-  * all 162 AC symbols at 8 bits) — a legal canonical code that keeps the
-  * table literal small; decoders read the DHT so any conforming reader
-  * accepts the stream (MultimodalSpec cross-checks against JDK ImageIO).
+  * Decode architecture: scans accumulate RAW (unquantized, zigzag-order)
+  * coefficients into per-component arrays — the shape progressive
+  * refinement requires — and a single render pass dequantizes, IDCTs and
+  * color-converts once all scans are in (baseline renders after its one
+  * scan). Chroma upsampling is nearest-neighbor replication (the spec
+  * leaves the filter to the decoder; T.81 A.1.1 only fixes the sampling
+  * grid).
+  *
+  * Encode: [[syntheticJpeg]]/[[encode]] emit valid BASELINE streams (real
+  * FDCT, quantization, canonical Huffman, byte stuffing, optional restart
+  * markers and 4:2:0); [[encodeProgressive]] emits valid PROGRESSIVE
+  * streams (SOF2, interleaved DC scan, per-component banded AC scans with
+  * real EOB-run coding) — the valid-payload generators for the media
+  * queries. Huffman tables are deliberately uniform-length (all DC symbols
+  * at 4 bits, all AC symbols at 8 bits) — a legal canonical code that keeps
+  * the table literal small; decoders read the DHT so any conforming reader
+  * accepts the stream (JpegSpec cross-checks against JDK ImageIO in both
+  * directions, baseline and progressive).
+  *
+  * Decompression-bomb guard (ADVICE r10): header-declared dimensions are
+  * capped at [[DefaultMaxPixels]] BEFORE any plane/coefficient allocation —
+  * a ~20-byte crafted header can no longer demand multi-GB buffers — and
+  * the output allocation is Long-checked including the channel factor.
   */
 object Jpeg {
 
@@ -30,6 +46,12 @@ object Jpeg {
     * 3 (RGB)}. */
   final case class JpegImage(width: Int, height: Int, channels: Int,
                              pixels: Array[Byte])
+
+  /** Decode cap on header-declared pixel count (64 Mpx ≈ 192 MB RGB out +
+    * ~256 MB coefficient state): large enough for any sane corpus image,
+    * small enough that a crafted header cannot OOM the executor. Callers
+    * with genuinely larger images raise `maxPixels` explicitly. */
+  val DefaultMaxPixels: Long = 1L << 26
 
   /** JPEG magic-byte sniff (SOI then a marker byte). */
   def isJpeg(b: Array[Byte]): Boolean =
@@ -152,13 +174,27 @@ object Jpeg {
                                 val tq: Int) {
     var td = 0
     var ta = 0
-    var plane: Array[Byte] = null
-    var planeW = 0
+    /** RAW zigzag-order coefficients, 64 per block over the MCU-padded
+      * block grid (blocksW × blocksH) — the accumulation target every
+      * scan (baseline or progressive) writes into; [[render]]
+      * dequantizes from here. */
+    var coefs: Array[Int] = null
+    /** MCU-padded block-grid dims (interleaved scans cover these). */
+    var blocksW = 0
+    var blocksH = 0
+    /** Non-interleaved block-grid dims per T.81 A.2.2:
+      * ceil(ceil(w·hi/hmax)/8) × ceil(ceil(h·vi/vmax)/8) — single-
+      * component scans cover exactly these blocks, never the padding. */
+    var nbW = 0
+    var nbH = 0
   }
 
-  /** Full baseline decode. Same loud-failure contract as
-    * [[Multimodal.Decoders.pngImage]]. */
-  def jpegImage(payload: Array[Byte]): JpegImage = {
+  /** Full decode — baseline sequential (SOF0) or progressive (SOF2).
+    * Same loud-failure contract as [[Multimodal.Decoders.pngImage]].
+    * `maxPixels` bounds header-declared width×height before any
+    * allocation (decompression-bomb guard, ADVICE r10). */
+  def jpegImage(payload: Array[Byte],
+                maxPixels: Long = DefaultMaxPixels): JpegImage = {
     require(isJpeg(payload), "not a JPEG payload (bad SOI)")
     var pos = 2
     val qt = new Array[Array[Int]](4)
@@ -168,6 +204,9 @@ object Jpeg {
     var height = -1
     var comps: Array[Component] = null
     var restartInterval = 0
+    var progressive = false
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var scansDecoded = 0
 
     def be16(off: Int): Int = {
       require(off + 2 <= payload.length, "truncated JPEG segment")
@@ -202,7 +241,7 @@ object Jpeg {
             val pq = (payload(o) & 0xff) >> 4
             val tq = payload(o) & 0x0f
             require(pq == 0, "16-bit quantization tables not supported " +
-              "(baseline is 8-bit)")
+              "(8-bit samples only)")
             require(tq < 4, s"bad DQT table id $tq")
             require(o + 65 <= end, "truncated DQT table")
             val t = new Array[Int](64)
@@ -232,8 +271,14 @@ object Jpeg {
             if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
             o += 17 + n
           }
-        case 0xc0 => // SOF0 baseline sequential
+        case 0xc0 | 0xc2 => // SOF0 baseline sequential / SOF2 progressive
           val (start, end) = segment()
+          require(comps == null, "multiple SOF segments")
+          progressive = marker == 0xc2
+          // header fields bound-checked against the SEGMENT end before
+          // ANY read — a short segment must fail here, not read the next
+          // marker's bytes as dimensions (ADVICE r10; the DRI fix twin)
+          require(start + 6 <= end, "truncated SOF header")
           val precision = payload(start) & 0xff
           require(precision == 8,
             s"only 8-bit JPEG supported (precision=$precision)")
@@ -242,10 +287,13 @@ object Jpeg {
           require(width > 0, s"bad width $width")
           require(height > 0,
             "height 0 (DNL-deferred dimensions) not supported")
+          require(width.toLong * height <= maxPixels,
+            s"image larger than the $maxPixels-pixel decode cap: " +
+              s"${width}x$height")
           val nf = payload(start + 5) & 0xff
           require(nf == 1 || nf == 3,
             s"only grayscale/YCbCr JPEG supported ($nf components)")
-          require(start + 6 + 3 * nf <= end, "truncated SOF0")
+          require(start + 6 + 3 * nf <= end, "truncated SOF")
           comps = Array.tabulate(nf) { i =>
             val o = start + 6 + 3 * i
             val hv = payload(o + 1) & 0xff
@@ -257,11 +305,27 @@ object Jpeg {
           }
           if (nf == 1) require(comps(0).hi == 1 && comps(0).vi == 1,
             "subsampled single-component JPEG not supported")
-        case x if x == 0xc2 || (x >= 0xc1 && x <= 0xcf && x != 0xc4 &&
-            x != 0xc8 && x != 0xcc) =>
+          // geometry + coefficient allocation now — every scan (of either
+          // flavor) writes into these. The pixel cap above bounds the
+          // total: coefs ≤ 64 ints per 64 pixels per component.
+          hmax = comps.map(_.hi).max
+          vmax = comps.map(_.vi).max
+          mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+          comps.foreach { c =>
+            c.blocksW = mcusX * c.hi
+            c.blocksH = mcusY * c.vi
+            c.nbW = ((width * c.hi + hmax - 1) / hmax + 7) / 8
+            c.nbH = ((height * c.vi + vmax - 1) / vmax + 7) / 8
+            require(c.blocksW.toLong * c.blocksH * 64 <= Int.MaxValue,
+              s"image too large: ${width}x$height")
+            c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+          }
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+            x != 0xcc =>
           throw new IllegalArgumentException(f"unsupported JPEG SOF marker " +
-            f"0xff$x%02x (only baseline sequential SOF0 is supported — " +
-            "progressive/arithmetic/hierarchical/lossless all refuse)")
+            f"0xff$x%02x (baseline SOF0 and progressive SOF2 only — " +
+            "arithmetic/hierarchical/lossless all refuse)")
         case 0xdd => // DRI
           val (start, end) = segment()
           // be16 alone bounds-checks against the PAYLOAD; an empty DRI
@@ -269,33 +333,59 @@ object Jpeg {
           // interval and misattribute the failure far downstream
           require(start + 2 <= end, "truncated DRI segment")
           restartInterval = be16(start)
-        case 0xda => // SOS — decode the single interleaved scan
+        case 0xda => // SOS — one scan (baseline: the only one)
           val (start, end) = segment()
-          require(comps != null, "SOS before SOF0")
+          require(comps != null, "SOS before SOF")
+          require(start + 1 <= end, "truncated SOS header")
           val ns = payload(start) & 0xff
-          require(ns == comps.length,
-            s"only a single interleaved scan is supported " +
-              s"($ns of ${comps.length} components in SOS)")
+          require(ns >= 1 && ns <= comps.length,
+            s"bad SOS component count $ns (SOF has ${comps.length})")
           require(start + 1 + 2 * ns + 3 <= end, "truncated SOS header")
-          var i = 0
-          while (i < ns) {
+          val scanComps = Array.tabulate(ns) { i =>
             val cs = payload(start + 1 + 2 * i) & 0xff
             val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(s"SOS component $cs not in SOF"))
+              throw new IllegalArgumentException(
+                s"SOS component $cs not in SOF"))
             val tdta = payload(start + 2 + 2 * i) & 0xff
             c.td = tdta >> 4
             c.ta = tdta & 0x0f
-            i += 1
+            c
           }
           val ss = payload(start + 1 + 2 * ns) & 0xff
           val se = payload(start + 2 + 2 * ns) & 0xff
           val ahal = payload(start + 3 + 2 * ns) & 0xff
-          require(ss == 0 && se == 63 && ahal == 0,
-            s"non-baseline spectral selection Ss=$ss Se=$se AhAl=$ahal")
-          out = decodeScan(payload, pos, width, height, comps, qt,
-            dcTabs, acTabs, restartInterval)
-        case 0xd9 =>
-          throw new IllegalArgumentException("EOI before any image data")
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
+          if (!progressive) {
+            require(ns == comps.length,
+              s"only a single interleaved scan is supported in baseline " +
+                s"($ns of ${comps.length} components in SOS)")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              s"non-baseline spectral selection Ss=$ss Se=$se " +
+                s"AhAl=$ahal in a baseline stream")
+          } else {
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              s"bad successive approximation Ah=$ah Al=$al")
+            if (ss == 0)
+              require(se == 0, s"progressive DC scan must have Se=0 " +
+                s"(Ss=0 Se=$se)")
+            else {
+              require(se >= ss && se <= 63, s"bad spectral band " +
+                s"Ss=$ss Se=$se")
+              require(ns == 1,
+                "progressive AC scans must be non-interleaved")
+            }
+          }
+          pos = decodeScanInto(payload, pos, scanComps, ss, se, ah, al,
+            dcTabs, acTabs, restartInterval, mcusX, mcusY)
+          scansDecoded += 1
+          if (!progressive)
+            out = render(width, height, comps, qt, hmax, vmax)
+        case 0xd9 => // EOI
+          if (progressive && scansDecoded > 0)
+            out = render(width, height, comps, qt, hmax, vmax)
+          else throw new IllegalArgumentException(
+            "EOI before any image data")
         case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe =>
           segment() // APPn / COM — metadata, skipped
         case 0x01 => () // TEM — standalone, no segment body
@@ -307,145 +397,320 @@ object Jpeg {
     out
   }
 
-  /** Entropy-decode all MCUs of the interleaved scan, IDCT into per-
-    * component planes, then upsample + color-convert. */
-  private def decodeScan(payload: Array[Byte], scanStart: Int,
-                         width: Int, height: Int, comps: Array[Component],
-                         qt: Array[Array[Int]], dcTabs: Array[HuffTable],
-                         acTabs: Array[HuffTable],
-                         restartInterval: Int): JpegImage = {
-    val hmax = comps.map(_.hi).max
-    val vmax = comps.map(_.vi).max
-    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-    comps.foreach { c =>
-      require(qt(c.tq) != null, s"component ${c.id} references missing " +
-        s"quantization table ${c.tq}")
-      require(dcTabs(c.td) != null && acTabs(c.ta) != null,
-        s"component ${c.id} references missing Huffman table")
-      c.planeW = mcusX * 8 * c.hi
-      val planeH = mcusY * 8 * c.vi
-      require(c.planeW.toLong * planeH <= Int.MaxValue,
-        s"image too large: ${width}x$height")
-      c.plane = new Array[Byte](c.planeW * planeH)
-    }
+  /** Entropy-decode one scan into the components' coefficient arrays and
+    * return the byte position just past the scan's entropy data.
+    * Dispatches on (Ss, Se, Ah): baseline full-band, progressive DC
+    * first/refine, progressive AC first/refine (T.81 F.2 / G.2). MCU
+    * traversal: interleaved over the MCU grid when the scan carries >1
+    * component, non-interleaved raster over the component's own block
+    * grid when it carries 1 (T.81 A.2). */
+  private def decodeScanInto(payload: Array[Byte], scanStart: Int,
+                             scanComps: Array[Component],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             dcTabs: Array[HuffTable],
+                             acTabs: Array[HuffTable],
+                             restartInterval: Int,
+                             mcusX: Int, mcusY: Int): Int = {
+    // per-scan table presence: DC-first scans Huffman-decode with the DC
+    // table; any AC-coded scan (band or baseline full-band) with the AC
+    // table; DC REFINEMENT scans read raw bits only — no table needed
+    if (ss == 0 && ah == 0) scanComps.foreach(c =>
+      require(dcTabs(c.td) != null,
+        s"component ${c.id} references missing DC Huffman table ${c.td}"))
+    if (se > 0) scanComps.foreach(c =>
+      require(acTabs(c.ta) != null,
+        s"component ${c.id} references missing AC Huffman table ${c.ta}"))
     val br = new BitReader(payload, scanStart)
-    val pred = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
-    var mcu = 0
+    val pred = new Array[Int](scanComps.length)
+    var eobrun = 0
     var rstN = 0
-    val total = mcusX.toLong * mcusY
-    while (mcu < total) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+    val interleaved = scanComps.length > 1
+    val totalUnits: Long =
+      if (interleaved) mcusX.toLong * mcusY
+      else scanComps(0).nbW.toLong * scanComps(0).nbH
+    var unit = 0L
+    while (unit < totalUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
         br.expectRst(rstN)
         rstN = (rstN + 1) & 7
         java.util.Arrays.fill(pred, 0)
+        eobrun = 0
       }
-      val my = (mcu / mcusX).toInt
-      val mx = (mcu % mcusX).toInt
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val q = qt(c.tq)
-        var by = 0
-        while (by < c.vi) {
-          var bx = 0
-          while (bx < c.hi) {
-            // ---- one 8x8 block (T.81 F.2.1.2 / F.2.2.2) ----
-            java.util.Arrays.fill(coef, 0)
-            val t = dcTabs(c.td).decode(br)
-            require(t <= 11, s"bad DC category $t")
-            pred(ci) += extend(br.bits(t), t)
-            coef(0) = pred(ci) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = acTabs(c.ta).decode(br)
-              val r = rs >> 4
-              val s = rs & 0x0f
-              if (s == 0) {
-                if (r == 15) {
-                  k += 16 // ZRL: 16 zeros
-                  // k == 64 (zeros filling exactly to coefficient 63) is
-                  // accepted — libjpeg-legal; past that the zeros overflow
-                  // the block: corrupt, and loud like the literal branch
-                  require(k <= 64, "ZRL past end of block")
-                } else eob = true    // EOB
-              } else {
-                k += r
-                require(k < 64, "AC run past end of block")
-                require(s <= 10, s"bad AC size $s")
-                coef(Zigzag(k)) = extend(br.bits(s), s) * q(Zigzag(k))
-                k += 1
-              }
+      if (interleaved) {
+        val my = (unit / mcusX).toInt
+        val mx = (unit % mcusX).toInt
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.vi) {
+            var bx = 0
+            while (bx < c.hi) {
+              val base =
+                ((my * c.vi + by) * c.blocksW + (mx * c.hi + bx)) * 64
+              eobrun = decodeBlock(br, c, base, ci, pred, ss, se, ah, al,
+                eobrun, dcTabs, acTabs)
+              bx += 1
             }
-            // ---- IDCT (separable, double precision) + level shift ----
-            var y = 0
-            while (y < 8) { // rows: tmp(y,x) = sum_u coef(y,u)·basis(x,u)
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var u = 0
-                while (u < 8) {
-                  acc += coef(y * 8 + u) * Cos(x)(u)
-                  u += 1
-                }
-                tmp(y * 8 + x) = acc
-                x += 1
-              }
-              y += 1
-            }
-            val px = (mx * c.hi + bx) * 8
-            val py = (my * c.vi + by) * 8
-            var x = 0
-            while (x < 8) { // cols, then clamp into the plane
-              var yy = 0
-              while (yy < 8) {
-                var acc = 0.0
-                var v = 0
-                while (v < 8) {
-                  acc += tmp(v * 8 + x) * Cos(yy)(v)
-                  v += 1
-                }
-                val s = math.round(acc + 128).toInt
-                c.plane((py + yy) * c.planeW + px + x) =
-                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
-                yy += 1
-              }
-              x += 1
-            }
-            bx += 1
+            by += 1
           }
-          by += 1
+          ci += 1
         }
-        ci += 1
+      } else {
+        val c = scanComps(0)
+        val by = (unit / c.nbW).toInt
+        val bx = (unit % c.nbW).toInt
+        val base = (by * c.blocksW + bx) * 64
+        eobrun = decodeBlock(br, c, base, 0, pred, ss, se, ah, al,
+          eobrun, dcTabs, acTabs)
       }
-      mcu += 1
+      unit += 1
     }
-    // ---- upsample (nearest-neighbor replication) + color convert ----
+    br.pos
+  }
+
+  /** Decode one 8×8 block's contribution for the current scan into
+    * `c.coefs(base..base+63)` (zigzag order, raw values). Returns the
+    * updated EOB-run count (blocks REMAINING after this one — 0 outside
+    * progressive AC scans). */
+  private def decodeBlock(br: BitReader, c: Component, base: Int, ci: Int,
+                          pred: Array[Int], ss: Int, se: Int,
+                          ah: Int, al: Int, eobrunIn: Int,
+                          dcTabs: Array[HuffTable],
+                          acTabs: Array[HuffTable]): Int = {
+    var eobrun = eobrunIn
+    if (ss == 0) {
+      if (ah == 0) { // DC first pass (T.81 F.2.2.1 / G.2.1): cumulative
+        // prediction, point transform by Al
+        val t = dcTabs(c.td).decode(br)
+        require(t <= 11, s"bad DC category $t")
+        pred(ci) += extend(br.bits(t), t)
+        c.coefs(base) = pred(ci) << al
+      } else { // DC refinement: one raw bit appends bit Al
+        if (br.bit() == 1) c.coefs(base) |= (1 << al)
+      }
+    }
+    if (se == 63 && ss == 0) { // baseline full-band AC (F.2.2.2)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = acTabs(c.ta).decode(br)
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) {
+            k += 16 // ZRL: 16 zeros
+            // k == 64 (zeros filling exactly to coefficient 63) is
+            // accepted — libjpeg-legal; past that the zeros overflow
+            // the block: corrupt, and loud like the literal branch
+            require(k <= 64, "ZRL past end of block")
+          } else eob = true // EOB
+        } else {
+          k += r
+          require(k < 64, "AC run past end of block")
+          require(s <= 10, s"bad AC size $s")
+          c.coefs(base + k) = extend(br.bits(s), s)
+          k += 1
+        }
+      }
+    } else if (ss > 0) {
+      eobrun =
+        if (ah == 0) acFirst(br, c.coefs, base, ss, se, al, eobrun,
+          acTabs(c.ta))
+        else acRefine(br, c.coefs, base, ss, se, al, eobrun, acTabs(c.ta))
+    }
+    eobrun
+  }
+
+  /** Progressive AC first pass over band [ss, se] (T.81 G.2.2): run/size
+    * coding like baseline but band-bounded, values point-transformed by
+    * Al, plus EOBn run coding — an EOBn symbol (r < 15, s = 0) ends this
+    * block and declares the next (1<<r)−1+bits(r) blocks' bands all-zero. */
+  private def acFirst(br: BitReader, coefs: Array[Int], base: Int,
+                      ss: Int, se: Int, al: Int, eobrunIn: Int,
+                      ac: HuffTable): Int = {
+    var eobrun = eobrunIn
+    if (eobrun > 0) { eobrun -= 1; return eobrun } // block inside a run
+    var k = ss
+    while (k <= se) {
+      val rs = ac.decode(br)
+      val r = rs >> 4
+      val s = rs & 0x0f
+      if (s == 0) {
+        if (r < 15) { // EOBn
+          eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+          k = se + 1
+        } else { // ZRL
+          k += 16
+          require(k <= se + 1, "ZRL past end of band")
+        }
+      } else {
+        k += r
+        require(k <= se, "AC run past end of band")
+        require(s <= 10, s"bad AC size $s")
+        coefs(base + k) = extend(br.bits(s), s) << al
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** Progressive AC refinement pass over band [ss, se] (T.81 G.2.2
+    * successive approximation): newly-nonzero coefficients arrive as
+    * ±(1<<Al) (size must be 1); every already-nonzero coefficient crossed
+    * carries one correction bit (set → magnitude grows by 1<<Al); EOBn
+    * switches the rest of the band (and the next run of blocks) to
+    * correction-only. The two's-complement bit test `(c & p1) == 0` is
+    * exact because every value at this stage is a multiple of 1<<Al. */
+  private def acRefine(br: BitReader, coefs: Array[Int], base: Int,
+                       ss: Int, se: Int, al: Int, eobrunIn: Int,
+                       ac: HuffTable): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    var endBand = false // did this block enter an EOB region?
+    def correct(idx: Int): Unit = {
+      val c0 = coefs(idx)
+      if (br.bit() == 1 && (c0 & p1) == 0)
+        coefs(idx) = if (c0 >= 0) c0 + p1 else c0 + m1
+    }
+    if (eobrun > 0) {
+      eobrun -= 1
+      endBand = true
+    } else {
+      var inBand = true
+      while (inBand && k <= se) {
+        val rs = ac.decode(br)
+        var r = rs >> 4
+        val s = rs & 0x0f
+        var newVal = 0
+        if (s == 0) {
+          if (r < 15) { // EOBn: run covers blocks AFTER this one
+            eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+            inBand = false
+            endBand = true
+          }
+          // r == 15 (ZRL): skip 16 zero-history coefficients below
+        } else {
+          require(s == 1, s"AC refinement size $s (must be 1)")
+          newVal = if (br.bit() == 1) p1 else m1
+        }
+        if (inBand) {
+          var placed = false
+          while (!placed && k <= se) {
+            if (coefs(base + k) != 0) correct(base + k)
+            else {
+              if (r == 0) {
+                if (s != 0) coefs(base + k) = newVal
+                placed = true
+              }
+              r -= 1
+            }
+            k += 1
+          }
+          require(placed || s == 0, "AC refinement run past end of band")
+        }
+      }
+    }
+    if (endBand) { // correction-only tail of this block's band
+      while (k <= se) {
+        if (coefs(base + k) != 0) correct(base + k)
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** Render accumulated coefficients: dequantize + IDCT every block of
+    * every component into sample planes, then upsample (nearest-neighbor
+    * replication) + color-convert. */
+  private def render(width: Int, height: Int, comps: Array[Component],
+                     qt: Array[Array[Int]], hmax: Int,
+                     vmax: Int): JpegImage = {
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val planes = comps.map { c =>
+      require(qt(c.tq) != null, s"component ${c.id} references missing " +
+        s"quantization table ${c.tq}")
+      val q = qt(c.tq)
+      val planeW = c.blocksW * 8
+      val plane = new Array[Byte](planeW * c.blocksH * 8)
+      var blk = 0
+      val nBlocks = c.blocksW * c.blocksH
+      while (blk < nBlocks) {
+        val base = blk * 64
+        var k = 0
+        while (k < 64) { // zigzag raw → natural dequantized
+          val nat = Zigzag(k)
+          coef(nat) = c.coefs(base + k) * q(nat)
+          k += 1
+        }
+        // ---- IDCT (separable, double precision) + level shift ----
+        var y = 0
+        while (y < 8) { // rows: tmp(y,x) = sum_u coef(y,u)·basis(x,u)
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) {
+              acc += coef(y * 8 + u) * Cos(x)(u)
+              u += 1
+            }
+            tmp(y * 8 + x) = acc
+            x += 1
+          }
+          y += 1
+        }
+        val px = (blk % c.blocksW) * 8
+        val py = (blk / c.blocksW) * 8
+        var x = 0
+        while (x < 8) { // cols, then clamp into the plane
+          var yy = 0
+          while (yy < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) {
+              acc += tmp(v * 8 + x) * Cos(yy)(v)
+              v += 1
+            }
+            val s = math.round(acc + 128).toInt
+            plane((py + yy) * planeW + px + x) =
+              (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+            yy += 1
+          }
+          x += 1
+        }
+        blk += 1
+      }
+      plane
+    }
     if (comps.length == 1) {
-      val c = comps(0)
+      val planeW = comps(0).blocksW * 8
       val pix = new Array[Byte](width * height)
       var y = 0
       while (y < height) {
-        System.arraycopy(c.plane, y * c.planeW, pix, y * width, width)
+        System.arraycopy(planes(0), y * planeW, pix, y * width, width)
         y += 1
       }
       JpegImage(width, height, 1, pix)
     } else {
       val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val wY = cy.blocksW * 8; val wB = cb.blocksW * 8; val wR = cr.blocksW * 8
+      // Long-checked INCLUDING the ×channels factor: dims near the cap
+      // must fail this check, not wrap through Int in the * 3 (ADVICE r10)
+      require(width.toLong * height * 3 <= Int.MaxValue,
+        s"decoded image too large: ${width}x${height}x3")
       val pix = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val lum = cy.plane(
-            (y * cy.vi / vmax) * cy.planeW + x * cy.hi / hmax) & 0xff
-          val b1 = (cb.plane(
-            (y * cb.vi / vmax) * cb.planeW + x * cb.hi / hmax) & 0xff) - 128
-          val r1 = (cr.plane(
-            (y * cr.vi / vmax) * cr.planeW + x * cr.hi / hmax) & 0xff) - 128
+          val lum = planes(0)((y * cy.vi / vmax) * wY + x * cy.hi / hmax) & 0xff
+          val b1 = (planes(1)(
+            (y * cb.vi / vmax) * wB + x * cb.hi / hmax) & 0xff) - 128
+          val r1 = (planes(2)(
+            (y * cr.vi / vmax) * wR + x * cr.hi / hmax) & 0xff) - 128
           val o = (y * width + x) * 3
           pix(o) = clamp8(math.round(lum + 1.402 * r1).toInt)
           pix(o + 1) = clamp8(math.round(
@@ -500,6 +765,16 @@ object Jpeg {
     Array(0x00, 0xf0) ++
       (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
   private val AcCode: Map[Int, Int] = AcVals.zipWithIndex.toMap
+
+  /** Progressive AC symbol set = the baseline 162 plus the 14 EOBn
+    * symbols 0x10..0xE0 (T.81 G.1.2.2 — EOB run-length categories 1–14);
+    * all 176 at 8 bits, still a legal canonical code. */
+  private val ProgAcVals: Array[Int] =
+    Array(0x00, 0xf0) ++ (1 to 14).map(_ << 4) ++
+      (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
+  private val ProgAcBits =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcCode: Map[Int, Int] = ProgAcVals.zipWithIndex.toMap
 
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
@@ -599,20 +874,35 @@ object Jpeg {
   def syntheticJpeg(seed: Long, w: Int = 16, h: Int = 16, channels: Int = 3,
                     subsample: Boolean = false,
                     restartEvery: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-    require(channels == 1 || channels == 3, s"channels must be 1/3: $channels")
-    require(restartEvery >= 0, s"bad restart interval $restartEvery")
-    val px = Array.tabulate(w * h * channels)(i =>
-      ((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L, i % 61) >>>
-        (i % 7)) & 0xff).toInt)
-    encode(px, w, h, channels, subsample && channels == 3, restartEvery)
+    encode(seedPixels(seed, w, h, channels), w, h, channels,
+      subsample && channels == 3, restartEvery)
   }
 
-  /** Assemble the full stream from interleaved 0-255 samples. */
-  private[graft] def encode(px: Array[Int], w: Int, h: Int, channels: Int,
-                            subsample: Boolean,
-                            restartEvery: Int): Array[Byte] = {
-    // component planes (level-shifted doubles)
+  /** Deterministic VALID progressive JPEG over the same pixel law as
+    * [[syntheticJpeg]] — seed-for-seed the two containers hold the SAME
+    * image, so specs can assert baseline-vs-progressive decode parity. */
+  def syntheticProgressiveJpeg(seed: Long, w: Int = 16, h: Int = 16,
+                               channels: Int = 3,
+                               subsample: Boolean = false): Array[Byte] =
+    encodeProgressive(seedPixels(seed, w, h, channels), w, h, channels,
+      subsample && channels == 3)
+
+  private def seedPixels(seed: Long, w: Int, h: Int,
+                         channels: Int): Array[Int] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(channels == 1 || channels == 3, s"channels must be 1/3: $channels")
+    Array.tabulate(w * h * channels)(i =>
+      ((java.lang.Long.rotateLeft(seed * 0x9e3779b97f4a7c15L, i % 61) >>>
+        (i % 7)) & 0xff).toInt)
+  }
+
+  /** Shared encoder front half: interleaved 0-255 samples → level-shifted
+    * component planes + per-component geometry. Returns (planes, compW,
+    * compH, hi, vi, q). */
+  private def preparePlanes(px: Array[Int], w: Int, h: Int, channels: Int,
+                            subsample: Boolean):
+      (Array[Array[Double]], Array[Int], Array[Int], Array[Int],
+        Array[Int], Array[Int]) = {
     val hY = if (subsample) 2 else 1
     val planes: Array[Array[Double]] =
       if (channels == 1) Array(Array.tabulate(w * h)(i => px(i) - 128.0))
@@ -657,12 +947,46 @@ object Jpeg {
     val hi = Array.tabulate(planes.length)(i => if (i == 0) hY else 1)
     val vi = hi.clone()
     val q = Array.tabulate(planes.length)(i => if (i == 0) QLuma else QChroma)
+    (planes, compW, compH, hi, vi, q)
+  }
+
+  /** Edge-replicated FDCT+quant of the block at block coords (bx, by) of
+    * component `ci`. */
+  private def blockAt(planes: Array[Array[Double]], compW: Array[Int],
+                      compH: Array[Int], q: Array[Int], ci: Int,
+                      bx: Int, by: Int): Array[Int] = {
+    val block = new Array[Double](64)
+    val px0 = bx * 8
+    val py0 = by * 8
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val sx = math.min(px0 + xx, compW(ci) - 1)
+        val sy = math.min(py0 + yy, compH(ci) - 1)
+        block(yy * 8 + xx) = planes(ci)(sy * compW(ci) + sx)
+        xx += 1
+      }
+      yy += 1
+    }
+    fdctQuant(block, q(ci))
+  }
+
+  /** Assemble the full BASELINE stream from interleaved 0-255 samples. */
+  private[graft] def encode(px: Array[Int], w: Int, h: Int, channels: Int,
+                            subsample: Boolean,
+                            restartEvery: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(channels == 1 || channels == 3, s"channels must be 1/3: $channels")
+    require(restartEvery >= 0, s"bad restart interval $restartEvery")
+    val (planes, compW, compH, hi, vi, q) =
+      preparePlanes(px, w, h, channels, subsample)
 
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def seg(marker: Int, body: Array[Int]): Unit = {
-      u8(0xff); u8(marker); u16(body.length + 2); body.foreach(u8)
+      u8(0xff); u8(marker); u8((body.length + 2) >> 8); u8(body.length + 2)
+      body.foreach(u8)
     }
     u8(0xff); u8(0xd8) // SOI
     // DQT: both tables in one segment (multi-table parsing is part of the
@@ -689,7 +1013,6 @@ object Jpeg {
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val bw = new BitWriter(out)
     val pred = new Array[Int](planes.length)
-    val block = new Array[Double](64)
     var mcu = 0
     var rstN = 0
     while (mcu < mcusX * mcusY) {
@@ -706,20 +1029,9 @@ object Jpeg {
         while (by < vi(ci)) {
           var bx = 0
           while (bx < hi(ci)) {
-            val px0 = (mx * hi(ci) + bx) * 8
-            val py0 = (my * vi(ci) + by) * 8
-            var yy = 0
-            while (yy < 8) { // edge-replicated block fill
-              var xx = 0
-              while (xx < 8) {
-                val sx = math.min(px0 + xx, compW(ci) - 1)
-                val sy = math.min(py0 + yy, compH(ci) - 1)
-                block(yy * 8 + xx) = planes(ci)(sy * compW(ci) + sx)
-                xx += 1
-              }
-              yy += 1
-            }
-            pred(ci) = encodeBlock(bw, fdctQuant(block, q(ci)), pred(ci))
+            pred(ci) = encodeBlock(bw,
+              blockAt(planes, compW, compH, q, ci,
+                mx * hi(ci) + bx, my * vi(ci) + by), pred(ci))
             bx += 1
           }
           by += 1
@@ -729,6 +1041,144 @@ object Jpeg {
       mcu += 1
     }
     bw.flush()
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Assemble a full PROGRESSIVE (SOF2) stream from interleaved 0-255
+    * samples: one interleaved DC scan (Ss=0 Se=0) then per-component
+    * banded AC scans (spectral selection, Ah=Al=0) with REAL EOB-run
+    * coding — fully-zero bands coalesce into EOBn runs, exactly the
+    * symbol class progressive decoders must handle. Successive-
+    * approximation streams come from JDK ImageIO in the cross-fuzz (its
+    * progressive writer uses the standard Ah/Al scan script), so both
+    * progressive dimensions are exercised between the two generators. */
+  private[graft] def encodeProgressive(px: Array[Int], w: Int, h: Int,
+                                       channels: Int, subsample: Boolean,
+                                       bands: Seq[(Int, Int)] =
+                                         Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(channels == 1 || channels == 3, s"channels must be 1/3: $channels")
+    require(bands.nonEmpty && bands.head._1 == 1 &&
+      bands.last._2 == 63 &&
+      bands.sliding(2).forall(p => p.length < 2 || p(1)._1 == p(0)._2 + 1) &&
+      bands.forall(b => b._1 <= b._2),
+      s"bands must tile [1, 63] contiguously: $bands")
+    val (planes, compW, compH, hi, vi, q) =
+      preparePlanes(px, w, h, channels, subsample)
+    val hmax = hi.max; val vmax = vi.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      u8(0xff); u8(marker); u8((body.length + 2) >> 8); u8(body.length + 2)
+      body.foreach(u8)
+    }
+    u8(0xff); u8(0xd8) // SOI
+    val nQt = if (channels == 1) 1 else 2
+    seg(0xdb, (0 until nQt).toArray.flatMap { t =>
+      Array(t) ++ Array.tabulate(64)(k => if (t == 0) QLuma else QChroma)
+    })
+    // SOF2
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, planes.length) ++
+      (0 until planes.length).flatMap(i =>
+        Array(i + 1, (hi(i) << 4) | vi(i), if (i == 0) 0 else 1)).toArray)
+    // DHT: DC table + the progressive AC table (with EOBn symbols)
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals ++
+      Array(0x10) ++ ProgAcBits ++ ProgAcVals)
+
+    // ---- scan 1: interleaved DC, all components ----
+    seg(0xda, Array(planes.length) ++
+      (0 until planes.length).flatMap(i => Array(i + 1, 0)).toArray ++
+      Array(0, 0, 0))
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](planes.length)
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var ci = 0
+      while (ci < planes.length) {
+        var by = 0
+        while (by < vi(ci)) {
+          var bx = 0
+          while (bx < hi(ci)) {
+            val dc = blockAt(planes, compW, compH, q, ci,
+              mx * hi(ci) + bx, my * vi(ci) + by)(0)
+            val (cat, bitsV) = magnitudeBits(dc - pred(ci))
+            require(cat <= 11, s"DC difference category $cat out of range")
+            bw.put(cat, 4)
+            if (cat > 0) bw.put(bitsV, cat)
+            pred(ci) = dc
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+
+    // ---- AC scans: per component, per band, non-interleaved ----
+    var ci = 0
+    while (ci < planes.length) {
+      val nbW = ((w * hi(ci) + hmax - 1) / hmax + 7) / 8
+      val nbH = ((h * vi(ci) + vmax - 1) / vmax + 7) / 8
+      bands.foreach { case (ss, se) =>
+        seg(0xda, Array(1, ci + 1, 0, ss, se, 0))
+        val bwS = new BitWriter(out)
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          // encode a run of `eobrun` all-zero-band blocks as EOBn: the
+          // decoder computes (1<<r)−1+bits(r) FURTHER blocks after the
+          // one the symbol terminates, so n blocks → r=⌊log2 n⌋,
+          // extra = n − 2^r
+          val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bwS.put(ProgAcCode(r << 4), 8)
+          if (r > 0) bwS.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        var blk = 0
+        while (blk < nbW * nbH) {
+          val coefNat = blockAt(planes, compW, compH, q, ci,
+            blk % nbW, blk / nbW)
+          var hasContent = false
+          var k = ss
+          while (k <= se && !hasContent) {
+            if (coefNat(Zigzag(k)) != 0) hasContent = true
+            k += 1
+          }
+          if (!hasContent) {
+            eobrun += 1
+            if (eobrun == 32767) flushEob() // EOB14 ceiling (G.1.2.2)
+          } else {
+            flushEob()
+            var run = 0
+            k = ss
+            while (k <= se) {
+              val v = coefNat(Zigzag(k))
+              if (v == 0) run += 1
+              else {
+                while (run >= 16) { bwS.put(ProgAcCode(0xf0), 8); run -= 16 }
+                val (s, b) = magnitudeBits(v)
+                require(s <= 10, s"AC magnitude category $s out of range")
+                bwS.put(ProgAcCode((run << 4) | s), 8)
+                bwS.put(b, s)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) bwS.put(ProgAcCode(0x00), 8) // plain EOB
+          }
+          blk += 1
+        }
+        flushEob()
+        bwS.flush()
+      }
+      ci += 1
+    }
     u8(0xff); u8(0xd9) // EOI
     out.toByteArray
   }

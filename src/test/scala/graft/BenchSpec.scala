@@ -24,6 +24,10 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.adjudicate(fresh, Map.empty) shouldBe empty
   }
 
+  // deterministic CPU stub: unreadable snapshots → extCpu −1.0, so row
+  // equality assertions don't depend on the test machine's /proc
+  private val noCpu: () => Bench.CpuStat = () => Bench.CpuStat(-1, -1, -1)
+
   test("retestOutliers: a flagged entry slowed on pass 1 but clean on the " +
     "idle-queue retest is exonerated as environment; a genuinely slow one " +
     "stays a regression only after a second post-cooldown exceedance") {
@@ -31,13 +35,17 @@ class BenchSpec extends AnyFunSuite with Matchers {
     // 1.818 s under driver load, then 2.4–2.6 s steady-state at the judge
     val flagged = Seq(("q_env", 7.43, 1.818), ("q_real", 9.0, 2.0))
     val idleQueue = Map("q_env" -> 2.5, "q_real" -> 8.7)
-    val out = Bench.retestOutliers(flagged, idleQueue, load = () => 0.5)
+    val out = Bench.retestOutliers(flagged, idleQueue, load = () => 0.5,
+      cpu = noCpu)
     out(0) shouldBe Bench.OutlierRow(
-      "q_env", 7.43, 1.818, 2.5, 0.5, None, None, "environment") // ≤ 1.5 × 1.818
+      "q_env", 7.43, 1.818, 2.5, 0.5, -1.0, None, None, None,
+      "environment", 1) // ≤ 1.5 × 1.818
     // q_real exceeded on BOTH retests (the map returns 8.7 each time) —
-    // only then does regression stand, and the second retest is recorded
+    // only then does regression stand, and the second retest is recorded;
+    // a regression carries NO environment streak
     out(1) shouldBe Bench.OutlierRow(
-      "q_real", 9.0, 2.0, 8.7, 0.5, Some(8.7), Some(0.5), "regression")
+      "q_real", 9.0, 2.0, 8.7, 0.5, -1.0, Some(8.7), Some(0.5), Some(-1.0),
+      "regression", 0)
     // the verdict threshold is the SAME factor that flagged the sample —
     // a retest that would not have been flagged closes the case
     Bench.retestOutliers(Seq(("q_a", 5.0, 1.0)), _ => 1.5)
@@ -60,15 +68,86 @@ class BenchSpec extends AnyFunSuite with Matchers {
     val loads = Iterator(4.2, 0.3) // busy at retest 1, idle at retest 2
     val out = Bench.retestOutliers(
       Seq(("q_apply_delta", 0.734, 0.471)), measure,
-      load = () => loads.next(), cooldown = () => cooldowns += 1)
+      load = () => loads.next(), cooldown = () => cooldowns += 1,
+      cpu = noCpu)
     out.head shouldBe Bench.OutlierRow(
-      "q_apply_delta", 0.734, 0.471, 1.062, 4.2, Some(0.60), Some(0.3),
-      "environment")
+      "q_apply_delta", 0.734, 0.471, 1.062, 4.2, -1.0, Some(0.60),
+      Some(0.3), Some(-1.0), "environment", 1)
     cooldowns shouldBe 1
     // an in-envelope first retest never pays the cooldown
     Bench.retestOutliers(Seq(("q_x", 3.0, 2.0)), _ => 2.0,
       cooldown = () => fail("cooldown must not run for a clean retest"))
       .head.verdict shouldBe "environment"
+  }
+
+  test("externalCpuFrac: other-process CPU over a snapshot window, " +
+    "self-excluded and clamped; unreadable or empty windows read −1") {
+    import Bench.{CpuStat, externalCpuFrac}
+    // 1000-jiffy window, 600 busy of which 400 were this process → 20%
+    externalCpuFrac(CpuStat(10000, 2000, 500),
+      CpuStat(11000, 2600, 900)) shouldBe 0.2 +- 1e-9
+    // an entirely-self window reads 0 — the idle-retest signature
+    externalCpuFrac(CpuStat(10000, 2000, 500),
+      CpuStat(11000, 2500, 1000)) shouldBe 0.0
+    // self jiffies above measured busy (tick racing) clamps at 0, not −
+    externalCpuFrac(CpuStat(10000, 2000, 500),
+      CpuStat(11000, 2400, 1000)) shouldBe 0.0
+    // unreadable snapshot / empty window → −1 (never a fake all-clear)
+    externalCpuFrac(CpuStat(-1, -1, -1), CpuStat(11000, 2600, 900)) shouldBe -1.0
+    externalCpuFrac(CpuStat(10000, 2000, 500), CpuStat(-1, -1, -1)) shouldBe -1.0
+    externalCpuFrac(CpuStat(10000, 2000, 500),
+      CpuStat(10000, 2000, 500)) shouldBe -1.0
+  }
+
+  test("readCpuStat: on this platform, monotone totals and a window that " +
+    "externalCpuFrac accepts") {
+    val a = Bench.readCpuStat()
+    a.total should be > 0L // /proc exists on the target platform
+    a.busy should (be >= 0L and be <= a.total)
+    a.self should be >= 0L
+    // burn a little CPU so the window is non-empty
+    var x = 0L
+    (1 to 20000000).foreach(i => x += i)
+    x should be > 0L
+    val b = Bench.readCpuStat()
+    b.total should be >= a.total
+    val f = Bench.externalCpuFrac(a, b)
+    if (b.total > a.total) f should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("envStreak: counts consecutive environment verdicts newest-first; " +
+    "an in-envelope round (absent) or a regression breaks it; " +
+    "retestOutliers threads priors through (ADVICE r10 escalation)") {
+    import Bench.envStreak
+    val priors = Seq( // newest first
+      Map("q_a" -> "environment", "q_b" -> "environment"),
+      Map("q_a" -> "environment", "q_b" -> "regression"),
+      Map("q_a" -> "environment"))
+    envStreak("q_a", priors) shouldBe 3
+    envStreak("q_b", priors) shouldBe 1 // regression in round −2 breaks it
+    envStreak("q_c", priors) shouldBe 0 // never flagged
+    envStreak("q_a", Seq.empty) shouldBe 0
+    // absence (in-envelope round) breaks the streak
+    envStreak("q_a", Map.empty[String, String] +: priors) shouldBe 0
+    // a current-run exoneration reports priors + 1: the 4th consecutive
+    // environment verdict is visibly a streak, not a fresh incident
+    val row = Bench.retestOutliers(Seq(("q_a", 5.0, 1.0)), _ => 1.0,
+      cpu = noCpu, priorStreak = n => envStreak(n, priors)).head
+    row.verdict shouldBe "environment"
+    row.envStreak shouldBe 4
+  }
+
+  test("loadPriorVerdicts: reads committed BENCH_r*.json newest first; " +
+    "missing dir degrades to empty") {
+    val priors = Bench.loadPriorVerdicts()
+    priors.size should be >= 10 // BENCH_r01..r10 are committed
+    // at least one committed artifact carries parseable verdicts (r10's
+    // load-6 driver run alone had 46 outliers, 3 in its headline), and
+    // every parsed verdict is one of the two defined strings
+    val verdicts = priors.flatMap(_.values)
+    verdicts should not be empty
+    verdicts.toSet.diff(Set("environment", "regression")) shouldBe empty
+    Bench.loadPriorVerdicts("/nonexistent") shouldBe empty
   }
 
   test("systemLoad: reads a non-negative 1-minute load on this platform") {

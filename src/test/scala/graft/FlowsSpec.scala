@@ -58,6 +58,86 @@ class FlowsSpec extends SparkSpec {
     targets shouldBe Array("2024-01-02", "2024-01-03")
   }
 
+  test("E3 resolveBackfillRange: explicit start wins; else high-watermark " +
+    "+ 1 day; else the default (NEW r11)") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val df = Seq(t(3), t(15), t(9)).map(Tuple1(_)).toDF("ts")
+    Flows.resolveBackfillRange(df, col("ts"), Some("2024-01-02"),
+      "2024-02-01", "2023-06-01") shouldBe ("2024-01-02", "2024-02-01")
+    Flows.resolveBackfillRange(df, col("ts"), None,
+      "2024-02-01", "2023-06-01") shouldBe ("2024-01-16", "2024-02-01")
+    val empty = df.filter(lit(false))
+    Flows.resolveBackfillRange(empty, col("ts"), None,
+      "2024-02-01", "2023-06-01") shouldBe ("2023-06-01", "2024-02-01")
+  }
+
+  test("E3 monthlyBackfillTargets: fetch-target days carry their " +
+    "split_by_month chunk, clipped to the window at both ends (NEW r11)") {
+    def t(d: String, h: Int) = Timestamp.valueOf(f"$d $h%02d:00:00")
+    // Jan 30 complete (2 h), Jan 31 incomplete (1 h), Feb+Mar absent
+    val df = Seq(t("2024-01-30", 0), t("2024-01-30", 1), t("2024-01-31", 5))
+      .map(Tuple1(_)).toDF("ts")
+    val rows = Flows.monthlyBackfillTargets(df, col("ts"),
+        "2024-01-30", "2024-03-02", requiredHours = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString,
+        r.getDate(2).toString))
+    // 1 incomplete Jan day + 29 missing Feb days (leap year) + 2 Mar days
+    rows.length shouldBe 32
+    // Jan chunk clips its START to the window's `from`
+    rows.head shouldBe (("2024-01-31", "2024-01-30", "2024-01-31"))
+    // a full interior month is its own calendar chunk
+    rows(1) shouldBe (("2024-02-01", "2024-02-01", "2024-02-29"))
+    rows(15) shouldBe (("2024-02-15", "2024-02-01", "2024-02-29"))
+    // the final chunk clips its END to the window's `to`
+    rows.last shouldBe (("2024-03-02", "2024-03-01", "2024-03-02"))
+    rows(30) shouldBe (("2024-03-01", "2024-03-01", "2024-03-02"))
+  }
+
+  test("E3 monthlyBackfillFlow: refetches exactly the month chunks, lands " +
+    "through melt + S13, re-run is idempotent, up-to-date table no-ops") {
+    val sink = Files.createTempDirectory("graft_e3_").toString + "/pv"
+    def t(d: String, h: Int) = Timestamp.valueOf(f"$d $h%02d:00:00")
+    // existing: only Jan 30 complete — window Jan 30 .. Feb 2 with 2
+    // required hours ⇒ targets Jan 31 (chunk Jan 30–31), Feb 1–2
+    val existing = Seq(t("2024-01-30", 0), t("2024-01-30", 1))
+      .map(Tuple1(_)).toDF("ts")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def refetch(s: String, e: String) = {
+      calls += ((s, e))
+      val days = Iterator.iterate(java.time.LocalDate.parse(s))(_.plusDays(1))
+        .takeWhile(!_.isAfter(java.time.LocalDate.parse(e))).toSeq
+      days.map(d => (d.toString, "plantA", 1.0, 2.0))
+        .toDF("ymd", "plant", "h01", "h02")
+    }
+    val out = Flows.monthlyBackfillFlow(existing, col("ts"),
+      "2024-01-30", "2024-02-02", refetch, "ymd", "plant",
+      Seq("h01", "h02"), sink, requiredHours = 2)
+    calls.toSeq shouldBe Seq(("2024-01-30", "2024-01-31"),
+      ("2024-02-01", "2024-02-02"))
+    out.count() shouldBe 8 // (2 + 2 days) × 2 hours
+    spark.read.parquet(sink).count() shouldBe 8
+    // idempotent: the same backfill twice overwrites the same date
+    // partitions — content identical, no duplication
+    calls.clear()
+    Flows.monthlyBackfillFlow(existing, col("ts"), "2024-01-30",
+      "2024-02-02", refetch, "ymd", "plant", Seq("h01", "h02"), sink,
+      requiredHours = 2)
+    calls.size shouldBe 2
+    val read = spark.read.parquet(sink)
+    read.count() shouldBe 8
+    read.agg(sum(col("generation"))).head().getDouble(0) shouldBe 12.0
+    // an up-to-date window refetches nothing and returns the empty E1
+    // schema (plant, ts, generation)
+    calls.clear()
+    val none = Flows.monthlyBackfillFlow(existing, col("ts"),
+      "2024-01-30", "2024-01-30", refetch, "ymd", "plant",
+      Seq("h01", "h02"), sink, requiredHours = 2)
+    calls shouldBe empty
+    none.count() shouldBe 0L
+    none.columns.toSeq shouldBe Seq("plant", "ts", "generation")
+  }
+
   test("imputeAll routes short gaps to spline, long gaps to historical") {
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     val df = (Seq(Some(1.0), Some(2.0), None, Some(4.0), Some(5.0)) ++ // short gap

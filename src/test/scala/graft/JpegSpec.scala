@@ -393,17 +393,27 @@ class JpegSpec extends AnyFunSuite with Matchers {
 
   // ---- 3. loud failures ----
 
-  test("jpegImage loud failures: progressive, 16-bit DQT, truncation, " +
-    "garbage, EOI-first, marker in entropy data") {
+  test("jpegImage loud failures: extended-sequential SOF, 16-bit DQT, " +
+    "truncation, garbage, EOI-first, marker in entropy data") {
     val good = grayDcOnly(2, 1, 16, Seq(8, -8))
-    // SOF0 → SOF2 (progressive): find the FFC0 marker and flip it
-    val prog = good.clone()
-    val sofPos = prog.indices.find(i =>
-      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sofPos + 1) = 0xc2.toByte
+    // SOF0 → SOF1 (extended sequential — outside the supported set; SOF2
+    // progressive DECODES since r11, so it is no longer the refusal probe)
+    val ext = good.clone()
+    val sofPos = ext.indices.find(i =>
+      (ext(i) & 0xff) == 0xff && (ext(i + 1) & 0xff) == 0xc0).get
+    ext(sofPos + 1) = 0xc1.toByte
     intercept[IllegalArgumentException] {
-      Jpeg.jpegImage(prog)
-    }.getMessage should include("SOF0")
+      Jpeg.jpegImage(ext)
+    }.getMessage should include("SOF")
+    // a BASELINE stream whose scan header claims progressive spectral
+    // selection is self-contradictory — loud
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      val sosPos = bad.indices.find(i =>
+        (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xda).get
+      bad(sosPos + 7) = 5.toByte // Ss = 5 in a SOF0 stream
+      Jpeg.jpegImage(bad)
+    }.getMessage should include("baseline")
     // 16-bit quantization table (Pq=1)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)
@@ -425,6 +435,249 @@ class JpegSpec extends AnyFunSuite with Matchers {
     }
     Jpeg.isJpeg(good) shouldBe true
     Jpeg.isJpeg("BM      ".getBytes) shouldBe false
+  }
+
+  // ---- 4. progressive (SOF2) ----
+
+  /** Spec-side PROGRESSIVE assembler (independent of the production
+    * encoder): grayscale DC-only blocks shipped through the full
+    * successive-approximation scan script — DC first at Al=1, DC
+    * refinement, AC first over [1,63] as one EOB run, AC refinement
+    * (EOB-run only; zero history ⇒ no correction bits). Expected pixels
+    * stay the exact flat() arithmetic. AC table: EOB0 and EOB1 at 2 bits. */
+  private def progGrayDcOnly(wb: Int, hb: Int, q00: Int,
+                             dc: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, dqt(0, q00))
+    seg(out, 0xc2, Seq(8, (8 * hb) >> 8, (8 * hb) & 0xff,
+      (8 * wb) >> 8, (8 * wb) & 0xff, 1, 1, 0x11, 0))
+    seg(out, 0xc4, Seq(0x00) ++ DcBits ++ DcVals ++
+      Seq(0x10) ++ (Seq(0, 2) ++ Seq.fill(14)(0)) ++ Seq(0x00, 0x10))
+    // scan 1: DC first, Al=1 — codes dc >> 1 cumulatively
+    seg(out, 0xda, Seq(1, 1, 0x00, 0, 0, 0x01))
+    val bw1 = new Bw
+    var pred = 0
+    dc.foreach { v => putDc(bw1, (v >> 1) - pred); pred = v >> 1 }
+    bw1.flush()
+    out.write(bw1.out.toByteArray)
+    // scan 2: DC refinement, Ah=1 Al=0 — one raw bit (bit 0 of dc) per block
+    seg(out, 0xda, Seq(1, 1, 0x00, 0, 0, 0x10))
+    val bw2 = new Bw
+    dc.foreach(v => bw2.put(v & 1, 1))
+    bw2.flush()
+    out.write(bw2.out.toByteArray)
+    // scan 3: AC first [1,63] — every band zero: one EOBn covering all
+    // blocks (emitted as chained EOB1/EOB0 runs for > 2 blocks)
+    seg(out, 0xda, Seq(1, 1, 0x00, 1, 63, 0x00))
+    val bw3 = new Bw
+    var left = dc.length
+    while (left > 0) {
+      if (left >= 2) { bw3.put(1, 2); bw3.put(0, 1); left -= 2 } // EOB1+0bit
+      else { bw3.put(0, 2); left -= 1 }                          // EOB0
+    }
+    bw3.flush()
+    out.write(bw3.out.toByteArray)
+    // scan 4: AC refinement [1,63], Ah=1 Al=0 — zero history: EOB runs
+    // only, no correction bits
+    seg(out, 0xda, Seq(1, 1, 0x00, 1, 63, 0x10))
+    val bw4 = new Bw
+    left = dc.length
+    while (left > 0) {
+      if (left >= 2) { bw4.put(1, 2); bw4.put(0, 1); left -= 2 }
+      else { bw4.put(0, 2); left -= 1 }
+    }
+    bw4.flush()
+    out.write(bw4.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  test("jpegImage progressive: hand-rolled successive-approximation scan " +
+    "script (DC first Al=1 → DC refine → AC-first EOB runs → AC refine) " +
+    "reconstructs the exact flat pixels, odd and even, positive and " +
+    "negative DC") {
+    // 9: needs the refine bit set; -6: arithmetic >> then refine bit 0;
+    // 127/-128: category extremes through the point transform
+    val dc = Seq(9, -6, 127, 0, -128, 33)
+    val img = Jpeg.jpegImage(progGrayDcOnly(3, 2, 16, dc))
+    (img.width, img.height, img.channels) shouldBe ((24, 16, 1))
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val want = flat(dc(by * 3 + bx), 16)
+      for (y <- 0 until 8; x <- 0 until 8)
+        withClue(s"block ($bx,$by) pixel ($x,$y): ") {
+          (img.pixels((by * 8 + y) * 24 + bx * 8 + x) & 0xff) shouldBe want
+        }
+    }
+  }
+
+  test("encodeProgressive parity: the progressive container holds the SAME " +
+    "quantized coefficients as the baseline one, so decode must be " +
+    "bit-identical — gray, color, 4:2:0, odd sizes, band splits") {
+    for (seed <- 1L to 6L) {
+      val w = 9 + (seed % 8).toInt
+      val h = 7 + (seed % 9).toInt
+      val gray = Jpeg.jpegImage(Jpeg.syntheticProgressiveJpeg(seed, w, h, 1))
+      val gBase = Jpeg.jpegImage(Jpeg.syntheticJpeg(seed, w, h, 1))
+      (gray.width, gray.height, gray.channels) shouldBe
+        ((gBase.width, gBase.height, gBase.channels))
+      gray.pixels.toSeq shouldBe gBase.pixels.toSeq
+      for (sub <- Seq(false, true)) {
+        val prog = Jpeg.jpegImage(
+          Jpeg.syntheticProgressiveJpeg(seed, w, h, 3, subsample = sub))
+        val base = Jpeg.jpegImage(
+          Jpeg.syntheticJpeg(seed, w, h, 3, subsample = sub))
+        withClue(s"seed=$seed sub=$sub: ") {
+          prog.pixels.toSeq shouldBe base.pixels.toSeq
+        }
+      }
+    }
+    // a different band tiling is pure re-grouping of the same coefficients
+    val px = Array.tabulate(20 * 12 * 3)(i => (i * 37 + 11) % 256)
+    val a = Jpeg.jpegImage(Jpeg.encodeProgressive(px, 20, 12, 3, false,
+      bands = Seq((1, 1), (2, 9), (10, 63))))
+    val b = Jpeg.jpegImage(Jpeg.encode(px, 20, 12, 3, false, 0))
+    a.pixels.toSeq shouldBe b.pixels.toSeq
+  }
+
+  test("jpegImage fuzz: ImageIO-WRITTEN PROGRESSIVE JPEGs (the standard " +
+    "libjpeg successive-approximation scan script with real AC content) " +
+    "decode within tolerance of ImageIO's own reading") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    // grayscale
+    for (seed <- 1L to 6L) {
+      val w = 6 + (seed % 13).toInt
+      val h = 5 + (seed % 9).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setPixel(x, y,
+          Array((((seed + x * 31 + y * 17) * 0x9e3779b9L >>> 16) & 0xff).toInt))
+      val payload = writeProgressive(img)
+      // confirm the fixture really is progressive (SOF2 present)
+      payload.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2) shouldBe true
+      val ours = Jpeg.jpegImage(payload)
+      (ours.width, ours.height, ours.channels) shouldBe ((w, h, 1))
+      val ref = imageIoRead(payload)
+      val px = new Array[Int](1)
+      for (y <- 0 until h; x <- 0 until w) {
+        ref.getRaster.getPixel(x, y, px)
+        withClue(s"seed=$seed ($x,$y): ") {
+          math.abs((ours.pixels(y * w + x) & 0xff) - px(0)) should be <= 2
+        }
+      }
+    }
+    // gray-valued color (writer-chosen subsampling cancels on flat chroma)
+    val (w, h) = (19, 13)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (((x * 41 + y * 23) * 0x9e3779b9L >>> 12) & 0xff).toInt
+      img.getRaster.setPixel(x, y, Array(v, v, v))
+    }
+    val payload = writeProgressive(img)
+    val ours = Jpeg.jpegImage(payload)
+    (ours.width, ours.height, ours.channels) shouldBe ((w, h, 3))
+    val ref = imageIoRead(payload)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      withClue(s"($x,$y): ") {
+        math.abs((ours.pixels(o) & 0xff) - ((rgb >> 16) & 0xff)) should be <= 3
+        math.abs((ours.pixels(o + 1) & 0xff) - ((rgb >> 8) & 0xff)) should be <= 3
+        math.abs((ours.pixels(o + 2) & 0xff) - (rgb & 0xff)) should be <= 3
+      }
+    }
+  }
+
+  test("encodeProgressive fuzz vs ImageIO: our SOF2 streams decode in " +
+    "ImageIO within IDCT tolerance (the other direction)") {
+    for (seed <- 1L to 5L) {
+      val w = 7 + (seed % 11).toInt
+      val h = 9 + (seed % 7).toInt
+      val payload = Jpeg.syntheticProgressiveJpeg(seed, w, h, channels = 1)
+      val ours = Jpeg.jpegImage(payload)
+      val ref = imageIoRead(payload)
+      (ref.getWidth, ref.getHeight) shouldBe ((w, h))
+      val px = new Array[Int](1)
+      for (y <- 0 until h; x <- 0 until w) {
+        ref.getRaster.getPixel(x, y, px)
+        withClue(s"seed=$seed ($x,$y): ") {
+          math.abs((ours.pixels(y * w + x) & 0xff) - px(0)) should be <= 2
+        }
+      }
+    }
+  }
+
+  test("progressive loud failures + decode cap: interleaved AC scan, bad " +
+    "Ah/Al, DC scan with Se>0, arithmetic SOF, truncated SOF header, " +
+    "maxPixels bomb guard") {
+    val good = progGrayDcOnly(2, 1, 16, Seq(8, -8))
+    def patchSos(n: Int, b: Seq[(Int, Int)]): Array[Byte] = {
+      // patch offsets within the n-th SOS segment (0-based, offset from FF)
+      val p = good.clone()
+      val positions = p.indices.filter(i =>
+        (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)
+      b.foreach { case (off, v) => p(positions(n) + off) = v.toByte }
+      p
+    }
+    // AC scan (scan 3: Ss=1) claiming Se < Ss
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(patchSos(2, Seq((8, 0)))) // Se byte → 0 while Ss=1
+    }.getMessage should include("band")
+    // DC scan with Se > 0
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(patchSos(0, Seq((8, 7)))) // scan 1 Se → 7
+    }.getMessage should include("Se=0")
+    // refinement jumping two bits (Ah must be Al+1)
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(patchSos(1, Seq((9, 0x20)))) // AhAl → 2,0
+    }.getMessage should include("successive approximation")
+    // arithmetic-coded progressive (SOF10) refuses
+    val arith = good.clone()
+    val sofPos = arith.indices.find(i =>
+      (arith(i) & 0xff) == 0xff && (arith(i + 1) & 0xff) == 0xc2).get
+    arith(sofPos + 1) = 0xca.toByte
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(arith)
+    }.getMessage should include("SOF")
+    // truncated SOF header: segment length 5 cannot hold the 6 fixed
+    // bytes — must fail at the bound check, before any field read
+    // (ADVICE r10; the DRI-fix twin)
+    val shortSof = new java.io.ByteArrayOutputStream()
+    shortSof.write(0xff); shortSof.write(0xd8)
+    shortSof.write(0xff); shortSof.write(0xc0)
+    shortSof.write(0x00); shortSof.write(0x05)
+    shortSof.write(Array[Byte](8, 0, 8))
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(shortSof.toByteArray ++ Array(0xff, 0xd9).map(_.toByte))
+    }.getMessage should include("truncated SOF")
+    // decompression-bomb guard: a ~20-byte header demanding 40000×40000
+    // fails the cap BEFORE allocating planes/coefficients
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(0xff); bomb.write(0xd8)
+    seg(bomb, 0xc0, Seq(8, 40000 >> 8, 40000 & 0xff, 40000 >> 8,
+      40000 & 0xff, 1, 1, 0x11, 0))
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(bomb.toByteArray ++ Array(0xff, 0xd9).map(_.toByte))
+    }.getMessage should include("decode cap")
+    // the cap is the caller's knob: a perfectly valid 16×8 image refuses
+    // under a 100-pixel cap — and decodes under the default
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(good, maxPixels = 100L)
+    }.getMessage should include("decode cap")
+    Jpeg.jpegImage(good).width shouldBe 16
   }
 
   test("features + dispatcher: JPEG payloads route through the sniffing " +

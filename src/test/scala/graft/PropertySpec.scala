@@ -436,12 +436,14 @@ class PropertySpec extends SparkSpec {
         h.toDouble, 3.0, r6(px.map(_._1).sum / n), r6(px.map(_._2).sum / n),
         r6(px.map(_._3).sum / n))
       // NN law through resize: out pixel (x, y) == src(x·w/nw, y·h/nh)
-      // in the BMP's own BOTTOM-UP row space (the resampler maps storage
-      // rows); verified through bmp24's channel means vs a from-scratch
-      // NN reference (random 24-bit pixels make mean collisions negligible)
+      // in TOP-DOWN IMAGE coordinates — the same anchor as resizePng
+      // (r11 fix: through r10 the resampler mapped bottom-up storage rows
+      // directly, bottom-anchoring the vertical axis in image space);
+      // verified through bmp24's channel means vs a from-scratch NN
+      // reference (random 24-bit pixels make mean collisions negligible)
       val resized = Multimodal.Decoders.resizeBmp24(src, nw, nh)
       val ref = for (y <- 0 until nh; x <- 0 until nw)
-        yield px((h - 1 - (y.toLong * h / nh).toInt) * w +
+        yield px((y.toLong * h / nh).toInt * w +
           (x.toLong * w / nw).toInt)
       val m = (nw * nh).toDouble
       Multimodal.Decoders.bmp24(resized).toSeq shouldBe Seq(nw.toDouble,

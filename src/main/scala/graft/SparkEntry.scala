@@ -213,7 +213,8 @@ object SparkEntry {
             id * 0x9e3779b97f4a7c15L + 7, i % 59) >>> (i % 11)) & 15).toByte)
           val alpha = if (id % 8 == 3)
             Some(Array.tabulate(9)(a => (a * 28 + 3).toByte)) else None
-          Multimodal.Decoders.palettePng(6, 5, pal, idx, alpha)
+          Multimodal.Decoders.palettePng(6, 5, pal, idx, alpha,
+            bitDepth = if (id % 8 == 7) 4 else 8)
       }
       Multimodal.MediaRecord(id, "image", payload)
     }.toDF()
@@ -2238,8 +2239,11 @@ object SparkEntry {
     // law-valued 8-color PLTE, odd ids carry a 5-entry tRNS (so both the
     // RGB and the RGBA/alpha-default paths are cross-engine pinned),
     // assembled into REAL palette PNGs and decoded through the real
-    // Inflater + unfilter + PLTE/tRNS expansion. 32 px ⇒ sums/32 exact
-    // at 6dp (power-of-two denominator rule)
+    // Inflater + unfilter + PLTE/tRNS expansion. Every 3rd id packs the
+    // SAME indices at bit depth 4 (MSB-first sub-8 scanlines) — decoded
+    // pixels are identical by law, so the one oracle pins the sub-8
+    // unpacking too: a packing bug diverges exactly those ids. 32 px ⇒
+    // sums/32 exact at 6dp (power-of-two denominator rule)
     "q_png_palette_fixed" -> ((s, d) => {
       import s.implicits._
       val palette = Array.tabulate(24)(j =>
@@ -2252,7 +2256,8 @@ object SparkEntry {
             Some(Array.tabulate(5)(c => ((c * 29 + 7) % 256).toByte))
           else None
         Multimodal.MediaRecord(id, "image",
-          Multimodal.Decoders.palettePng(8, 4, palette, idx, alpha))
+          Multimodal.Decoders.palettePng(8, 4, palette, idx, alpha,
+            bitDepth = if (id % 3 == 0) 4 else 8))
       }.toDF()
       Multimodal.extractFeatures(media, Multimodal.Decoders.media)
         .select(col("media_id"),

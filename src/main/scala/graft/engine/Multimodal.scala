@@ -586,20 +586,23 @@ object Multimodal {
       * spec (public: RFC 2083 / W3C PNG). Supports 8-bit grayscale (color
       * type 0), gray+alpha (4), RGB (2), RGBA (6) and — since r11 —
       * palette/indexed (3, the screenshot/diagram container, VERDICT r10
-      * missing #3): indices unfilter at 1 byte/pixel then expand through
-      * the PLTE lookup, to RGBA when a tRNS alpha table is present
-      * (entries beyond its length default opaque per the spec), RGB
-      * otherwise. Non-interlaced only; chunk CRCs are VERIFIED. Same
-      * loud-failure contract as [[bmp24]]: 16-bit depth, sub-8-bit
-      * palette packing, Adam7 interlace, bad CRCs, out-of-palette
-      * indices, truncated or over-long pixel streams all throw, never
-      * degrade. */
+      * missing #3): indices unfilter then expand through the PLTE lookup,
+      * to RGBA when a tRNS alpha table is present (entries beyond its
+      * length default opaque per the spec), RGB otherwise. Palette and
+      * grayscale additionally accept bit depths 1/2/4 (MSB-first packed
+      * scanlines — the pngquant/optimizer output class; grayscale scales
+      * to the 8-bit domain by v·255/(2^d−1)). Non-interlaced only; chunk
+      * CRCs are VERIFIED. Same loud-failure contract as [[bmp24]]:
+      * 16-bit depth, sub-8 truecolor, Adam7 interlace, bad CRCs,
+      * out-of-palette indices, truncated or over-long pixel streams all
+      * throw, never degrade. */
     def pngImage(payload: Array[Byte]): PngImage = {
       require(isPng(payload), "not a PNG payload (bad signature)")
       var off = 8
       var width = -1; var height = -1
       var colorType = -1
-      var rawCh = -1 // bytes per pixel in the FILTERED stream (1 for palette)
+      var bitDepth = -1
+      var rawCh = -1 // samples per pixel in the FILTERED stream (1 for palette)
       var plte: Array[Byte] = null
       var trns: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -620,13 +623,25 @@ object Multimodal {
             require(len == 13, s"bad IHDR length $len")
             width = be32(payload, off + 8)
             height = be32(payload, off + 12)
-            val bitDepth = payload(off + 16) & 0xff
+            bitDepth = payload(off + 16) & 0xff
             colorType = payload(off + 17) & 0xff
             val interlace = payload(off + 20) & 0xff
             require(width > 0 && height > 0,
               s"bad dimensions ${width}x$height")
-            require(bitDepth == 8,
-              s"only 8-bit PNG supported (bitDepth=$bitDepth)")
+            // spec-legal (type, depth) pairs this decoder accepts: sub-8
+            // packing exists only for palette indices and grayscale (the
+            // pngquant/optimizer output class — NEW r11); 16-bit refuses
+            // everywhere, loudly
+            val okDepth = colorType match {
+              case 0 | 3 => Set(1, 2, 4, 8)
+              case 2 | 4 | 6 => Set(8)
+              case t => throw new IllegalArgumentException(
+                s"bad PNG color type $t")
+            }
+            require(okDepth(bitDepth),
+              s"bit depth $bitDepth not supported for color type " +
+                s"$colorType (8-bit samples; 1/2/4 packing for " +
+                "palette/grayscale only)")
             require(interlace == 0, "interlaced (Adam7) PNG not supported")
             rawCh = colorType match {
               case 0 => 1
@@ -634,8 +649,6 @@ object Multimodal {
               case 3 => 1 // palette indices, expanded after unfiltering
               case 4 => 2
               case 6 => 4
-              case t => throw new IllegalArgumentException(
-                s"bad PNG color type $t")
             }
             // the full filtered stream must fit an Int-sized array; the
             // palette expansion (≤4×) is checked again below
@@ -680,7 +693,10 @@ object Multimodal {
       if (colorType == 3) require(plte != null,
         "palette PNG carries no PLTE chunk")
       val channels = rawCh
-      val stride = width * channels
+      // filtered-scanline geometry: sub-8 depths pack multiple pixels per
+      // byte (row tail bits unused); FILTERS always operate bytewise with
+      // distance max(1, bits-per-pixel/8) per the PNG spec
+      val stride = (width * channels * bitDepth + 7) / 8
       val raw = new Array[Byte]((stride + 1) * height)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -712,9 +728,10 @@ object Multimodal {
       require(got == raw.length,
         s"PNG pixel stream decoded $got of ${raw.length} filtered bytes")
       // unfilter: recon(x) = raw(x) + predictor over already-reconstructed
-      // neighbors a=left, b=up, c=up-left (per-byte, distance = channels)
+      // neighbors a=left, b=up, c=up-left (per-byte, distance = the pixel's
+      // byte width, floored at 1 for packed sub-8 rows)
       val out = new Array[Byte](stride * height)
-      val bpp = channels
+      val bpp = math.max(1, channels * bitDepth / 8)
       var y = 0
       while (y < height) {
         val f = raw(y * (stride + 1)) & 0xff
@@ -746,14 +763,35 @@ object Multimodal {
         }
         y += 1
       }
-      if (colorType != 3) PngImage(width, height, channels, out)
-      else { // palette expansion: indices → RGB(A) via PLTE (+ tRNS alpha)
+      // unpack sub-8 rows to one value per pixel (MSB-first within each
+      // byte, per the spec; row tail bits discarded) — only palette
+      // indices and grayscale reach here at depth < 8
+      val vals =
+        if (bitDepth == 8) out
+        else {
+          val ppb = 8 / bitDepth
+          val mask = (1 << bitDepth) - 1
+          val u = new Array[Byte](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val b = out(y * stride + x / ppb) & 0xff
+              val shift = 8 - bitDepth * ((x % ppb) + 1)
+              u(y * width + x) = ((b >> shift) & mask).toByte
+              x += 1
+            }
+            y += 1
+          }
+          u
+        }
+      if (colorType == 3) { // palette: indices → RGB(A) via PLTE (+ tRNS)
         val nColors = plte.length / 3
         val outCh = if (trns != null) 4 else 3
         val px = new Array[Byte](width * height * outCh)
         var i = 0
-        while (i < out.length) {
-          val idx = out(i) & 0xff
+        while (i < vals.length) {
+          val idx = vals(i) & 0xff
           require(idx < nColors, // the gif87Frames out-of-table contract
             s"pixel index $idx outside the $nColors-color palette")
           val o = i * outCh
@@ -765,7 +803,17 @@ object Multimodal {
           i += 1
         }
         PngImage(width, height, outCh, px)
-      }
+      } else if (bitDepth < 8) {
+        // sub-8 grayscale: left-bit-replicated scaling to the 8-bit
+        // sample domain (v·255/(2^d−1) — exact integer for d ∈ {1,2,4})
+        val maxV = (1 << bitDepth) - 1
+        var i = 0
+        while (i < vals.length) {
+          vals(i) = ((vals(i) & 0xff) * 255 / maxV).toByte
+          i += 1
+        }
+        PngImage(width, height, 1, vals)
+      } else PngImage(width, height, channels, vals)
     }
 
     /** PNG → [width, height, channels, per-channel means…] (0-255, 6 dp) —
@@ -895,33 +943,49 @@ object Multimodal {
         pngChunk("IEND", Array.empty[Byte])
     }
 
-    /** Assemble a VALID 8-bit PALETTE (color type 3) PNG from EXPLICIT
+    /** Assemble a VALID PALETTE (color type 3) PNG from EXPLICIT
       * per-pixel palette indices — the [[gif87FromIndices]] pattern for
       * the PNG container (filter-0 scanlines, real zlib + chunk CRCs,
-      * PLTE and optional tRNS alpha). The law-to-container assembler for
-      * the fixed-model palette oracle, and the payload generator that
-      * exercises the decode path screenshots/diagrams take. */
+      * PLTE and optional tRNS alpha). `bitDepth` 1/2/4/8 packs indices
+      * MSB-first within each scanline byte (8 = one index per byte) —
+      * the pngquant/optimizer output class. The law-to-container
+      * assembler for the fixed-model palette oracle, and the payload
+      * generator that exercises the decode path screenshots/diagrams
+      * take. */
     def palettePng(w: Int, h: Int, palette: Array[Byte],
                    indices: Array[Byte],
-                   alpha: Option[Array[Byte]] = None): Array[Byte] = {
+                   alpha: Option[Array[Byte]] = None,
+                   bitDepth: Int = 8): Array[Byte] = {
       require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8, s"bad palette bit depth $bitDepth")
       require(palette.length >= 3 && palette.length <= 768 &&
         palette.length % 3 == 0, s"bad palette length ${palette.length}")
       require(indices.length == w * h,
         s"${indices.length} indices, expected ${w * h}")
       val nColors = palette.length / 3
+      require(nColors <= (1 << bitDepth),
+        s"$nColors colors cannot pack at depth $bitDepth")
       indices.foreach(i => require((i & 0xff) < nColors,
         s"palette index ${i & 0xff} out of range (palette $nColors)"))
       alpha.foreach(a => require(a.length <= nColors,
         s"tRNS length ${a.length} exceeds palette"))
-      val raw = new Array[Byte]((w + 1) * h)
+      val stride = (w * bitDepth + 7) / 8
+      val raw = new Array[Byte]((stride + 1) * h)
+      val ppb = 8 / bitDepth
       var y = 0
-      while (y < h) { // filter byte 0 (None); indices verbatim
-        System.arraycopy(indices, y * w, raw, y * (w + 1) + 1, w)
+      while (y < h) { // filter byte 0 (None); indices packed MSB-first
+        var x = 0
+        while (x < w) {
+          val o = y * (stride + 1) + 1 + x / ppb
+          val shift = 8 - bitDepth * ((x % ppb) + 1)
+          raw(o) = (raw(o) | ((indices(y * w + x) & 0xff) << shift)).toByte
+          x += 1
+        }
         y += 1
       }
       val ihdr = be32Bytes(w) ++ be32Bytes(h) ++
-        Array[Byte](8, 3, 0, 0, 0)
+        Array[Byte](bitDepth.toByte, 3, 0, 0, 0)
       pngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
         pngChunk("PLTE", palette) ++
         alpha.map(pngChunk("tRNS", _)).getOrElse(Array.empty[Byte]) ++

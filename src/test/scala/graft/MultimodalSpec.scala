@@ -764,6 +764,112 @@ class MultimodalSpec extends SparkSpec {
       Seq(pal(0), pal(1), pal(2)) // NN: output (0,0) samples source (0,0)
   }
 
+  test("sub-8-bit PNG (NEW r11): packed palette indices and grayscale at " +
+    "depths 1/2/4 unpack MSB-first and expand/scale exactly") {
+    // depth-4 palette: the same indices round-trip packed and unpacked
+    val pal = Array.tabulate(18)(j => ((j * 43 + 11) % 256).toByte) // 6 colors
+    val idx = Array[Byte](0, 5, 3, 1, 4, 2, 2, 0, 5) // 3×3
+    for (d <- Seq(4, 8)) {
+      val img = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.palettePng(3, 3, pal, idx, bitDepth = d))
+      img.pixels.toSeq shouldBe idx.flatMap(i =>
+        Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))).toSeq
+    }
+    // depth-2 palette (4 colors) and depth-1 (2 colors), with tRNS
+    val pal4 = Array.tabulate(12)(j => ((j * 31 + 7) % 256).toByte)
+    val idx4 = Array[Byte](3, 0, 2, 1, 1, 3) // 3×2 — crosses a byte per row
+    val a4 = Multimodal.Decoders.pngImage(Multimodal.Decoders.palettePng(
+      3, 2, pal4, idx4, alpha = Some(Array[Byte](9)), bitDepth = 2))
+    a4.channels shouldBe 4
+    a4.pixels.grouped(4).map(_(3) & 0xff).toSeq shouldBe
+      idx4.map(i => if (i == 0) 9 else 255).toSeq
+    val pal1 = Array[Byte](10, 20, 30, 200.toByte, 210.toByte, 220.toByte)
+    val b1 = Multimodal.Decoders.pngImage(Multimodal.Decoders.palettePng(
+      9, 1, pal1, Array[Byte](1, 0, 1, 1, 0, 0, 1, 0, 1), bitDepth = 1))
+    b1.pixels.grouped(3).map(_(0) & 0xff).toSeq shouldBe
+      Seq(200, 10, 200, 200, 10, 10, 200, 10, 200)
+    // sub-8 GRAYSCALE scales v·255/(2^d−1); hand-packed container with a
+    // Sub-filtered second row (filters stay bytewise at distance 1)
+    // row 1 (filter 0): values (3,0,2,1) -> 0b11_00_10_01 = 0xC9
+    // row 2 (filter 1): recon bytes equal raw for the first byte (a=0);
+    // values (1,1,1,1) -> 0x55
+    val gray2 = pngOf(4, 2, 2, 0, 0,
+      Array[Byte](0, 0xC9.toByte, 1, 0x55.toByte))
+    val g = Multimodal.Decoders.pngImage(gray2)
+    (g.width, g.height, g.channels) shouldBe ((4, 2, 1))
+    g.pixels.map(_ & 0xff).toSeq shouldBe
+      Seq(255, 0, 170, 85, 85, 85, 85, 85)
+    // depth-4 gray scaling is v·17
+    val gray4 = pngOf(2, 1, 4, 0, 0, Array[Byte](0, 0x5A.toByte)) // (5, 10)
+    Multimodal.Decoders.pngImage(gray4).pixels.map(_ & 0xff).toSeq shouldBe
+      Seq(85, 170)
+    // loud: depth 3 is not a PNG depth; sub-8 truecolor is spec-illegal;
+    // a palette too big for the declared depth refuses at assembly
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(pngOf(2, 1, 3, 0, 0, Array[Byte](0, 0)))
+    }.getMessage should include("bit depth")
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(pngOf(2, 1, 4, 2, 0, Array[Byte](0, 0)))
+    }.getMessage should include("bit depth")
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.palettePng(2, 1, Array.fill(24)(1.toByte),
+        Array[Byte](0, 0), bitDepth = 2)
+    }.getMessage should include("cannot pack")
+  }
+
+  test("sub-8 palette PNG fuzz vs ImageIO: a <=16-color IndexColorModel " +
+    "writes a 4-bit (or narrower) container — decode pixel-exact") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    for (seed <- 1 to 3) {
+      val n = 8 // <= 16 colors → the JDK PNG writer packs sub-8
+      val r = Array.tabulate(n)(i => ((i * 37 + seed * 5) % 256).toByte)
+      val g = Array.tabulate(n)(i => ((i * 59 + seed * 3) % 256).toByte)
+      val b = Array.tabulate(n)(i => ((i * 71 + seed * 17) % 256).toByte)
+      val (w, h) = (7 + seed, 5)
+      // a 4-BIT IndexColorModel (TYPE_BYTE_BINARY carries 1/2/4-bit ICMs)
+      // makes the JDK writer emit a packed sub-8 palette container —
+      // an 8-bit ICM writes depth 8 regardless of map size
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY,
+        new IndexColorModel(4, n, r, g, b))
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setPixel(x, y, Array((x * 5 + y * 3 + seed) % n))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out) shouldBe true
+      val payload = out.toByteArray
+      // IHDR depth byte (offset 24): the point of this fuzz is sub-8
+      withClue(s"seed=$seed wrote depth ${payload(24)}: ") {
+        (payload(24) & 0xff) should be < 8
+      }
+      val ours = Multimodal.Decoders.pngImage(payload)
+      (ours.width, ours.height) shouldBe ((w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * ours.channels
+        withClue(s"seed=$seed ($x,$y): ") {
+          (ours.pixels(o) & 0xff) shouldBe ((rgb >> 16) & 0xff)
+          (ours.pixels(o + 1) & 0xff) shouldBe ((rgb >> 8) & 0xff)
+          (ours.pixels(o + 2) & 0xff) shouldBe (rgb & 0xff)
+        }
+      }
+    }
+    // 1-bit grayscale from the JDK (TYPE_BYTE_BINARY)
+    val bw = new java.awt.image.BufferedImage(9, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 4; x <- 0 until 9)
+      bw.getRaster.setPixel(x, y, Array((x + y) % 2))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bw, "png", out) shouldBe true
+    val ours = Multimodal.Decoders.pngImage(out.toByteArray)
+    (ours.width, ours.height) shouldBe ((9, 4))
+    // the JDK may emit 1-bit gray (1 channel) or a 2-entry palette (3);
+    // either way the first channel is the black/white value
+    for (y <- 0 until 4; x <- 0 until 9)
+      withClue(s"($x,$y): ") {
+        (ours.pixels((y * 9 + x) * ours.channels) & 0xff) shouldBe
+          (if ((x + y) % 2 == 1) 255 else 0)
+      }
+  }
+
   test("bmpFromPixels row order is POSITION-SENSITIVE, not just mean-" +
     "preserved (ADVICE r10): raw payload bytes are bottom-up BGR, and a " +
     "single-row resize decode recovers the TOP row") {

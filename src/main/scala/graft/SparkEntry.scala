@@ -1636,6 +1636,19 @@ object SparkEntry {
     "q_embed_dedup_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
         col("embedding"), 0.4)),
+    // same kernel with the banding geometry DERIVED from the corpus size
+    // (srpGeometry: rows-per-band grows with log n so bucket occupancy —
+    // and candidate-pair mass — stays ~linear; the fixed-geometry default
+    // above was MEASURED superlinear at a 10x step, SCALE.md "ScaleCurve").
+    // The count() is one columnless metadata-cheap pass; at corpus scale
+    // the caller passes a known size instead. Rows-only like its twin
+    // (recall < 1 by design); geometry rule + recall floor in
+    // SimilaritySpec.
+    "q_embed_dedup_lsh_auto" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshCosinePairsAuto(emb, col("vec_id"), col("embedding"),
+        0.4, corpusSize = emb.count())
+    }),
     // SRP (random-hyperplane) cosine-LSH MECHANISM, oracled: the SAME
     // production kernel (SrpSignature → band chunks → Hamming cut → exact
     // rerank) at bits=64 / 8 bands × 8 rows — one signature word, whose

@@ -129,6 +129,57 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** SRP-LSH banding geometry: `bands` chunks of `rowsPerBand` signature
+    * bits each over a `bits`-bit signature (bits >= bands*rowsPerBand; the
+    * surplus sharpens the Hamming prefilter). Derive from corpus size with
+    * [[srpGeometry]]. */
+  final case class SrpGeometry(bits: Int, bands: Int, rowsPerBand: Int)
+
+  /** Derive SRP-LSH geometry from corpus size — the measured scale rule
+    * (SCALE.md "ScaleCurve"): a FIXED geometry has a fixed bucket count per
+    * band (2^rowsPerBand), so per-bucket occupancy grows with n and
+    * candidate pairs with n² — ScaleCurve measured exponent 1.21 at a 10×
+    * step under the old bands=24 × rowsPerBand=4 defaults, vs sub-linear
+    * once rows-per-band scales with log n.
+    *
+    *  - `rowsPerBand` r: smallest r with 2^r >= n / rowsPerBucket (floor 4)
+    *    — bucket count tracks n so expected occupancy stays ~rowsPerBucket
+    *    and background collision mass per band stays ~linear in n.
+    *  - `bands`: enough band-OR draws to reach `targetRecall` for a pair AT
+    *    the threshold: per-bit agreement p = 1 − acos(tau)/π, band collision
+    *    p^r, so bands = ceil(ln(1/(1−recall)) / p^r). This is the n^ρ
+    *    (ρ = ln p / ln(bucket growth) ≈ 0.65 at tau 0.4) term LSH theory
+    *    charges for a weak threshold — it grows polynomially, not by
+    *    hand-tuning.
+    *  - `bits`: bands·r rounded up to a word, floored at 256 so the
+    *    full-signature Hamming prefilter keeps discriminating (at 64 bits
+    *    the tau-0.4 cut admits the background mean).
+    *
+    * Fails loudly (rather than silently exploding the banded shuffle) when
+    * the derived bands exceed 4096 — at that point SRP at this tau/recall
+    * costs more than the IVF/PQ path ([[ivfCosineTopKWith]] /
+    * [[pqAdcTopKWith]]); raise tau or lower targetRecall deliberately. */
+  def srpGeometry(n: Long, tau: Double = 0.4, targetRecall: Double = 0.92,
+                  rowsPerBucket: Int = 128): SrpGeometry = {
+    require(n > 0, s"srpGeometry: corpus size must be positive: $n")
+    require(tau > 0 && tau < 1, s"srpGeometry: tau in (0,1): $tau")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"srpGeometry: targetRecall in (0,1): $targetRecall")
+    require(rowsPerBucket >= 1)
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val r = math.max(4,
+      math.ceil(math.log(n.toDouble / rowsPerBucket) / math.log(2.0)).toInt)
+    require(r <= 62, s"srpGeometry: corpus size $n out of range")
+    val bands = math.ceil(
+      math.log(1.0 / (1.0 - targetRecall)) / math.pow(p, r)).toInt
+    require(bands <= 4096,
+      s"srpGeometry: n=$n at tau=$tau needs $bands bands (> 4096) for " +
+        s"recall $targetRecall — SRP-LSH banding would cost more than the " +
+        "IVF/PQ ANN path at this scale; raise tau, lower targetRecall, or " +
+        "use ivfCosineTopKWith/pqAdcTopKWith (SCALE.md).")
+    SrpGeometry(math.max(256, ((bands * r + 63) / 64) * 64), bands, r)
+  }
+
   /** Hamming cut for "cosine >= tau" on a bits-bit SRP signature: expected
     * Hamming fraction of a pair AT the threshold is acos(tau)/π; allow
     * `zSlack` standard deviations above it so threshold-grazing true pairs
@@ -140,24 +191,50 @@ object Similarity {
     math.ceil(bits * p + zSlack * math.sqrt(bits * p * (1 - p))).toInt
   }
 
+  /** Hamming-prefilter width: the prefilter rides the banded shuffle as a
+    * PREFIX of the signature capped at 256 bits (4 words, 32 bytes), so the
+    * per-row shuffle payload stays O(1) as [[srpGeometry]] grows the banding
+    * with corpus size (an 832-bit derived signature would otherwise ship 13
+    * words per banded row — the banding bits beyond the prefix exist to
+    * DEFINE buckets, not to be re-shipped). 512 is the measured knee: at
+    * 256 the z=2.5 cut sits only ~1.75 background sd below the mean and
+    * ~4% of background candidates leak into the rerank joins (measured
+    * +20% wall on the 10× corpus); at 512 leakage is ~2e-4 while the
+    * payload stays 64 B/row. For bits <= 512 the prefix is the full
+    * signature and behavior is unchanged (the 64-bit `q_srp_fixed` oracle
+    * and both 256-bit default paths). */
+  private def prefilterBits(bits: Int): Int = math.min(bits, 512)
+
   /** Shared signing+banding stage: (vectors as (cid, cv, sig), banded rows as
-    * (cid, sig, band, chunk)). The first bands×rowsPerBand signature bits are
-    * the band chunks (rowsPerBand must divide 64 so a chunk never straddles
-    * words); the FULL signature rides along (bits/8 bytes — cheap) so the
-    * bucket join can Hamming-filter without re-attaching anything. */
-  private def bandedSignatures(emb: DataFrame, id: Column, vec: Column,
-                               bits: Int, bands: Int, rowsPerBand: Int,
-                               dim: Int): (DataFrame, DataFrame) = {
+    * (cid, sig, band, chunk)) — `sig` in the banded frame is the
+    * [[prefilterBits]] PREFIX of the signature (see above). The first
+    * bands×rowsPerBand signature bits are the band chunks (a chunk
+    * straddling a word boundary is stitched from both words — any
+    * rowsPerBand in [1, 62] works, so [[srpGeometry]] can grow it smoothly
+    * with log n). For rowsPerBand dividing 64 the chunk values are
+    * bit-identical to the historical word-aligned extraction (the
+    * `q_srp_fixed` oracle pins the 8×8/64 layout cross-engine). */
+  private[graft] def bandedSignatures(emb: DataFrame, id: Column, vec: Column,
+                                      bits: Int, bands: Int, rowsPerBand: Int,
+                                      dim: Int): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= bits, "bands*rowsPerBand must fit in bits")
-    require(64 % rowsPerBand == 0, "rowsPerBand must divide 64")
+    require(rowsPerBand >= 1 && rowsPerBand <= 62,
+      s"rowsPerBand in [1, 62]: $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1
+    val pWords = (prefilterBits(bits) + 63) / 64
     val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
       .withColumn("sig", srpSignature(col("cv"), bits, dim))
-    val banded = vecs.select(col("cid"), col("sig"), posexplode(array(
+    val banded = vecs.select(col("cid"),
+      slice(col("sig"), 1, pWords).as("sig"), posexplode(array(
       (0 until bands).map { j =>
         val word = (j * rowsPerBand) / 64
         val off = (j * rowsPerBand) % 64
-        shiftright(element_at(col("sig"), word + 1), off).bitwiseAND(mask)
+        val lo = shiftrightunsigned(element_at(col("sig"), word + 1), off)
+        val chunk =
+          if (off + rowsPerBand <= 64) lo
+          else lo.bitwiseOR(
+            shiftleft(element_at(col("sig"), word + 2), 64 - off))
+        chunk.bitwiseAND(mask)
       }: _*)).as(Seq("band", "chunk")))
     (vecs.drop("sig"), banded)
   }
@@ -176,23 +253,55 @@ object Similarity {
     *
     * Defaults (bits=256, 24 bands × 4 rows) are tuned for recall >= 0.9 at
     * tau=0.4 — a HARD threshold for SRP (pairs at 66°, background at 90°):
-    * band-OR recall ≈ 0.98, Hamming-cut recall ≈ 0.99 at the threshold.
-    * At larger corpora raise rowsPerBand (buckets must number >> n/1000) and
-    * bands together — candidate volume scales ~n^1.65 at this tau (ρ=0.65),
-    * sub-quadratic but tau-limited; tighter taus block far harder.
-    * Recall < 1 by design; floor asserted against [[cosinePairs]] in
-    * SimilaritySpec. */
+    * band-OR recall ≈ 0.98, Hamming-cut recall ≈ 0.99 at the threshold —
+    * AND for corpora up to ~10^4 vectors only: a fixed geometry has a fixed
+    * bucket count (2^rowsPerBand per band), so occupancy grows with n and
+    * candidate pairs with n² (ScaleCurve measured exp 1.21 at a 10× step).
+    * Beyond `maxRowsPerBucket` expected rows per bucket the call fails
+    * loudly (stats-estimated corpus size — the theilSenSlopeByKey maxDays
+    * pattern): switch to [[lshCosinePairsAuto]], which derives the geometry
+    * from the corpus size via [[srpGeometry]], or raise `maxRowsPerBucket`
+    * deliberately. Recall < 1 by design; floor asserted against
+    * [[cosinePairs]] in SimilaritySpec. */
   def lshCosinePairs(emb: DataFrame, id: Column, vec: Column, tau: Double,
                      bits: Int = 256, bands: Int = 24, rowsPerBand: Int = 4,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, maxRowsPerBucket: Int = 1024): DataFrame = {
+    val nEst = estimatedRows(emb, dim)
+    require(nEst <= (1L << rowsPerBand) * maxRowsPerBucket,
+      s"lshCosinePairs: ~$nEst corpus rows over ${1 << rowsPerBand} " +
+        s"buckets/band (rowsPerBand=$rowsPerBand) exceeds " +
+        s"$maxRowsPerBucket rows/bucket — a fixed geometry goes quadratic " +
+        "here (measured, SCALE.md). Use lshCosinePairsAuto(corpusSize) to " +
+        "derive the geometry, or raise maxRowsPerBucket deliberately.")
+    lshCosinePairsCore(emb, id, vec, tau, bits, bands, rowsPerBand, dim)
+  }
+
+  /** [[lshCosinePairs]] with geometry DERIVED from the (caller-known)
+    * corpus size via [[srpGeometry]] — the default entry point at scale:
+    * rows-per-band grows with log n so bucket occupancy (and with it the
+    * candidate-pair mass) stays ~linear, at `targetRecall` for pairs at the
+    * threshold. */
+  def lshCosinePairsAuto(emb: DataFrame, id: Column, vec: Column, tau: Double,
+                         corpusSize: Long, dim: Int = 64,
+                         targetRecall: Double = 0.92): DataFrame = {
+    val g = srpGeometry(corpusSize, tau, targetRecall)
+    lshCosinePairsCore(emb, id, vec, tau, g.bits, g.bands, g.rowsPerBand, dim)
+  }
+
+  private def lshCosinePairsCore(emb: DataFrame, id: Column, vec: Column,
+                                 tau: Double, bits: Int, bands: Int,
+                                 rowsPerBand: Int, dim: Int): DataFrame = {
     val (vecs, banded) = bandedSignatures(emb, id, vec, bits, bands,
       rowsPerBand, dim)
-    val maxHam = hammingCut(tau, bits)
+    val maxHam = hammingCut(tau, prefilterBits(bits))
     val l = banded.select(col("band"), col("chunk"), col("cid").as("id1"),
       col("sig").as("sig1"))
     val r = banded.select(col("band"), col("chunk"), col("cid").as("id2"),
       col("sig").as("sig2"))
-    l.join(r, Seq("band", "chunk"))
+    // bucket keys are few (bands × 2^rowsPerBand) and duplicate-heavy —
+    // a sort-merge join buffers every many-to-many key group; hash join
+    // streams the probe side through it instead (measured at the 10× step)
+    l.join(r.hint("shuffle_hash"), Seq("band", "chunk"))
       .filter(col("id1") < col("id2") &&
         hamming(col("sig1"), col("sig2")) <= maxHam)
       .select(col("id1"), col("id2"))
@@ -524,7 +633,38 @@ object Similarity {
   def lshCosineTopK(emb: DataFrame, id: Column, vec: Column,
                     queryIds: Seq[Long], k: Int, bits: Int = 256,
                     bands: Int = 24, rowsPerBand: Int = 4, dim: Int = 64,
-                    candidatesPerQuery: Int = 0): DataFrame = {
+                    candidatesPerQuery: Int = 0,
+                    maxRowsPerBucket: Int = 1024): DataFrame = {
+    val nEst = estimatedRows(emb, dim)
+    require(nEst <= (1L << rowsPerBand) * maxRowsPerBucket,
+      s"lshCosineTopK: ~$nEst corpus rows over ${1 << rowsPerBand} " +
+        s"buckets/band (rowsPerBand=$rowsPerBand) exceeds " +
+        s"$maxRowsPerBucket rows/bucket — a fixed geometry goes quadratic " +
+        "here (measured, SCALE.md). Use lshCosineTopKAuto(corpusSize) to " +
+        "derive the geometry, or raise maxRowsPerBucket deliberately.")
+    lshCosineTopKCore(emb, id, vec, queryIds, k, bits, bands, rowsPerBand,
+      dim, candidatesPerQuery)
+  }
+
+  /** [[lshCosineTopK]] with geometry DERIVED from the (caller-known) corpus
+    * size via [[srpGeometry]] — the default entry point at scale. The
+    * geometry threshold defaults to the tau-0.4 near-dup regime (top-k has
+    * no tau; 0.4 is the weakest — hence most conservative — threshold the
+    * engine tunes for). */
+  def lshCosineTopKAuto(emb: DataFrame, id: Column, vec: Column,
+                        queryIds: Seq[Long], k: Int, corpusSize: Long,
+                        dim: Int = 64, candidatesPerQuery: Int = 0,
+                        geometryTau: Double = 0.4,
+                        targetRecall: Double = 0.92): DataFrame = {
+    val g = srpGeometry(corpusSize, geometryTau, targetRecall)
+    lshCosineTopKCore(emb, id, vec, queryIds, k, g.bits, g.bands,
+      g.rowsPerBand, dim, candidatesPerQuery)
+  }
+
+  private def lshCosineTopKCore(emb: DataFrame, id: Column, vec: Column,
+                                queryIds: Seq[Long], k: Int, bits: Int,
+                                bands: Int, rowsPerBand: Int, dim: Int,
+                                candidatesPerQuery: Int): DataFrame = {
     val cpq =
       if (candidatesPerQuery > 0) candidatesPerQuery
       else math.min(

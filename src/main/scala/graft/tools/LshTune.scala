@@ -48,6 +48,38 @@ object LshTune {
       val recall = (exact intersect lsh).size.toDouble / math.max(exact.size, 1)
       println(f"[lshtune] r$round topk recall=$recall%.4f")
     }
+
+    // geometry sweep: each arg "bits:bands:rpb" (or "auto") is timed
+    // median-of-3 after warm-up on the SPARK_GRAFT_SF_DIR corpus, with
+    // recall vs one exact pass — how srpGeometry candidates are compared
+    if (args.nonEmpty) {
+      val n = emb.count()
+      val exact = timed("sweep exact_pairs")(pairSet(
+        Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4)))
+      args.foreach { spec =>
+        val run: () => org.apache.spark.sql.DataFrame = spec match {
+          case "auto" => () => Similarity.lshCosinePairsAuto(emb,
+            col("vec_id"), col("embedding"), 0.4, corpusSize = n)
+          case s =>
+            val Array(bits, bands, rpb) = s.split(":").map(_.toInt)
+            () => Similarity.lshCosinePairs(emb, col("vec_id"),
+              col("embedding"), 0.4, bits = bits, bands = bands,
+              rowsPerBand = rpb, maxRowsPerBucket = Int.MaxValue)
+        }
+        def once(): (Double, Set[(Long, Long)]) = {
+          val t0 = System.nanoTime()
+          val p = pairSet(run())
+          ((System.nanoTime() - t0) / 1e9, p)
+        }
+        once() // warm-up
+        val rs = Seq(once(), once(), once()).sortBy(_._1)
+        val (t, p) = rs(1)
+        val recall = (exact intersect p).size.toDouble /
+          math.max(exact.size, 1)
+        println(f"[lshtune] sweep $spec%-14s n=$n $t%7.3f s " +
+          f"recall=$recall%.4f pairs=${p.size}")
+      }
+    }
     spark.stop()
   }
 }

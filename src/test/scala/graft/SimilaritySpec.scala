@@ -594,4 +594,94 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("srpGeometry: the measured scale rule, pinned") {
+    // sf0.1 regime (n=2000): 4 rows/band (16 buckets >= 2000/128), 16
+    // band-OR draws reach 0.92 at tau 0.4 (p^4 = 0.1585), bits floored at
+    // 256 for the Hamming prefilter
+    Similarity.srpGeometry(2000, 0.4) shouldBe
+      Similarity.SrpGeometry(256, 16, 4)
+    // the 10x step ScaleCurve measures (n=20000): rows/band grows with
+    // log n (2^8 buckets), bands absorb the p^r recall cost (the n^rho
+    // term), bits = bands*r rounded to a word
+    Similarity.srpGeometry(20000, 0.4) shouldBe
+      Similarity.SrpGeometry(832, 101, 8)
+    // monotone in n: bucket count tracks corpus size; occupancy bounded
+    var lastR = 0
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L)) {
+      val g = Similarity.srpGeometry(n, 0.4)
+      g.rowsPerBand should be >= lastR
+      lastR = g.rowsPerBand
+      // bucket count tracks n: expected occupancy stays <= 128 rows/bucket
+      // (the floor r=4 only ever applies below 16*128 rows)
+      assert((1L << g.rowsPerBand) * 128 >= n,
+        s"occupancy rule violated at n=$n: $g")
+      g.bits should be >= g.bands * g.rowsPerBand
+    }
+    // beyond the SRP-viable regime at tau 0.4 the derivation fails loudly
+    // (bands > 4096) instead of silently exploding the banded shuffle
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpGeometry(100000000L, 0.4)
+    }
+    e.getMessage should include("IVF/PQ")
+  }
+
+  test("fixed-geometry LSH guard fails loudly beyond its declared regime") {
+    // a corpus whose stats-estimated size exceeds 2^4 * 1024 rows under the
+    // default 4-rows-per-band geometry — the silent n^2 cliff ScaleCurve
+    // measured (exp 1.21 at 10x) must now refuse with a pointer to the
+    // derived-geometry path; nothing executes (the guard is plan-time)
+    val emb = spark.range(200000).select(col("id").as("vec_id"),
+      array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshCosinePairs(emb, col("vec_id"), col("embedding"), 0.4,
+        dim = 1)
+    }
+    e.getMessage should include("lshCosinePairsAuto")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.lshCosineTopK(emb, col("vec_id"), col("embedding"),
+        Seq(0L), 5, dim = 1)
+    }
+    e2.getMessage should include("lshCosineTopKAuto")
+    // raising the cap deliberately (the maxDays pattern) is the escape
+    noException should be thrownBy Similarity.lshCosinePairs(emb,
+      col("vec_id"), col("embedding"), 0.4, dim = 1,
+      maxRowsPerBucket = Int.MaxValue)
+  }
+
+  test("band chunks straddling word boundaries match a driver-side " +
+    "re-extraction (rowsPerBand not dividing 64)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (bits, bands, rpb) = (128, 21, 6) // bands 10.. straddle bit 60..66
+    val rows = Similarity.bandedSignatures(emb, col("vec_id"),
+        col("embedding"), bits, bands, rpb, dim = 64)._2
+      .select("cid", "sig", "band", "chunk").collect()
+    rows.nonEmpty shouldBe true
+    val mask = (1L << rpb) - 1
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](1)
+      val j = r.getInt(2)
+      val (word, off) = ((j * rpb) / 64, (j * rpb) % 64)
+      val lo = sig(word) >>> off
+      val expect =
+        (if (off + rpb <= 64) lo
+         else lo | (sig(word + 1) << (64 - off))) & mask
+      r.getLong(3) shouldBe expect
+    }
+  }
+
+  test("derived-geometry LSH pairs: recall >= 0.9 and precision 1.0 vs " +
+    "exact at sf0.1 (tau 0.4)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.4))
+    val auto = pairs(Similarity.lshCosinePairsAuto(emb, col("vec_id"),
+      col("embedding"), 0.4, corpusSize = 2000))
+    val recall = (exact intersect auto).size.toDouble / exact.size
+    recall should be >= 0.9
+    (auto diff exact) shouldBe empty // exact rerank: no false positives
+  }
 }

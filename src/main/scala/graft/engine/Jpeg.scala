@@ -610,6 +610,11 @@ object Jpeg {
             k += 1
           }
           require(placed || s == 0, "AC refinement run past end of band")
+          // a ZRL (r=15, s=0) whose 16 zero-history slots don't fit the
+          // band is the same desync acFirst rejects explicitly — without
+          // this check the loop exits at se with the run half-consumed and
+          // the stream decodes garbage instead of failing loudly
+          require(placed || s != 0 || r < 0, "ZRL past end of band")
         }
       }
     }

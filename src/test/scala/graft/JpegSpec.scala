@@ -680,6 +680,36 @@ class JpegSpec extends AnyFunSuite with Matchers {
     Jpeg.jpegImage(good).width shouldBe 16
   }
 
+  test("progressive AC refinement: a ZRL overrunning the band end fails " +
+    "loudly instead of desyncing (ADVICE r11)") {
+    // one grayscale block; scan script: DC first → AC first [1,10] at Al=1
+    // all-zero (EOB0) → AC refinement [1,10] whose first symbol is ZRL —
+    // 16 zero-history slots cannot fit a 10-coefficient band, the exact
+    // overrun acFirst already rejects on its side
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xdb, dqt(0, 16))
+    seg(out, 0xc2, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(out, 0xc4, Seq(0x00) ++ DcBits ++ DcVals ++
+      Seq(0x10) ++ (Seq(0, 2) ++ Seq.fill(14)(0)) ++ Seq(0x00, 0xf0))
+    // scan 1: DC first, Al=0
+    seg(out, 0xda, Seq(1, 1, 0x00, 0, 0, 0x00))
+    val bw1 = new Bw; putDc(bw1, 8); bw1.flush()
+    out.write(bw1.out.toByteArray)
+    // scan 2: AC first [1,10], Al=1 — all zero: one EOB0 (code 00)
+    seg(out, 0xda, Seq(1, 1, 0x00, 1, 10, 0x01))
+    val bw2 = new Bw; bw2.put(0, 2); bw2.flush()
+    out.write(bw2.out.toByteArray)
+    // scan 3: AC refinement [1,10], Ah=1 Al=0 — ZRL (code 01) overruns
+    seg(out, 0xda, Seq(1, 1, 0x00, 1, 10, 0x10))
+    val bw3 = new Bw; bw3.put(1, 2); bw3.flush()
+    out.write(bw3.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    intercept[IllegalArgumentException] {
+      Jpeg.jpegImage(out.toByteArray)
+    }.getMessage should include("ZRL past end of band")
+  }
+
   test("features + dispatcher: JPEG payloads route through the sniffing " +
     "media decoder; resize refuses the decode-only container loudly") {
     val payload = Jpeg.syntheticJpeg(3L, 8, 8, channels = 1)

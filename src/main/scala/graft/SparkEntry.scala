@@ -194,18 +194,38 @@ object SparkEntry {
   }
 
   /** Container-variant synthetic-PNG media frame shared by the PNG queries
-    * (q_media_png / q_media_png_resize): one valid 8-bit PNG per doc —
-    * ids cycling grayscale/RGB/RGBA (each exercising all five filter
+    * (q_media_png / q_media_png_resize): one valid PNG per doc — ids
+    * cycling grayscale/RGB/RGBA (each exercising all five filter
     * predictors) and, every 4th id, a PALETTE (color-type-3) payload with
     * a seeded 16-color table, half of those carrying a tRNS alpha chunk —
-    * the full decode matrix through the production rows-only path. */
+    * the full decode matrix through the production rows-only path. Since
+    * r12 the mix also cycles the two new decode classes: 16-BIT samples
+    * (plain grayscale at id%8==4; RGBA sixteen-bit AND Adam7-interlaced
+    * at id%8==6) and Adam7 INTERLACE (8-bit RGB at id%8==5; every other
+    * palette payload). */
   private def pngMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      def seeded16(n: Int): Array[Int] = Array.tabulate(n)(i =>
+        ((java.lang.Long.rotateLeft(id * 0x9e3779b97f4a7c15L + 11,
+          i % 57) >>> (i % 13)) & 0xffff).toInt)
       val payload = (id % 4) match {
-        case 0 => Multimodal.Decoders.syntheticPng(id, channels = 1)
-        case 1 => Multimodal.Decoders.syntheticPng(id, channels = 3)
-        case 2 => Multimodal.Decoders.syntheticPng(id, channels = 4)
+        case 0 =>
+          if (id % 8 == 4)
+            Multimodal.Decoders.png16FromSamples(6, 5, 1, seeded16(30))
+          else Multimodal.Decoders.syntheticPng(id, channels = 1)
+        case 1 =>
+          if (id % 8 == 5)
+            Multimodal.Decoders.pngFromPixels(6, 5, 3,
+              Array.tabulate(90)(i => (java.lang.Long.rotateLeft(
+                id * 0x9e3779b97f4a7c15L, i % 61) >>> (i % 7)).toByte),
+              interlaced = true)
+          else Multimodal.Decoders.syntheticPng(id, channels = 3)
+        case 2 =>
+          if (id % 8 == 6)
+            Multimodal.Decoders.png16FromSamples(6, 5, 4, seeded16(120),
+              interlaced = true)
+          else Multimodal.Decoders.syntheticPng(id, channels = 4)
         case _ =>
           val pal = Array.tabulate(48)(j => (java.lang.Long.rotateLeft(
             id * 0x9e3779b97f4a7c15L, j % 61) >>> (j % 7)).toByte)
@@ -214,7 +234,8 @@ object SparkEntry {
           val alpha = if (id % 8 == 3)
             Some(Array.tabulate(9)(a => (a * 28 + 3).toByte)) else None
           Multimodal.Decoders.palettePng(6, 5, pal, idx, alpha,
-            bitDepth = if (id % 8 == 7) 4 else 8)
+            bitDepth = if (id % 8 == 7) 4 else 8,
+            interlaced = id % 16 >= 8)
       }
       Multimodal.MediaRecord(id, "image", payload)
     }.toDF()
@@ -223,7 +244,10 @@ object SparkEntry {
   /** Law-pixel PNG media shared by the fixed-model PNG twins
     * (q_png_fixed / q_png_resize_fixed): one valid 8×4 filter-0 PNG per
     * doc, channels cycling 1/3/4, every sample a pure SQL-expressible
-    * integer function of (doc_id, interleaved index). */
+    * integer function of (doc_id, interleaved index). Every 5th id lays
+    * the SAME samples out as the seven Adam7 passes (NEW r12) — decoded
+    * pixels are identical by law, so the one oracle pins the interlaced
+    * deinterlace with zero oracle churn (the r11 depth-4 trick). */
   private def pngLawMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -236,7 +260,8 @@ object SparkEntry {
       Multimodal.MediaRecord(id, "image",
         Multimodal.Decoders.pngFromPixels(8, 4, ch.toInt,
           Array.tabulate(n)(i =>
-            (((id * 2654435761L + i * 2246822519L) / 8) % 256).toByte)))
+            (((id * 2654435761L + i * 2246822519L) / 8) % 256).toByte),
+          interlaced = id % 5 == 0))
     }.toDF()
   }
 
@@ -2253,10 +2278,12 @@ object SparkEntry {
     // RGB and the RGBA/alpha-default paths are cross-engine pinned),
     // assembled into REAL palette PNGs and decoded through the real
     // Inflater + unfilter + PLTE/tRNS expansion. Every 3rd id packs the
-    // SAME indices at bit depth 4 (MSB-first sub-8 scanlines) — decoded
-    // pixels are identical by law, so the one oracle pins the sub-8
-    // unpacking too: a packing bug diverges exactly those ids. 32 px ⇒
-    // sums/32 exact at 6dp (power-of-two denominator rule)
+    // SAME indices at bit depth 4 (MSB-first sub-8 scanlines) and every
+    // 5th lays them out Adam7-interlaced (NEW r12) — decoded pixels are
+    // identical by law, so the one oracle pins the sub-8 unpacking AND
+    // the deinterlace too: a packing or pass-layout bug diverges exactly
+    // those ids. 32 px ⇒ sums/32 exact at 6dp (power-of-two denominator
+    // rule)
     "q_png_palette_fixed" -> ((s, d) => {
       import s.implicits._
       val palette = Array.tabulate(24)(j =>
@@ -2270,7 +2297,8 @@ object SparkEntry {
           else None
         Multimodal.MediaRecord(id, "image",
           Multimodal.Decoders.palettePng(8, 4, palette, idx, alpha,
-            bitDepth = if (id % 3 == 0) 4 else 8))
+            bitDepth = if (id % 3 == 0) 4 else 8,
+            interlaced = id % 5 == 0))
       }.toDF()
       Multimodal.extractFeatures(media, Multimodal.Decoders.media)
         .select(col("media_id"),
@@ -2308,6 +2336,43 @@ object SparkEntry {
           element_at(col("feature"), 2).cast("long").as("height"),
           element_at(col("feature"), 3).cast("long").as("channels"),
           element_at(col("feature"), 4).as("mean_c1"))
+    }),
+
+    // fixed-model twin of the 16-BIT PNG path (NEW r12 — VERDICT r11
+    // missing #4): samples follow a SQL-expressible integer law in
+    // [0, 65535], assembled into REAL 16-bit PNGs (big-endian two-byte
+    // samples, real zlib + CRCs) and decoded through the real path; the
+    // decoder's declared scaling law is sample8 = sample16 >> 8, which
+    // the oracle replays as // 256. Channels cycle 1/3/4; every other id
+    // lays the SAME samples out Adam7-interlaced (identical pixels by
+    // law — the palette-oracle trick, so this one oracle pins 16-bit
+    // interlace too). 32 px/channel ⇒ sums/32 exact at 6dp
+    "q_png16_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val ch = (id % 3) match {
+          case 0 => 1
+          case 1 => 3
+          case _ => 4
+        }
+        val samples = Array.tabulate(8 * 4 * ch.toInt)(i =>
+          (((id * 2654435761L + i * 2246822519L) / 8) % 65536).toInt)
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.Decoders.png16FromSamples(8, 4, ch.toInt, samples,
+            interlaced = id % 2 == 1))
+      }.toDF()
+      Multimodal.extractFeatures(media, Multimodal.Decoders.media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("width"),
+          element_at(col("feature"), 2).cast("long").as("height"),
+          element_at(col("feature"), 3).cast("long").as("channels"),
+          element_at(col("feature"), 4).as("mean_c1"),
+          when(size(col("feature")) >= 5, element_at(col("feature"), 5))
+            .as("mean_c2"),
+          when(size(col("feature")) >= 6, element_at(col("feature"), 6))
+            .as("mean_c3"),
+          when(size(col("feature")) >= 7, element_at(col("feature"), 7))
+            .as("mean_c4"))
     }),
 
     // fixed twin of the HLL rollup mechanism (NEW r11 — VERDICT r10 #7,
@@ -5183,6 +5248,29 @@ object SparkEntry {
                   WHEN idx < 5 THEN (idx*29 + 7) % 256
                   ELSE 255 END AS val
            FROM chan),
+         m AS (SELECT doc_id, ch, c, SUM(val) / 32.0 AS mean
+               FROM v GROUP BY 1, 2, 3)
+         SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+           round(MAX(CASE WHEN c = 0 THEN mean END), 6) AS mean_c1,
+           round(MAX(CASE WHEN c = 1 THEN mean END), 6) AS mean_c2,
+           round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3,
+           round(MAX(CASE WHEN c = 3 THEN mean END), 6) AS mean_c4
+         FROM m GROUP BY 1, 2, 3, 4""",
+    // fixed-model 16-BIT PNG oracle: regenerate the 16-bit sample law and
+    // apply the decoder's declared scaling (sample8 = sample16 >> 8,
+    // replayed as // 256 — both truncate on these nonnegative values);
+    // interlaced ids decode to the same pixels by construction, so one
+    // oracle covers both layouts
+    "q_png16_fixed" ->
+      """WITH docs AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+           FROM documents),
+         px AS (SELECT doc_id, ch, unnest(range(0, 32 * ch)) AS i FROM docs),
+         v AS (SELECT doc_id, ch, i % ch AS c,
+             (((doc_id*2654435761 + i*2246822519) // 8) % 65536) // 256
+               AS val FROM px),
          m AS (SELECT doc_id, ch, c, SUM(val) / 32.0 AS mean
                FROM v GROUP BY 1, 2, 3)
          SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,

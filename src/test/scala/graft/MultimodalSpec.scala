@@ -291,20 +291,29 @@ class MultimodalSpec extends SparkSpec {
     feats.take(3).toSeq shouldBe Seq(5.0, 5.0, 3.0)
   }
 
-  test("pngImage loud failures: 16-bit, interlace, palette, bad CRC, " +
-    "filter-type garbage, truncated and over-long pixel streams") {
+  test("pngImage loud failures: 16-bit palette, bad interlace method, " +
+    "palette sans PLTE, bad CRC, filter-type garbage, truncated and " +
+    "over-long pixel streams") {
     val good = Array[Byte](0, 10, 20, 0, 30, 40) // 2×2 gray, None filters
     def px(bitDepth: Int = 8, colorType: Int = 0, interlace: Int = 0,
            filtered: Array[Byte] = good) =
       pngOf(2, 2, bitDepth, colorType, interlace, filtered)
     Multimodal.Decoders.pngImage(px()).pixels.map(_ & 0xff).toSeq shouldBe
       Seq(10, 20, 30, 40)
+    // 16-bit DECODES since r12 (high byte; see the 16-bit spec below) —
+    // but the spec forbids it for palette images, and so do we
     intercept[IllegalArgumentException] {
-      Multimodal.Decoders.pngImage(px(bitDepth = 16))
-    }.getMessage should include("8-bit")
+      Multimodal.Decoders.pngImage(px(bitDepth = 16, colorType = 3))
+    }.getMessage should include("not supported")
+    // Adam7 DECODES since r12; interlace METHODS beyond 0/1 refuse
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.pngImage(px(interlace = 2))
+    }.getMessage should include("interlace method")
+    // a sequential-layout stream under an interlace=1 header is length-
+    // mismatched against the Adam7 pass geometry — loud, never garbage
     intercept[IllegalArgumentException] {
       Multimodal.Decoders.pngImage(px(interlace = 1))
-    }.getMessage should include("interlaced")
+    }
     // color type 3 DECODES since r11 — but only with its PLTE present
     // (this fixture has none, so it must still be loud)
     intercept[IllegalArgumentException] {
@@ -892,5 +901,178 @@ class MultimodalSpec extends SparkSpec {
     top(3) shouldBe (10 + 50) / 2.0  // mean R of the top row only
     top(4) shouldBe (20 + 60) / 2.0
     top(5) shouldBe (30 + 70) / 2.0
+  }
+
+  test("Adam7 interlaced PNG (NEW r12): hand-built pass layout — filters " +
+    "reset per pass, samples deinterlace to their sequential positions") {
+    // 3×3 grayscale, pixel (x,y) = y*3+x+1; non-empty Adam7 passes and
+    // their pixels (W3C PNG §8.2): p1 (0,0); p4 (2,0); p5 (0,2),(2,2);
+    // p6 (1,0),(1,2); p7 row y=1. Pass rows carry their OWN filters:
+    // p6's second row uses Up (predecessor = p6's first row, NOT the
+    // image row above), p7 uses Sub — a decoder that runs filters across
+    // pass boundaries or in image order gets different pixels
+    val filtered = Array[Byte](
+      0, 1,          // p1: (0,0)=1
+      0, 3,          // p4: (2,0)=3
+      0, 7, 9,       // p5: (0,2)=7 (2,2)=9
+      0, 2,          // p6 row 0: (1,0)=2
+      2, 6,          // p6 row 1 (Up): 2+6=8 → (1,2)
+      1, 4, 1, 1)    // p7 (Sub): 4, 4+1=5, 5+1=6 → row y=1
+    val img = Multimodal.Decoders.pngImage(pngOf(3, 3, 8, 0, 1, filtered))
+    (img.width, img.height, img.channels) shouldBe ((3, 3, 1))
+    img.pixels.map(_ & 0xff).toSeq shouldBe (1 to 9)
+  }
+
+  test("interlaced assemblers round-trip: pngFromPixels / palettePng " +
+    "(8-bit and packed sub-8) / png16FromSamples decode to EXACTLY their " +
+    "sequential twins — interlacing is layout-only") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val px = Array.tabulate(9 * 6 * ch)(i => fuzzByte(31L + ch, i).toByte)
+      val seqImg = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.pngFromPixels(9, 6, ch, px))
+      val intImg = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.pngFromPixels(9, 6, ch, px, interlaced = true))
+      withClue(s"ch=$ch: ") {
+        (intImg.width, intImg.height, intImg.channels) shouldBe
+          ((seqImg.width, seqImg.height, seqImg.channels))
+        intImg.pixels.toSeq shouldBe seqImg.pixels.toSeq
+      }
+    }
+    val pal = Array.tabulate(24)(j => ((j * 41 + 5) % 256).toByte)
+    val idx = Array.tabulate(9 * 6)(i => (fuzzByte(77L, i) % 8).toByte)
+    val alpha = Some(Array.tabulate(5)(a => (a * 40 + 11).toByte))
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val nColors = math.min(8, 1 << depth)
+      val p = pal.take(nColors * 3)
+      val a = alpha.map(_.take(math.min(5, nColors)))
+      val d = if (depth < 4) idx.map(i => (i % (1 << depth)).toByte) else idx
+      val s = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.palettePng(9, 6, p, d, a, depth))
+      val i = Multimodal.Decoders.pngImage(Multimodal.Decoders.palettePng(
+        9, 6, p, d, a, depth, interlaced = true))
+      withClue(s"palette depth=$depth: ") {
+        i.channels shouldBe 4
+        i.pixels.toSeq shouldBe s.pixels.toSeq
+      }
+    }
+    val s16 = Array.tabulate(9 * 6 * 3)(i =>
+      (fuzzByte(5L, i) << 8) | fuzzByte(6L, i))
+    val a16 = Multimodal.Decoders.pngImage(
+      Multimodal.Decoders.png16FromSamples(9, 6, 3, s16))
+    val b16 = Multimodal.Decoders.pngImage(
+      Multimodal.Decoders.png16FromSamples(9, 6, 3, s16, interlaced = true))
+    a16.pixels.toSeq shouldBe b16.pixels.toSeq
+  }
+
+  test("16-bit PNG (NEW r12): decodes by the declared high-byte law " +
+    "(sample8 = sample16 >> 8) at every color type; 9-bit-boundary " +
+    "values land on the right side") {
+    // hand-built 2×2 gray-16, Up filter on row 2: per-byte addition over
+    // the two-byte samples — 0x1234+0x0100=0x1334, 0x5678+0x0100=0x5778,
+    // so the decoded high bytes step 0x12→0x13, 0x56→0x57
+    val filtered = Array[Byte](
+      0, 0x12, 0x34, 0x56.toByte, 0x78,
+      2, 0x01, 0x00, 0x01, 0x00)
+    val img = Multimodal.Decoders.pngImage(pngOf(2, 2, 16, 0, 0, filtered))
+    (img.width, img.height, img.channels) shouldBe ((2, 2, 1))
+    img.pixels.map(_ & 0xff).toSeq shouldBe Seq(0x12, 0x56, 0x13, 0x57)
+    // assembler round-trip at all channel counts: decoded byte == s >> 8
+    // (boundary pair 0x00ff → 0, 0x0100 → 1 pins the law, not a rescale)
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val s = Array.tabulate(5 * 4 * ch) {
+        case 0 => 0x00ff
+        case 1 => 0x0100
+        case i => (fuzzByte(13L + ch, i) << 8) | fuzzByte(14L + ch, i)
+      }
+      val img2 = Multimodal.Decoders.pngImage(
+        Multimodal.Decoders.png16FromSamples(5, 4, ch, s))
+      withClue(s"ch=$ch: ") {
+        img2.channels shouldBe ch
+        img2.pixels.map(_ & 0xff).toSeq shouldBe s.map(_ >> 8).toSeq
+      }
+    }
+  }
+
+  test("interlaced + 16-bit PNG fuzz vs ImageIO, both directions") {
+    import java.awt.image.BufferedImage
+    // direction 1: ImageIO WRITES Adam7 (progressive mode) → we decode
+    val types = Seq(
+      (BufferedImage.TYPE_BYTE_GRAY, 1),
+      (BufferedImage.TYPE_3BYTE_BGR, 3),
+      (BufferedImage.TYPE_INT_ARGB, 4))
+    for (seed <- 1L to 6L; (biType, channels) <- types) {
+      val w = 4 + (seed % 9).toInt
+      val h = 3 + (seed % 8).toInt
+      val bi = new BufferedImage(w, h, biType)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setPixel(x, y,
+          Array.tabulate(channels)(c => fuzzByte(seed, (y * w + x) *
+            channels + c)))
+      val out = new java.io.ByteArrayOutputStream()
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      writer.setOutput(mos)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      mos.close(); writer.dispose()
+      val payload = out.toByteArray
+      // confirm the stream really is interlaced (IHDR interlace byte = 1)
+      val ihdrOff = payload.indexOfSlice("IHDR".getBytes("US-ASCII").toSeq)
+      (payload(ihdrOff + 16) & 0xff) shouldBe 1
+      val decoded = Multimodal.Decoders.pngImage(payload)
+      withClue(s"seed=$seed ch=$channels: ") {
+        (decoded.width, decoded.height, decoded.channels) shouldBe
+          ((w, h, channels))
+        val px = new Array[Int](channels)
+        for (y <- 0 until h; x <- 0 until w) {
+          bi.getRaster.getPixel(x, y, px)
+          for (c <- 0 until channels)
+            withClue(s"($x,$y) band $c: ") {
+              (decoded.pixels((y * w + x) * channels + c) & 0xff) shouldBe
+                px(c)
+            }
+        }
+      }
+    }
+    // direction 2: OUR interlaced stream → ImageIO reads it back
+    val px8 = Array.tabulate(9 * 6 * 3)(i => fuzzByte(21L, i).toByte)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.Decoders.pngFromPixels(9, 6, 3, px8, interlaced = true)))
+    (back.getWidth, back.getHeight) shouldBe ((9, 6))
+    val p = new Array[Int](3)
+    for (y <- 0 until 6; x <- 0 until 9) {
+      back.getRaster.getPixel(x, y, p)
+      withClue(s"($x,$y): ") {
+        p.toSeq shouldBe (0 until 3).map(c =>
+          px8((y * 9 + x) * 3 + c) & 0xff)
+      }
+    }
+    // direction 1, 16-bit: ImageIO writes TYPE_USHORT_GRAY → we decode
+    // to the high byte of each raster sample
+    val g16 = new BufferedImage(7, 5, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 5; x <- 0 until 7)
+      g16.getRaster.setSample(x, y, 0,
+        (fuzzByte(3L, y * 7 + x) << 8) | fuzzByte(4L, y * 7 + x))
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g16, "png", out16) shouldBe true
+    val dec16 = Multimodal.Decoders.pngImage(out16.toByteArray)
+    (dec16.width, dec16.height, dec16.channels) shouldBe ((7, 5, 1))
+    for (y <- 0 until 5; x <- 0 until 7)
+      withClue(s"($x,$y): ") {
+        (dec16.pixels(y * 7 + x) & 0xff) shouldBe
+          (g16.getRaster.getSample(x, y, 0) >> 8)
+      }
+    // direction 2, 16-bit: OUR 16-bit stream → ImageIO raster samples
+    val s16 = Array.tabulate(7 * 5)(i =>
+      (fuzzByte(8L, i) << 8) | fuzzByte(9L, i))
+    val back16 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        Multimodal.Decoders.png16FromSamples(7, 5, 1, s16)))
+    for (y <- 0 until 5; x <- 0 until 7)
+      withClue(s"($x,$y): ") {
+        back16.getRaster.getSample(x, y, 0) shouldBe s16(y * 7 + x)
+      }
   }
 }

@@ -1075,4 +1075,127 @@ class MultimodalSpec extends SparkSpec {
         back16.getRaster.getSample(x, y, 0) shouldBe s16(y * 7 + x)
       }
   }
+
+  test("GIF89a GCE transparency (NEW r12): transparent-index pixels keep " +
+    "their palette RGB and carry alpha 0; the GCE covers exactly one " +
+    "image; out-of-table transparent index is legal") {
+    val idx = Array(0, 1, 2, 3, 1, 1, 2, 0, 3, 3, 0, 2, 1, 0, 2, 3)
+    // frame 0 declares index 1 transparent, frame 1 has NO GCE — it must
+    // decode plain RGB (a decoder that lets the GCE leak across images
+    // comes back 4-channel here)
+    val gif = Multimodal.Decoders.gif89FromIndices(4, 4,
+      Seq(idx, idx), Seq(Some(1), None))
+    val frames = Multimodal.Decoders.gif87Frames(gif)
+    frames.map(_.channels) shouldBe Seq(4, 3)
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val f0 = frames.head
+    for (i <- 0 until 16) withClue(s"pixel $i (index ${idx(i)}): ") {
+      val (r, g, b) = palette(idx(i))
+      (f0.rgb(4 * i) & 0xff, f0.rgb(4 * i + 1) & 0xff,
+        f0.rgb(4 * i + 2) & 0xff) shouldBe ((r, g, b))
+      (f0.rgb(4 * i + 3) & 0xff) shouldBe (if (idx(i) == 1) 0 else 255)
+    }
+    // transparent index beyond the 4-color table: legal per the spec —
+    // no pixel matches it, so everything is opaque (and nothing throws)
+    val outside = Multimodal.Decoders.gif87Frames(
+      Multimodal.Decoders.gif89FromIndices(4, 4, Seq(idx), Seq(Some(7))))
+    outside.head.channels shouldBe 4
+    (0 until 16).foreach(i =>
+      (outside.head.rgb(4 * i + 3) & 0xff) shouldBe 255)
+  }
+
+  test("interlaced GIF (NEW r12): four-pass row permutation is POSITION-" +
+    "SENSITIVE — interlaced decode equals the sequential decode pixel by " +
+    "pixel on an asymmetric frame") {
+    // 4×8 reaches all four passes (rows 0,8.. / 4.. / 2,6.. / odd); one
+    // distinct value per row makes any wrong permutation visible
+    val idx = Array.tabulate(32)(i => (i / 4) % 4)
+    val seqF = Multimodal.Decoders.gif87Frames(
+      Multimodal.Decoders.gif89FromIndices(4, 8, Seq(idx), Seq(None))).head
+    val intF = Multimodal.Decoders.gif87Frames(
+      Multimodal.Decoders.gif89FromIndices(4, 8, Seq(idx), Seq(None),
+        interlaced = true)).head
+    (intF.width, intF.height, intF.channels) shouldBe ((4, 8, 3))
+    intF.rgb.toSeq shouldBe seqF.rgb.toSeq
+    // and the sequential decode really is the index law (not just equal
+    // to another wrong layout)
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    for (i <- 0 until 32)
+      (seqF.rgb(3 * i) & 0xff, seqF.rgb(3 * i + 1) & 0xff,
+        seqF.rgb(3 * i + 2) & 0xff) shouldBe palette(idx(i))
+  }
+
+  test("GIF fuzz vs ImageIO, both directions: transparency and interlace") {
+    import java.awt.image.BufferedImage
+    val idx = Array.tabulate(32)(i => (i * 7 + 3) % 4)
+    // ours (GCE transparency) → ImageIO: alpha 0 exactly at the
+    // transparent index, our palette colors elsewhere
+    val gif = Multimodal.Decoders.gif89FromIndices(4, 8, Seq(idx.toArray),
+      Seq(Some(2)))
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gif))
+    (bi.getWidth, bi.getHeight) shouldBe ((4, 8))
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    for (y <- 0 until 8; x <- 0 until 4) {
+      val argb = bi.getRGB(x, y)
+      val i = y * 4 + x
+      withClue(s"($x,$y) index ${idx(i)}: ") {
+        ((argb >>> 24) & 0xff) shouldBe (if (idx(i) == 2) 0 else 255)
+        if (idx(i) != 2) {
+          val (r, g, b) = palette(idx(i))
+          (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)) shouldBe
+            ((r, g, b))
+        }
+      }
+    }
+    // ours (interlaced) → ImageIO: pixel-exact
+    val gifI = Multimodal.Decoders.gif89FromIndices(4, 8, Seq(idx.toArray),
+      Seq(None), interlaced = true)
+    val biI = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gifI))
+    for (y <- 0 until 8; x <- 0 until 4) {
+      val argb = biI.getRGB(x, y)
+      val (r, g, b) = palette(idx(y * 4 + x))
+      withClue(s"($x,$y): ") {
+        (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)) shouldBe
+          ((r, g, b))
+      }
+    }
+    // ImageIO WRITES (transparent IndexColorModel + progressive/interlaced
+    // mode) → our decode: alpha and row order both pinned from the other
+    // side. TYPE_BYTE_INDEXED with a transparent entry writes a GCE.
+    val cmap = Array(0xff000000, 0xffff0000, 0x0000ff00, 0xff0000ff)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      cmap, 0, true, 2, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new BufferedImage(4, 8, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 8; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, idx(y * 4 + x))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(mos)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    mos.close(); writer.dispose()
+    val payload = out.toByteArray
+    // confirm the writer really interlaced (descriptor flag 0x40)
+    val descOff = payload.indices.find(i =>
+      (payload(i) & 0xff) == 0x2c).get
+    (payload(descOff + 9) & 0x40) shouldBe 0x40
+    val ours = Multimodal.Decoders.gif87Frames(payload).head
+    (ours.width, ours.height, ours.channels) shouldBe ((4, 8, 4))
+    for (y <- 0 until 8; x <- 0 until 4) {
+      val i = y * 4 + x
+      withClue(s"($x,$y) index ${idx(i)}: ") {
+        (ours.rgb(4 * i + 3) & 0xff) shouldBe (if (idx(i) == 2) 0 else 255)
+        if (idx(i) != 2) {
+          val (r, g, b) = palette(idx(i))
+          (ours.rgb(4 * i) & 0xff, ours.rgb(4 * i + 1) & 0xff,
+            ours.rgb(4 * i + 2) & 0xff) shouldBe ((r, g, b))
+        }
+      }
+    }
+  }
 }

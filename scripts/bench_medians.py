@@ -45,9 +45,17 @@ def main():
         ((q, s["max"] / s["min"]) for q, s in queries.items() if s["min"] > 0),
         key=lambda x: x[1],
     )
+    # machine calibration anchors (r12): medians of the fixed splitmix64
+    # loop timings across the envelope runs — a later round divides its
+    # own calib by these to separate machine drift from code change
+    calib = {
+        k: round(statistics.median([r[k] for r in runs if k in r]), 3)
+        for k in sorted({k for r in runs for k in r if k.startswith("calib_")})
+    }
     doc = {
         "runs": len(runs),
         "run_totals": [round(r["value"], 3) for r in runs],
+        **({"calib": calib} if calib else {}),
         "sum_of_medians": round(
             sum(queries[q]["median"] for q in latest), 3
         ),

@@ -123,49 +123,111 @@ object Bench {
     priorVerdictsNewestFirst
       .takeWhile(_.get(name).contains("environment")).size
 
-  /** Per-query verdict maps from committed BENCH_r*.json artifacts in
-    * `dir`, newest round first. The driver wraps the headline line under
-    * a `parsed` node and caps its inline outlier list at the 3 worst — so
-    * the streak a reader can reconstruct from committed artifacts covers
-    * the WORST offenders, which are exactly the ones worth escalating.
-    * Unreadable dir/files → empty (streaks then start at this run — the
-    * bench must keep producing its number even when the repo layout
-    * changes under it). */
-  def loadPriorVerdicts(dir: String = "."): Seq[Map[String, String]] =
+  /** The round this bench run belongs to: SPARK_GRAFT_ROUND when the
+    * caller knows it, else 1 + the highest committed BENCH_r*.json — a
+    * finished round's artifact is by definition prior. Used to name the
+    * full-outlier sidecar and to EXCLUDE any artifact of the in-flight
+    * round from streak reconstruction (ADVICE r11: a second bench run in
+    * the same round must not count the round's own artifact as a
+    * prior). */
+  def currentRound(dir: String = "."): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+      1 + committedRounds(dir, "BENCH_r(\\d+)\\.json".r)
+        .map(_._1).maxOption.getOrElse(0)
+    }
+
+  private def committedRounds(dir: String,
+                              rx: scala.util.matching.Regex): Seq[(Int, java.io.File)] =
+    try {
+      new java.io.File(dir).listFiles().toSeq.flatMap { f =>
+        f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Per-query verdict maps from committed artifacts in `dir`, newest
+    * round first, rounds >= `before` excluded (see [[currentRound]]).
+    * Each round merges its BENCH_r<n>.json — whose driver-parsed headline
+    * caps the inline outlier list at the 3 worst — with the FULL
+    * BENCH_OUTLIERS_r<n>.json sidecar this bench writes (VERDICT r11 #5:
+    * without it, streaks for lesser repeat offenders were invisible to
+    * the escalation rule). Unreadable dir/files → empty (streaks then
+    * start at this run — the bench must keep producing its number even
+    * when the repo layout changes under it). */
+  def loadPriorVerdicts(dir: String = ".",
+                        before: Int = Int.MaxValue): Seq[Map[String, String]] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val rx = "BENCH_r(\\d+)\\.json".r
-      new java.io.File(dir).listFiles().toSeq
-        .flatMap { f =>
-          f.getName match {
-            case rx(n) => Some((n.toInt, f))
-            case _ => None
-          }
-        }
-        .sortBy(-_._1)
-        .map { case (_, f) =>
-          try {
-            val root = om.readTree(f)
-            val outs0 = if (root == null) null else root.get("outliers")
-            val outs =
-              if (outs0 != null) outs0
-              else if (root != null && root.get("parsed") != null)
-                root.get("parsed").get("outliers")
-              else null
-            if (outs == null || !outs.isArray) Map.empty[String, String]
-            else {
-              val b = Map.newBuilder[String, String]
-              val it = outs.elements()
-              while (it.hasNext) {
-                val o = it.next()
-                val n = o.get("name"); val v = o.get("verdict")
-                if (n != null && v != null) b += n.asText() -> v.asText()
-              }
-              b.result()
+      def verdictsOf(f: java.io.File): Map[String, String] =
+        try {
+          val root = om.readTree(f)
+          val outs0 = if (root == null) null else root.get("outliers")
+          val outs =
+            if (outs0 != null) outs0
+            else if (root != null && root.get("parsed") != null)
+              root.get("parsed").get("outliers")
+            else null
+          if (outs == null || !outs.isArray) Map.empty[String, String]
+          else {
+            val b = Map.newBuilder[String, String]
+            val it = outs.elements()
+            while (it.hasNext) {
+              val o = it.next()
+              val n = o.get("name"); val v = o.get("verdict")
+              if (n != null && v != null) b += n.asText() -> v.asText()
             }
-          } catch { case _: Exception => Map.empty[String, String] }
+            b.result()
+          }
+        } catch { case _: Exception => Map.empty[String, String] }
+      val main = committedRounds(dir, "BENCH_r(\\d+)\\.json".r)
+        .filter(_._1 < before).toMap
+      val side = committedRounds(dir, "BENCH_OUTLIERS_r(\\d+)\\.json".r)
+        .filter(_._1 < before).toMap
+      (main.keySet ++ side.keySet).toSeq.sorted(Ordering.Int.reverse)
+        .map { n =>
+          main.get(n).map(verdictsOf).getOrElse(Map.empty) ++
+            side.get(n).map(verdictsOf).getOrElse(Map.empty)
         }
     } catch { case _: Exception => Seq.empty }
+
+  /** Deterministic CPU calibration anchor (VERDICT r11 wrong #1 / next
+    * #4): `threads` workers each run `iters` rounds of a fixed 64-bit
+    * mix (splitmix64 finalizer — public constant from Steele et al.);
+    * returns wall seconds. The workload never changes, so the ratio of
+    * two rounds' `calib_*` values IS the machine-speed drift between
+    * them — the r11 adjudication (unchanged r9 tree +29% on a different
+    * day) would have shown up here as ~1.29× instead of reading as an
+    * unexplained envelope regression. 1-thread anchors single-core speed;
+    * a full-width run anchors whole-machine throughput under the same
+    * contention the suite runs with. The fold is consumed by a
+    * side-effect check so the loop cannot be dead-code-eliminated. */
+  def calibrate(threads: Int, iters: Long = 200_000_000L): Double = {
+    require(threads >= 1 && iters >= 1)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    def work(seed: Long): Long = {
+      var acc = seed
+      var i = 0L
+      while (i < iters) {
+        var z = acc + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        acc = z ^ (z >>> 31)
+        i += 1
+      }
+      acc
+    }
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => { sink.addAndGet(work(k.toLong)); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    require(sink.get() != 42L) // consume the fold; never true in practice
+    dt
+  }
 
   /** The exoneration half of self-adjudication (r9; VERDICT r8 "missing
     * #1"): [[adjudicate]] can FLAG an environment-inflated sample but not
@@ -310,6 +372,11 @@ object Bench {
     // "idle" claims must be machine-checkable, not loadavg folklore)
     val loadStart = systemLoad()
     val cpuStart = readCpuStat()
+    // machine calibration anchor, taken before the suite warms anything:
+    // a fixed splitmix64 loop at 1 thread and at suite width — cross-round
+    // sums become normalizable by the calib ratio (VERDICT r11 wrong #1)
+    val calib1t = calibrate(1)
+    val calibWide = calibrate(cpus.toInt)
     // Warm-up pass: run every query once unmeasured so Janino codegen
     // compilation and JIT warm-up (observed 3-25× on the heavy near-dup
     // plans) don't bill the measured pass. Steady-state throughput is the
@@ -361,7 +428,8 @@ object Bench {
     val byName = sorted.toMap
     val cooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_RETEST_COOLDOWN_SEC", "20").toLong
-    val priors = loadPriorVerdicts()
+    val round = currentRound()
+    val priors = loadPriorVerdicts(before = round)
     val outlierRows = retestOutliers(
       adjudicate(results, loadEnvelopeMax()),
       name => medianOf3(name, byName(name)),
@@ -379,8 +447,19 @@ object Bench {
     val outliers = outlierJson(outlierRows)
     val nFallbacks =
       if (fallbacks.attached) fallbacks.count.get() else -1L
+    // FULL outlier sidecar for this round (VERDICT r11 #5): committed as
+    // BENCH_OUTLIERS_r<n>.json so loadPriorVerdicts reconstructs streaks
+    // for EVERY flagged query, not just the headline's 3 worst
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"BENCH_OUTLIERS_r$round%02d.json"),
+      (f"""{"round":$round,"outliers":$outliers}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write outlier sidecar: " +
+        e.getMessage)
+    }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
     // The driver captures only a ~2.2 KB tail of stdout, so a single line
     // carrying all ~99 per-query timings truncates mid-object and parses as
     // null (r4/r5 BENCH artifacts). Print the full detail line FIRST (tail
@@ -398,7 +477,7 @@ object Bench {
     // array lives in the detail line and the SPARK_GRAFT_BENCH_OUT file.
     val headOutliers = outlierJson(
       outlierRows.sortBy(r => -(r.got / r.envelopeMax)).take(3))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
     // belt-and-braces for the driver's parser: also drop the JSON in a known
     // file, immune to any logger prefixes on stdout. Overridable so
     // back-to-back runs over different SF dirs don't clobber each other.

@@ -183,4 +183,65 @@ class BenchSpec extends AnyFunSuite with Matchers {
     env.keySet should contain("q_hourly_by_type")
     Bench.loadEnvelopeMax("/nonexistent/of_course.json") shouldBe empty
   }
+
+  test("sidecar merge + in-flight-round exclusion (VERDICT r11 #5 + " +
+    "ADVICE): a NON-top-3 query's streak builds from BENCH_OUTLIERS_r*, " +
+    "and the current round's own artifacts never count as priors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_spec")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes)
+    def cap3(qs: (String, String)*): String = // driver-shape: capped list
+      s"""{"parsed":{"outliers":[${qs.map { case (n, v) =>
+        s"""{"name":"$n","verdict":"$v"}""" }.mkString(",")}]}}"""
+    def full(round: Int, qs: (String, String)*): String =
+      s"""{"round":$round,"outliers":[${qs.map { case (n, v) =>
+        s"""{"name":"$n","verdict":"$v"}""" }.mkString(",")}]}"""
+    // two finished rounds: q_minor is flagged both rounds but never makes
+    // the capped headline — only the sidecars carry it
+    write("BENCH_r01.json", cap3("q_big1" -> "environment",
+      "q_big2" -> "environment", "q_big3" -> "environment"))
+    write("BENCH_OUTLIERS_r01.json", full(1,
+      "q_big1" -> "environment", "q_big2" -> "environment",
+      "q_big3" -> "environment", "q_minor" -> "environment"))
+    write("BENCH_r02.json", cap3("q_big1" -> "environment",
+      "q_big2" -> "environment", "q_big3" -> "environment"))
+    write("BENCH_OUTLIERS_r02.json", full(2,
+      "q_big1" -> "environment", "q_big3" -> "environment",
+      "q_minor" -> "environment"))
+    // the in-flight round's own artifacts (driver committed early / a
+    // second bench run) must be EXCLUDED from priors
+    write("BENCH_r03.json", cap3("q_minor" -> "environment"))
+    write("BENCH_OUTLIERS_r03.json", full(3, "q_minor" -> "environment"))
+    val priors = Bench.loadPriorVerdicts(dir.toString, before = 3)
+    priors.size shouldBe 2
+    // newest first: r02 then r01; q_minor invisible in capped headlines
+    // but streaks through the sidecars
+    Bench.envStreak("q_minor", priors) shouldBe 2
+    // q_big2 is missing from r02's SIDECAR but present in its capped
+    // headline — the merge is headline ∪ sidecar, so the streak holds
+    priors.head.get("q_big2") shouldBe Some("environment")
+    Bench.envStreak("q_big2", priors) shouldBe 2
+    // without the exclusion bound, round 3's artifact would inflate all
+    // streaks by one
+    Bench.envStreak("q_minor",
+      Bench.loadPriorVerdicts(dir.toString)) shouldBe 3
+  }
+
+  test("currentRound: env override wins; else 1 + highest committed " +
+    "BENCH_r*.json; empty dir starts at 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_round_spec")
+    Bench.currentRound(dir.toString) shouldBe 1
+    java.nio.file.Files.write(dir.resolve("BENCH_r07.json"), "{}".getBytes)
+    Bench.currentRound(dir.toString) shouldBe 8
+  }
+
+  test("calibrate: fixed splitmix64 anchor — positive, scales with " +
+    "iteration count, runs at suite width") {
+    val t1 = Bench.calibrate(1, 20_000_000L)
+    t1 should be > 0.0
+    // 16x the work takes measurably longer even under scheduler noise
+    Bench.calibrate(1, 320_000_000L) should be > t1 * 2
+    Bench.calibrate(4, 20_000_000L) should be > 0.0
+    intercept[IllegalArgumentException] { Bench.calibrate(0) }
+  }
 }

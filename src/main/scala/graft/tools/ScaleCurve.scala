@@ -30,7 +30,12 @@ object ScaleCurve {
 
   private val QueryNames = Seq("q_doc_exact_dedup", "q_minhash_pairs",
     "q_simhash_pairs", "q_dedup_clusters_star", "q_embed_dedup_lsh",
-    "q_embed_dedup_lsh_auto", "q_centroid_assign")
+    "q_embed_dedup_lsh_auto", "q_centroid_assign",
+    // r12 (VERDICT r11 stretch #7): one measured row each for the text,
+    // graph, and streaming tiers — the families whose 100 TB stories were
+    // plan-shape arguments only
+    "q_bloom_contamination", "q_repetition_filter", "q_pagerank",
+    "q_stream_hourly")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  factor: Int): Unit = {
@@ -63,6 +68,60 @@ object ScaleCurve {
           slice(col("embedding"), 1, k % dim)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events (streaming tier): per-copy id/user shifts at UNCHANGED
+    // timestamps — ingest-rate growth, the realistic regime (watermarks,
+    // windows and state sizes see x-factor denser hours, not a longer
+    // history). ts is already normalized micros via Tables.events.
+    val ev = graft.engine.Tables.events(spark, baseDir)
+    val evSpan = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userSpan = ev.agg(max("user_id")).head().getLong(0) + 1
+    // a SINGLE FILE like the driver's testdata (the streaming file source
+    // lists files, it does not recurse into a directory-shaped table —
+    // a part-file dir here reads as zero input for the streaming row)
+    val evStage = s"$outDir/_events_stage"
+    (0 until factor).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k.toLong * evSpan))
+        .withColumn("user_id", col("user_id") + lit(k.toLong * userSpan))
+    }.reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(evStage)
+    val part = new java.io.File(evStage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+      f.delete()
+    }
+    rmRec(new java.io.File(s"$outDir/events.parquet"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$outDir/events.parquet"))
+    new java.io.File(evStage).listFiles().foreach(_.delete())
+    new java.io.File(evStage).delete()
+    // TPC-H tier for the graph row: orders/lineitem/customer copies with
+    // FK-consistent key shifts (order and customer key spaces replicate;
+    // suppliers and nations stay shared — hub degree grows with the
+    // corpus, the realistic regime for a supplier-customer graph).
+    // Remaining small dims copy verbatim.
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    val custSpan = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    (0 until factor).map(k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * custSpan)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    val ordSpan = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    (0 until factor).map(k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(k.toLong * custSpan)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until factor).map(k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * ordSpan)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -2381,6 +2381,39 @@ object SparkEntry {
           element_at(col("feature"), 4).as("mean_c1"))
     }),
 
+    // fixed-model twin of the GIF ANIMATION CANVAS semantics (NEW r12):
+    // real animations ship frame 2+ as sub-screen patches — this pins the
+    // composition. A 4x4 screen over the fixed 4-color table: frame 0 is
+    // a full-screen law image; frame 1 is a 2x2 patch at (1,1) whose LAW
+    // transparent index reveals frame 0 underneath, disposal 2 (clear the
+    // rect after snapshot); frame 2 is a 2x2 patch at (2,2) drawn over
+    // the partially-cleared canvas — pixels cleared and not redrawn stay
+    // transparent and count 0 toward every mean. All palette colors are
+    // 0/255 one-hot, so each mean is 255·k/16 — exact at 6dp
+    "q_gif_canvas_fixed" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        def lawA(i: Int) =
+          (((id * 2654435761L + i * 2246822519L) / 8) % 4).toInt
+        def lawB(j: Int) = (((id * 7919L + j * 104729L) / 4) % 4).toInt
+        def lawC(j: Int) = (((id * 15923L + j * 7919L) / 8) % 4).toInt
+        val t1 = (((id * 40503L) / 8) % 4).toInt
+        Multimodal.MediaRecord(id, "video", Multimodal.Decoders.gif89Anim(
+          4, 4, Seq(
+            Multimodal.Decoders.GifPatch(0, 0, 4, 4,
+              Array.tabulate(16)(lawA)),
+            Multimodal.Decoders.GifPatch(1, 1, 2, 2,
+              Array.tabulate(4)(lawB), transparent = Some(t1),
+              disposal = 2),
+            Multimodal.Decoders.GifPatch(2, 2, 2, 2,
+              Array.tabulate(4)(lawC)))))
+      }.toDF()
+      Multimodal.sampleCanvasFrames(media, everyN = 1)
+        .select(col("media_id"), col("frame_ix"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"),
+          col("mean_a"))
+    }),
+
     // fixed-model twin of the 16-BIT PNG path (NEW r12 — VERDICT r11
     // missing #4): samples follow a SQL-expressible integer law in
     // [0, 65535], assembled into REAL 16-bit PNGs (big-endian two-byte
@@ -5300,6 +5333,48 @@ object SparkEntry {
            round(MAX(CASE WHEN c = 2 THEN mean END), 6) AS mean_c3,
            round(MAX(CASE WHEN c = 3 THEN mean END), 6) AS mean_c4
          FROM m GROUP BY 1, 2, 3, 4""",
+    // fixed-model GIF ANIMATION CANVAS oracle: replay the composition
+    // per pixel — frame 0 full law image; frame 1 patch at (1,1) whose
+    // law transparent index reveals frame 0; frame 2 drawn after the
+    // disposal-2 clear, so rect pixels not redrawn are transparent and
+    // count 0 toward every mean (guarded p1/p2 terms are only read
+    // inside their rects)
+    "q_gif_canvas_fixed" ->
+      """WITH fr AS (SELECT doc_id, unnest(range(0, 3)) AS f
+                     FROM documents),
+         xy AS (SELECT doc_id, f, unnest(range(0, 4)) AS y FROM fr),
+         pix AS (SELECT doc_id, f, y, unnest(range(0, 4)) AS x FROM xy),
+         v AS (SELECT doc_id, f, y, x,
+             ((doc_id*2654435761 + (y*4+x)*2246822519) // 8) % 4 AS a,
+             (x BETWEEN 1 AND 2 AND y BETWEEN 1 AND 2) AS in1,
+             ((doc_id*7919 + ((y-1)*2+(x-1))*104729) // 4) % 4 AS p1,
+             ((doc_id*40503) // 8) % 4 AS t1,
+             (x BETWEEN 2 AND 3 AND y BETWEEN 2 AND 3) AS in2,
+             ((doc_id*15923 + ((y-2)*2+(x-2))*7919) // 8) % 4 AS p2
+           FROM pix),
+         w AS (SELECT doc_id, f, in1, in2, p2,
+             CASE WHEN in1 AND p1 <> t1 THEN p1 ELSE a END AS v1, a
+           FROM v),
+         px AS (SELECT doc_id, f,
+             CASE WHEN f < 2 THEN TRUE
+                  ELSE NOT (in1 AND NOT in2) END AS op,
+             CASE WHEN f = 0 THEN a
+                  WHEN f = 1 THEN v1
+                  WHEN in2 THEN p2
+                  WHEN in1 THEN NULL
+                  ELSE v1 END AS idx
+           FROM w),
+         c AS (SELECT doc_id, f,
+             SUM(CASE WHEN op AND idx = 1 THEN 255.0 ELSE 0 END)/16 AS mr,
+             SUM(CASE WHEN op AND idx = 2 THEN 255.0 ELSE 0 END)/16 AS mg,
+             SUM(CASE WHEN op AND idx = 3 THEN 255.0 ELSE 0 END)/16 AS mb,
+             SUM(CASE WHEN op THEN 255.0 ELSE 0 END)/16 AS ma
+           FROM px GROUP BY 1, 2)
+         SELECT doc_id AS media_id, f AS frame_ix,
+           4 AS width, 4 AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b, round(ma, 6) AS mean_a
+         FROM c""",
     // fixed-model 16-BIT PNG oracle: regenerate the 16-bit sample law and
     // apply the decoder's declared scaling (sample8 = sample16 >> 8,
     // replayed as // 256 — both truncate on these nonnegative values);

@@ -348,11 +348,58 @@ object Multimodal {
       * is a row permutation). Other extensions are skipped per the
       * block-size grammar; a GCE applies to the single next image, per the
       * spec. Same loud-failure contract as [[bmp24]]: truncation, bad
-      * codes, and missing palettes throw, never degrade. */
-    def gif87Frames(payload: Array[Byte]): Seq[GifFrame] = {
+      * codes, and missing palettes throw, never degrade.
+      *
+      * This view decodes every image descriptor STANDALONE at its own
+      * size — the per-patch view. Real GIF ANIMATIONS ship frame 2+ as
+      * sub-screen patches at (left, top) offsets with disposal semantics;
+      * [[gifCanvasFrames]] is the composed full-screen view. */
+    def gif87Frames(payload: Array[Byte]): Seq[GifFrame] =
+      gifParse(payload)._3.map { f =>
+        val ch = if (f.transparent >= 0) 4 else 3
+        GifFrame(f.width, f.height,
+          expandIndices(f.indices, f.palette, f.transparent, ch), ch)
+      }
+
+    /** One parsed (not yet color-expanded) GIF image: its placement on
+      * the logical screen, deinterlaced palette indices, color table,
+      * GCE transparent index (−1 none) and disposal method. */
+    private[engine] case class GifRawFrame(left: Int, top: Int, width: Int,
+                                           height: Int, indices: Array[Int],
+                                           palette: Array[Byte],
+                                           transparent: Int, disposal: Int)
+
+    /** Palette expansion shared by both GIF views: indices → interleaved
+      * RGB(A); a transparent index may legally sit outside the color table
+      * (color undefined → 0,0,0 at alpha 0), any other out-of-table index
+      * fails loudly. */
+    private def expandIndices(idx: Array[Int], palette: Array[Byte],
+                              tIdx: Int, ch: Int): Array[Byte] = {
+      val rgb = new Array[Byte](ch * idx.length)
+      var i = 0
+      while (i < idx.length) {
+        val c = idx(i)
+        if (3 * c + 2 < palette.length) {
+          rgb(ch * i) = palette(3 * c)
+          rgb(ch * i + 1) = palette(3 * c + 1)
+          rgb(ch * i + 2) = palette(3 * c + 2)
+        } else require(c == tIdx,
+          s"pixel index $c outside the ${palette.length / 3}-color table")
+        if (ch == 4)
+          rgb(ch * i + 3) = if (c == tIdx) 0 else -1 // 255 opaque
+        i += 1
+      }
+      rgb
+    }
+
+    /** Structural GIF parse shared by [[gif87Frames]] and
+      * [[gifCanvasFrames]]: (screenW, screenH, raw frames). */
+    private def gifParse(payload: Array[Byte]): (Int, Int, Seq[GifRawFrame]) = {
       require(payload.length >= 14, "not a GIF payload (too short)")
       val sig = new String(payload, 0, 6, "US-ASCII")
       require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF payload ($sig)")
+      val screenW = u16(payload, 6)
+      val screenH = u16(payload, 8)
       val packed = payload(10) & 0xff
       var off = 13
       val gct: Array[Byte] =
@@ -363,11 +410,12 @@ object Multimodal {
           off += n
           t
         } else null
-      val frames = Seq.newBuilder[GifFrame]
+      val frames = Seq.newBuilder[GifRawFrame]
       var done = false
-      // transparent index from the pending Graphic Control Extension —
-      // set by a GCE, consumed by (exactly) the next image descriptor
+      // transparent index + disposal from the pending Graphic Control
+      // Extension — set by a GCE, consumed by (exactly) the next image
       var pendingTransparent = -1
+      var pendingDisposal = 0
       while (!done) {
         require(off < payload.length, "truncated GIF (no trailer)")
         (payload(off) & 0xff) match {
@@ -388,6 +436,7 @@ object Multimodal {
                 pendingTransparent =
                   if ((payload(off + 1) & 1) != 0) payload(off + 4) & 0xff
                   else -1
+                pendingDisposal = (payload(off + 1) >> 2) & 7
               }
               firstBlock = false
               off += 1 + len
@@ -395,6 +444,8 @@ object Multimodal {
             off += 1
           case 0x2c =>
             require(off + 10 <= payload.length, "truncated image descriptor")
+            val left = u16(payload, off + 1)
+            val top = u16(payload, off + 3)
             val fw = u16(payload, off + 5)
             val fh = u16(payload, off + 7)
             val p2 = payload(off + 9) & 0xff
@@ -445,34 +496,80 @@ object Multimodal {
                 }
                 u
               }
-            val tIdx = pendingTransparent
+            frames += GifRawFrame(left, top, fw, fh, idx, palette,
+              pendingTransparent, pendingDisposal)
             pendingTransparent = -1 // a GCE covers one image only
-            val ch = if (tIdx >= 0) 4 else 3
-            val rgb = new Array[Byte](ch * fw * fh)
-            var i = 0
-            while (i < idx.length) {
-              val c = idx(i)
-              // a transparent index may legally sit outside the color
-              // table (its color is undefined); any OTHER out-of-table
-              // index stays a loud failure
-              if (3 * c + 2 < palette.length) {
-                rgb(ch * i) = palette(3 * c)
-                rgb(ch * i + 1) = palette(3 * c + 1)
-                rgb(ch * i + 2) = palette(3 * c + 2)
-              } else require(c == tIdx,
-                s"pixel index $c outside the ${palette.length / 3}-color table")
-              if (ch == 4)
-                rgb(ch * i + 3) = if (c == tIdx) 0 else -1 // 255 opaque
-              i += 1
-            }
-            frames += GifFrame(fw, fh, rgb, ch)
+            pendingDisposal = 0
           case b => throw new IllegalArgumentException(
             f"unknown GIF block 0x$b%02x at offset $off")
         }
       }
       val out = frames.result()
       require(out.nonEmpty, "GIF contains no image")
-      out
+      (screenW, screenH, out)
+    }
+
+    /** ANIMATION view (NEW r12): every frame composed onto the
+      * screenW×screenH logical canvas per the GIF89a animation model —
+      * the view a training pipeline wants for "what the viewer saw at
+      * frame k" (real animations ship frame 2+ as sub-screen PATCHES at
+      * (left, top); the standalone [[gif87Frames]] view hands those back
+      * as small rectangles). Semantics, per the spec + universal player
+      * practice:
+      *  - the canvas starts fully transparent (0,0,0,0);
+      *  - each image draws its patch; TRANSPARENT-INDEX pixels leave the
+      *    underlying canvas UNCHANGED (this is how patch frames reveal
+      *    the previous frame — different from the standalone view, where
+      *    they decode to alpha 0);
+      *  - after snapshotting, disposal runs: 0/1 leave the canvas; 2
+      *    clears the patch RECT to transparent; 3 restores the canvas as
+      *    it was before this frame.
+      * Output frames are always RGBA at screen size. Patches must fit
+      * the screen (loud — a malformed descriptor never writes out of
+      * bounds). */
+    def gifCanvasFrames(payload: Array[Byte]): Seq[GifFrame] = {
+      val (sw, sh, raw) = gifParse(payload)
+      require(sw > 0 && sh > 0, s"bad logical screen ${sw}x$sh")
+      val canvas = new Array[Byte](4 * sw * sh) // starts transparent
+      raw.map { f =>
+        require(f.left + f.width <= sw && f.top + f.height <= sh,
+          s"frame rect ${f.width}x${f.height}+${f.left}+${f.top} outside " +
+            s"the ${sw}x$sh logical screen")
+        val before =
+          if (f.disposal == 3) canvas.clone() else null
+        var y = 0
+        while (y < f.height) {
+          var x = 0
+          while (x < f.width) {
+            val c = f.indices(y * f.width + x)
+            if (c != f.transparent) {
+              require(3 * c + 2 < f.palette.length,
+                s"pixel index $c outside the ${f.palette.length / 3}-color table")
+              val o = 4 * ((f.top + y) * sw + (f.left + x))
+              canvas(o) = f.palette(3 * c)
+              canvas(o + 1) = f.palette(3 * c + 1)
+              canvas(o + 2) = f.palette(3 * c + 2)
+              canvas(o + 3) = -1 // 255 opaque
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val snapshot = canvas.clone()
+        f.disposal match {
+          case 2 => // restore-to-background: clear the rect to transparent
+            var yy = 0
+            while (yy < f.height) {
+              java.util.Arrays.fill(canvas,
+                4 * ((f.top + yy) * sw + f.left),
+                4 * ((f.top + yy) * sw + f.left + f.width), 0.toByte)
+              yy += 1
+            }
+          case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+          case _ => ()
+        }
+        GifFrame(sw, sh, snapshot, 4)
+      }
     }
 
     /** GIF-flavor LZW: variable-width codes read LSB-first, starting at
@@ -612,6 +709,56 @@ object Multimodal {
       out += bytes.length.toByte
       out ++= bytes
       out += 0                        // data terminator
+    }
+
+    /** One animation patch for [[gif89Anim]]: a width×height index block
+      * drawn at (left, top) on the logical screen, with optional GCE
+      * transparency and a disposal method (0/1 leave, 2 clear rect,
+      * 3 restore previous). */
+    case class GifPatch(left: Int, top: Int, width: Int, height: Int,
+                        indices: Array[Int],
+                        transparent: Option[Int] = None, disposal: Int = 0)
+
+    /** Assemble a VALID GIF89a ANIMATION from explicit sub-screen patches
+      * over the fixed 4-color table — the law-to-container assembler for
+      * the [[gifCanvasFrames]] compositing oracle: each patch gets a GCE
+      * (when it declares transparency or a non-zero disposal) and an image
+      * descriptor at its (left, top). */
+    def gif89Anim(screenW: Int, screenH: Int,
+                  patches: Seq[GifPatch]): Array[Byte] = {
+      require(screenW > 0 && screenH > 0, s"bad screen ${screenW}x$screenH")
+      require(patches.nonEmpty, "at least one patch required")
+      val out = Array.newBuilder[Byte]
+      out ++= "GIF89a".getBytes("US-ASCII")
+      out ++= le16(screenW) ++= le16(screenH)
+      out += 0x91.toByte              // GCT present, 4 entries
+      out += 0 += 0
+      out ++= gifPalette
+      patches.foreach { p =>
+        require(p.left >= 0 && p.top >= 0 &&
+          p.left + p.width <= screenW && p.top + p.height <= screenH,
+          s"patch ${p.width}x${p.height}+${p.left}+${p.top} outside " +
+            s"${screenW}x$screenH")
+        require(p.indices.length == p.width * p.height,
+          s"patch has ${p.indices.length} indices, expected " +
+            s"${p.width * p.height}")
+        require(p.disposal >= 0 && p.disposal <= 3,
+          s"bad disposal ${p.disposal}")
+        if (p.transparent.isDefined || p.disposal != 0) {
+          out += 0x21.toByte += 0xf9.toByte += 4
+          out += ((p.disposal << 2) |
+            (if (p.transparent.isDefined) 1 else 0)).toByte
+          out ++= le16(0)
+          out += p.transparent.getOrElse(0).toByte
+          out += 0
+        }
+        out += 0x2c.toByte
+        out ++= le16(p.left) ++= le16(p.top) ++= le16(p.width) ++= le16(p.height)
+        out += 0
+        writeLzwBlock(out, p.indices)
+      }
+      out += 0x3b.toByte
+      out.result()
     }
 
     /** Assemble a VALID GIF89a from EXPLICIT per-frame palette indices over
@@ -1409,6 +1556,39 @@ object Multimodal {
         (r.media_id, r.kind, ix.toLong, f.width, f.height,
           r6(sr), r6(sg), r6(sb),
           if (f.channels == 4) Some(r6(sa)) else None)
+      }
+    }.toDF("media_id", "kind", "frame_ix", "width", "height",
+      "mean_r", "mean_g", "mean_b", "mean_a")
+  }
+
+  /** [[sampleFrames]] over the COMPOSED animation view
+    * ([[Decoders.gifCanvasFrames]]): one row per sampled frame of the
+    * logical-screen canvas — what the viewer saw at frame k, with patch
+    * placement, frame-over-frame transparency and disposal all applied.
+    * Frames are always RGBA at screen size, so `mean_a` is always
+    * populated (255·opaque-fraction; pixels never drawn, or cleared by
+    * disposal 2, count 0 toward every channel). Transparent canvas pixels
+    * contribute 0 to the RGB means too — the declared convention. */
+  def sampleCanvasFrames(media: DataFrame, everyN: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    media.as[MediaRecord].flatMap { r =>
+      val frames = Decoders.gifCanvasFrames(r.payload)
+      frames.indices.by(everyN).map { ix =>
+        val f = frames(ix)
+        var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
+        var i = 0
+        while (i < f.rgb.length) {
+          sr += (f.rgb(i) & 0xff); sg += (f.rgb(i + 1) & 0xff)
+          sb += (f.rgb(i + 2) & 0xff); sa += (f.rgb(i + 3) & 0xff)
+          i += 4
+        }
+        val n = (f.width.toDouble * f.height).max(1)
+        def r6(x: Double) = BigDecimal(x / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.media_id, r.kind, ix.toLong, f.width, f.height,
+          r6(sr), r6(sg), r6(sb), r6(sa))
       }
     }.toDF("media_id", "kind", "frame_ix", "width", "height",
       "mean_r", "mean_g", "mean_b", "mean_a")

@@ -1198,4 +1198,99 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("gifCanvasFrames (NEW r12): patch placement, frame-over-frame " +
+    "transparency, disposal 2 (clear rect) and 3 (restore previous) " +
+    "compose exactly; out-of-screen patch refuses") {
+    import Multimodal.Decoders.{GifPatch, gif89Anim, gifCanvasFrames}
+    // 3x3 screen. f0: full red (index 1). f1: 2x2 patch at (1,1) of
+    // [green, transparent(0), blue, transparent(0)], disposal 3 (restore).
+    // f2: 1x1 patch at (0,0) green, disposal 2 (clear its rect).
+    // f3: full-screen blue.
+    val gif = gif89Anim(3, 3, Seq(
+      GifPatch(0, 0, 3, 3, Array.fill(9)(1)),
+      GifPatch(1, 1, 2, 2, Array(2, 0, 3, 0), transparent = Some(0),
+        disposal = 3),
+      GifPatch(0, 0, 1, 1, Array(2), disposal = 2),
+      GifPatch(0, 0, 3, 3, Array.fill(9)(3))))
+    val fs = gifCanvasFrames(gif)
+    fs.length shouldBe 4
+    fs.foreach { f => (f.width, f.height, f.channels) shouldBe ((3, 3, 4)) }
+    def px(f: Multimodal.Decoders.GifFrame, x: Int, y: Int) = {
+      val o = 4 * (y * 3 + x)
+      ((f.rgb(o) & 0xff, f.rgb(o + 1) & 0xff, f.rgb(o + 2) & 0xff),
+        f.rgb(o + 3) & 0xff)
+    }
+    val red = (255, 0, 0); val green = (0, 255, 0); val blue = (0, 0, 255)
+    // f0: all red, opaque
+    for (y <- 0 until 3; x <- 0 until 3)
+      px(fs(0), x, y) shouldBe ((red, 255))
+    // f1: patch green at (1,1), blue at (1,2); transparent patch pixels
+    // (2,1) and (2,2) REVEAL the red canvas underneath
+    px(fs(1), 1, 1) shouldBe ((green, 255))
+    px(fs(1), 2, 1) shouldBe ((red, 255))
+    px(fs(1), 1, 2) shouldBe ((blue, 255))
+    px(fs(1), 2, 2) shouldBe ((red, 255))
+    px(fs(1), 0, 0) shouldBe ((red, 255))
+    // f2: disposal 3 on f1 restored the all-red canvas BEFORE f2, then f2
+    // drew one green pixel at (0,0)
+    px(fs(2), 0, 0) shouldBe ((green, 255))
+    px(fs(2), 1, 1) shouldBe ((red, 255)) // f1's patch is gone
+    // f3 snapshot: full blue (drawn over whatever disposal 2 cleared)
+    for (y <- 0 until 3; x <- 0 until 3)
+      px(fs(3), x, y) shouldBe ((blue, 255))
+    // disposal 2 cleared (0,0) after f2's snapshot — prove it with a
+    // variant whose last frame DOESN'T cover the cleared pixel
+    val gif2 = gif89Anim(3, 3, Seq(
+      GifPatch(0, 0, 3, 3, Array.fill(9)(1)),
+      GifPatch(0, 0, 1, 1, Array(2), disposal = 2),
+      GifPatch(2, 2, 1, 1, Array(3))))
+    val fs2 = gifCanvasFrames(gif2)
+    px(fs2(2), 0, 0)._2 shouldBe 0 // cleared, never redrawn: transparent
+    px(fs2(2), 2, 2) shouldBe ((blue, 255))
+    px(fs2(2), 1, 1) shouldBe ((red, 255))
+    // a patch outside the logical screen must refuse loudly: gif89Anim
+    // itself guards, so hand-corrupt the descriptor's left coordinate
+    val bad = gif89Anim(3, 3,
+      Seq(GifPatch(2, 0, 1, 3, Array.fill(3)(1))))
+    val descOff = bad.indices.find(i => (bad(i) & 0xff) == 0x2c).get
+    bad(descOff + 1) = 3 // left: 2 -> 3, rect now ends at x=4 > 3
+    intercept[IllegalArgumentException] {
+      gifCanvasFrames(bad)
+    }.getMessage should include("outside")
+    // the standalone view is indifferent to placement — same bytes decode
+    noException should be thrownBy Multimodal.Decoders.gif87Frames(bad)
+  }
+
+  test("gif89Anim patches read back in ImageIO: offsets in the stream " +
+    "metadata, patch pixels exact") {
+    import Multimodal.Decoders.{GifPatch, gif89Anim}
+    val gif = gif89Anim(5, 4, Seq(
+      GifPatch(0, 0, 5, 4, Array.tabulate(20)(i => i % 4)),
+      GifPatch(2, 1, 2, 2, Array(1, 2, 3, 0))))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    reader.getNumImages(true) shouldBe 2
+    // frame 1 is a 2x2 patch; its placement rides the image metadata
+    val md = reader.getImageMetadata(1)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[org.w3c.dom.Element]
+    val desc = md.getElementsByTagName("ImageDescriptor").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    desc.getAttribute("imageLeftPosition") shouldBe "2"
+    desc.getAttribute("imageTopPosition") shouldBe "1"
+    val img1 = reader.read(1)
+    (img1.getWidth, img1.getHeight) shouldBe ((2, 2))
+    val palette = Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val want = Seq(1, 2, 3, 0).map(palette)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val argb = img1.getRGB(x, y)
+      withClue(s"($x,$y): ") {
+        (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)) shouldBe
+          want(y * 2 + x)
+      }
+    }
+    reader.dispose()
+  }
 }

@@ -129,11 +129,35 @@ object Bench {
     * full-outlier sidecar and to EXCLUDE any artifact of the in-flight
     * round from streak reconstruction (ADVICE r11: a second bench run in
     * the same round must not count the round's own artifact as a
-    * prior). */
+    * prior).
+    *
+    * AMBIGUITY the fallback cannot resolve (ADVICE r12): after a round's
+    * own BENCH_r<n>.json is committed, a SECOND run in that same round
+    * without SPARK_GRAFT_ROUND computes n+1 and counts the round's own
+    * outliers as priors — exactly the self-counting the `before`
+    * exclusion prevents. Rounds are back-to-back same-day, so no mtime
+    * window can tell "prior round's artifact, committed an hour ago"
+    * from "this round's artifact, re-running" without also risking a
+    * misfire that would CLOBBER a committed sidecar (worse than streak
+    * inflation). So the fallback keeps n+1 but WARNS LOUDLY whenever the
+    * newest artifact is recent enough (< 3 h) that the run could be a
+    * same-round repeat — the operator then sets SPARK_GRAFT_ROUND and
+    * the warning, not silence, is what rides any mis-attributed run. */
   def currentRound(dir: String = "."): Int =
     sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
-      1 + committedRounds(dir, "BENCH_r(\\d+)\\.json".r)
-        .map(_._1).maxOption.getOrElse(0)
+      val newest = committedRounds(dir, "BENCH_r(\\d+)\\.json".r)
+        .sortBy(_._1).lastOption
+      newest.foreach { case (n, f) =>
+        val ageMs = try System.currentTimeMillis() - f.lastModified()
+                    catch { case _: Exception => Long.MaxValue }
+        if (ageMs < 3L * 3600 * 1000)
+          System.err.println(
+            f"[bench] WARNING: SPARK_GRAFT_ROUND is unset and BENCH_r$n%02d.json " +
+            f"is only ${ageMs / 60000} min old — if this run belongs to round $n " +
+            f"(a same-round repeat), its env_streak priors will self-count round " +
+            f"$n's own outliers; set SPARK_GRAFT_ROUND=$n to attribute it correctly.")
+      }
+      1 + newest.map(_._1).getOrElse(0)
     }
 
   private def committedRounds(dir: String,
@@ -225,7 +249,10 @@ object Bench {
     }
     ts.foreach(_.join())
     val dt = (System.nanoTime() - t0) / 1e9
-    require(sink.get() != 42L) // consume the fold; never true in practice
+    // consume the fold so the loop cannot be dead-code-eliminated — but
+    // never via a throwing assertion: an (astronomically unlikely) hit must
+    // not abort the whole bench run (ADVICE r12)
+    if (sink.get() == 42L) System.err.println("[bench] calib fold == 42")
     dt
   }
 

@@ -593,11 +593,19 @@ object Similarity {
 
   /** Estimated corpus row count from optimizer stats — no job. Parquet scans
     * report sizeInBytes; rowCount only exists under CBO/collected stats, so
-    * fall back to bytes / (8 bytes per double × dim, plus id) per row. */
+    * fall back to bytes / (8 bytes per double × dim, plus id) per row.
+    * sizeInBytes is the COMPRESSED on-disk size while the divisor is the
+    * uncompressed row width, so the raw quotient systematically
+    * underestimates rows — which would let a corpus past the measured n^2
+    * cliff slip under the maxRowsPerBucket guards that rely on this
+    * (ADVICE r12). Bias by an assumed ~2x parquet compression ratio for
+    * double columns; the estimate stays order-of-magnitude only, and the
+    * guards it feeds err loud (refuse) rather than silent. Callers at real
+    * scale should prefer the *Auto entry points, which take a true count. */
   private def estimatedRows(emb: DataFrame, dim: Int): Long = {
     val stats = emb.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
-      (stats.sizeInBytes / BigInt(8L * dim + 8)).toLong max 1L
+      (stats.sizeInBytes * 2 / BigInt(8L * dim + 8)).toLong max 1L
     }
   }
 

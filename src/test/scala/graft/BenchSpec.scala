@@ -235,6 +235,27 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.currentRound(dir.toString) shouldBe 8
   }
 
+  test("currentRound: fallback warns on a fresh newest artifact (same-round " +
+    "repeat ambiguity, ADVICE r12) and stays silent on an old one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_round_warn_spec")
+    val f = dir.resolve("BENCH_r07.json")
+    java.nio.file.Files.write(f, "{}".getBytes)
+    def capturedErr(body: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      try { System.setErr(new java.io.PrintStream(bos)); body }
+      finally System.setErr(old)
+      bos.toString
+    }
+    // just-written artifact: could be this round's own — warn, keep n+1
+    capturedErr(Bench.currentRound(dir.toString) shouldBe 8) should
+      include("SPARK_GRAFT_ROUND=7")
+    // >3h-old artifact: unambiguously a prior round — silent
+    f.toFile.setLastModified(System.currentTimeMillis() - 4L * 3600 * 1000)
+    capturedErr(Bench.currentRound(dir.toString) shouldBe 8) should
+      not include "WARNING"
+  }
+
   test("calibrate: fixed splitmix64 anchor — positive, scales with " +
     "iteration count, runs at suite width") {
     val t1 = Bench.calibrate(1, 20_000_000L)

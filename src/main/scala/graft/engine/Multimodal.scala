@@ -243,22 +243,77 @@ object Multimodal {
           i % 59) >>> (i % 11)) & 0xffffL).toInt - 32768).toShort))
     }
 
-    /** Kind-dispatching media decoder over the real format parsers: BMP for
-      * images, WAV for audio, GIF87a for video (first-frame channel means +
-      * frame count: [nFrames, width, height, meanR, meanG, meanB]) — all
-      * three kinds now decode real containers; the byte-histogram stub is no
-      * longer reachable from this dispatcher. Any OTHER kind fails loudly: a
-      * typo'd kind silently getting histogram "features" is exactly the
-      * degradation this decoder's contract forbids. */
+    /** Container classification by magic bytes — a few bytes deep, never a
+      * decode. Distinguishes "unsupported-but-VALID container X" (WebP,
+      * AVIF, TIFF — identifiable from their published signatures; full
+      * VP8/AV1/TIFF decode is deliberately out of scope) from
+      * "unrecognized bytes", so a corpus scan yields per-container counts
+      * instead of one generic failure class. Signatures from the public
+      * specs: PNG (RFC 2083 §12.11), JPEG SOI (ITU-T T.81), GIF87a/89a,
+      * BMP "BM", RIFF/WAVE and RIFF/WEBP (RIFF registry), ISO BMFF `ftyp`
+      * brands avif/avis (AVIF spec §4), TIFF 6.0 §2 byte-order marks. */
+    def sniffContainer(b: Array[Byte]): String = {
+      def ascii(off: Int, s: String): Boolean =
+        b.length >= off + s.length &&
+          s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+      if (isPng(b)) "png"
+      else if (Jpeg.isJpeg(b)) "jpeg"
+      else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) "gif"
+      else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
+      else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+      else if (ascii(0, "BM")) "bmp"
+      else if (ascii(4, "ftyp") && (ascii(8, "avif") || ascii(8, "avis")))
+        "avif"
+      else if (b.length >= 4 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a))) "tiff"
+      else "unknown"
+    }
+
+    private[engine] def refuseContainer(kind: String,
+                                        container: String): Nothing =
+      container match {
+        case "webp" | "avif" | "tiff" => throw new IllegalArgumentException(
+          s"unsupported media container '$container' (valid $container " +
+            "magic; decode out of scope)")
+        case "unknown" => throw new IllegalArgumentException(
+          s"unrecognized $kind payload (no known container magic)")
+        case other => throw new IllegalArgumentException(
+          s"mismatched media container '$other' under kind '$kind'")
+      }
+
+    /** Kind-dispatching media decoder over the real format parsers:
+      * PNG/JPEG/BMP for images, WAV for audio, GIF87a for video
+      * (first-frame channel means + frame count: [nFrames, width, height,
+      * meanR, meanG, meanB]) — all three kinds decode real containers; the
+      * byte-histogram stub is not reachable from this dispatcher. Any
+      * OTHER kind fails loudly: a typo'd kind silently getting histogram
+      * "features" is exactly the degradation this decoder's contract
+      * forbids. Payloads whose [[sniffContainer]] class the kind cannot
+      * decode refuse with the NAMED class — "unsupported container
+      * 'webp'" / "mismatched container 'gif' under kind 'image'" /
+      * "unrecognized payload" — so the quarantine wrappers downstream can
+      * count WebP-in-the-corpus separately from corrupt bytes. */
     val media: Decoder = {
       case ("image", bytes) =>
         // container sniffing by magic bytes — the real-pipeline shape: a
         // corpus's "image" column holds mixed containers
-        if (isPng(bytes)) png(bytes)
-        else if (Jpeg.isJpeg(bytes)) Jpeg.features(bytes)
-        else bmp24(bytes)
-      case ("audio", bytes) => wavPcm16(bytes)
+        sniffContainer(bytes) match {
+          case "png"  => png(bytes)
+          case "jpeg" => Jpeg.features(bytes)
+          case "bmp"  => bmp24(bytes)
+          case other  => refuseContainer("image", other)
+        }
+      case ("audio", bytes) =>
+        sniffContainer(bytes) match {
+          case "wav" => wavPcm16(bytes)
+          case other => refuseContainer("audio", other)
+        }
       case ("video", bytes) =>
+        sniffContainer(bytes) match {
+          case "gif" => ()
+          case other => refuseContainer("video", other)
+        }
         val frames = gif87Frames(bytes)
         val f = frames.head
         var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
@@ -1429,12 +1484,18 @@ object Multimodal {
       * BMP through [[resizeBmp24]] — the payload-transform twin of the
       * [[media]] decode dispatcher for mixed-container image columns.
       * JPEG is decode-only (re-encoding would need a quality policy the
-      * caller never stated) — loud refusal, not a silent container swap. */
+      * caller never stated) — loud refusal, not a silent container swap.
+      * Any other payload refuses with its NAMED [[sniffContainer]] class
+      * (r13), same as the decode dispatcher. */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-      if (isPng(payload)) resizePng(payload, w, h)
-      else if (Jpeg.isJpeg(payload)) throw new IllegalArgumentException(
-        "JPEG resize unsupported (decode-only container; transcode explicitly)")
-      else resizeBmp24(payload, w, h)
+      sniffContainer(payload) match {
+        case "png"  => resizePng(payload, w, h)
+        case "jpeg" => throw new IllegalArgumentException(
+          "JPEG resize unsupported (decode-only container; transcode " +
+            "explicitly)")
+        case "bmp"  => resizeBmp24(payload, w, h)
+        case other  => refuseContainer("image", other)
+      }
 
     /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP to
       * newW × newH — source pixel for output (x, y) is
@@ -1538,27 +1599,35 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     require(everyN >= 1, s"everyN must be >= 1: $everyN")
-    media.as[MediaRecord].flatMap { r =>
-      val frames = Decoders.gif87Frames(r.payload)
-      frames.indices.by(everyN).map { ix =>
-        val f = frames(ix)
-        var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
-        var i = 0
-        while (i < f.rgb.length) {
-          sr += (f.rgb(i) & 0xff); sg += (f.rgb(i + 1) & 0xff)
-          sb += (f.rgb(i + 2) & 0xff)
-          if (f.channels == 4) sa += (f.rgb(i + 3) & 0xff)
-          i += f.channels
-        }
-        val n = (f.width.toDouble * f.height).max(1)
-        def r6(x: Double) = BigDecimal(x / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (r.media_id, r.kind, ix.toLong, f.width, f.height,
-          r6(sr), r6(sg), r6(sb),
-          if (f.channels == 4) Some(r6(sa)) else None)
+    media.as[MediaRecord].flatMap(gifFrameStats(_, everyN))
+      .toDF("media_id", "kind", "frame_ix", "width", "height",
+        "mean_r", "mean_g", "mean_b", "mean_a")
+  }
+
+  /** Per-frame stat rows of one GIF payload — the shared kernel of
+    * [[sampleFrames]] and [[sampleFramesQuarantine]] (identical rows on a
+    * healthy payload by construction). */
+  private def gifFrameStats(r: MediaRecord, everyN: Int)
+      : Seq[(Long, String, Long, Int, Int, Double, Double, Double,
+             Option[Double])] = {
+    val frames = Decoders.gif87Frames(r.payload)
+    frames.indices.by(everyN).map { ix =>
+      val f = frames(ix)
+      var (sr, sg, sb, sa) = (0.0, 0.0, 0.0, 0.0)
+      var i = 0
+      while (i < f.rgb.length) {
+        sr += (f.rgb(i) & 0xff); sg += (f.rgb(i + 1) & 0xff)
+        sb += (f.rgb(i + 2) & 0xff)
+        if (f.channels == 4) sa += (f.rgb(i + 3) & 0xff)
+        i += f.channels
       }
-    }.toDF("media_id", "kind", "frame_ix", "width", "height",
-      "mean_r", "mean_g", "mean_b", "mean_a")
+      val n = (f.width.toDouble * f.height).max(1)
+      def r6(x: Double) = BigDecimal(x / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.media_id, r.kind, ix.toLong, f.width, f.height,
+        r6(sr), r6(sg), r6(sb),
+        if (f.channels == 4) Some(r6(sa)) else None)
+    }
   }
 
   /** [[sampleFrames]] over the COMPOSED animation view
@@ -1614,37 +1683,231 @@ object Multimodal {
     import spark.implicits._
     require(frameLen >= 1, s"frameLen must be >= 1: $frameLen")
     require(everyN >= 1, s"everyN must be >= 1: $everyN")
-    media.as[MediaRecord].flatMap { r =>
-      val clip = Decoders.wavClip(r.payload)
-      val ch = clip.channels
-      require(clip.samples.length % ch == 0,
-        s"interleaved sample count ${clip.samples.length} not divisible " +
-          s"by $ch channels")
-      val instants = clip.samples.length / ch
-      val nFrames = (instants + frameLen - 1) / frameLen
-      (0 until nFrames by everyN).map { fx =>
-        val from = fx * frameLen
-        val until = math.min(from + frameLen, instants)
-        var absSum = 0L
-        var sqSum = 0L
-        var zc = 0L
-        var t = from
-        while (t < until) {
-          var c = 0
-          while (c < ch) {
-            val v = clip.samples(t * ch + c).toLong
-            absSum += math.abs(v)
-            sqSum += v * v
-            if (t > from &&
-                (clip.samples((t - 1) * ch + c) < 0) != (v < 0)) zc += 1
-            c += 1
-          }
-          t += 1
+    media.as[MediaRecord].flatMap(wavFrameStats(_, frameLen, everyN))
+      .toDF("media_id", "kind", "frame_ix", "n_samples", "abs_sum",
+        "sq_sum", "zero_crossings")
+  }
+
+  /** Per-frame integer stat rows of one WAV payload — the shared kernel of
+    * [[sampleAudioFrames]] and [[sampleAudioFramesQuarantine]]. */
+  private def wavFrameStats(r: MediaRecord, frameLen: Int, everyN: Int)
+      : Seq[(Long, String, Long, Long, Long, Long, Long)] = {
+    val clip = Decoders.wavClip(r.payload)
+    val ch = clip.channels
+    require(clip.samples.length % ch == 0,
+      s"interleaved sample count ${clip.samples.length} not divisible " +
+        s"by $ch channels")
+    val instants = clip.samples.length / ch
+    val nFrames = (instants + frameLen - 1) / frameLen
+    (0 until nFrames by everyN).map { fx =>
+      val from = fx * frameLen
+      val until = math.min(from + frameLen, instants)
+      var absSum = 0L
+      var sqSum = 0L
+      var zc = 0L
+      var t = from
+      while (t < until) {
+        var c = 0
+        while (c < ch) {
+          val v = clip.samples(t * ch + c).toLong
+          absSum += math.abs(v)
+          sqSum += v * v
+          if (t > from &&
+              (clip.samples((t - 1) * ch + c) < 0) != (v < 0)) zc += 1
+          c += 1
         }
-        (r.media_id, r.kind, fx.toLong, ((until - from) * ch).toLong,
-          absSum, sqSum, zc)
+        t += 1
       }
-    }.toDF("media_id", "kind", "frame_ix", "n_samples", "abs_sum",
-      "sq_sum", "zero_crossings")
+      (r.media_id, r.kind, fx.toLong, ((until - from) * ch).toLong,
+        absSum, sqSum, zc)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Permissive / quarantine decode twins (round 13).
+  //
+  // Every decoder above fails LOUDLY on malformed, truncated, or
+  // unsupported payloads — the right default for fixtures and for any
+  // pipeline whose inputs are supposed to be clean. But a real scraped
+  // corpus is full of truncated downloads, mislabeled containers, and
+  // WebP/AVIF payloads in an "image" column, and on a 100 TB decode job
+  // one such row must not kill the task (and with it, after retries, the
+  // job). These twins wrap each per-row decode in a catch: a healthy row
+  // yields EXACTLY the rows the loud twin yields (shared kernels above);
+  // a failing row yields ONE quarantine row carrying the sniffed
+  // container class and a stable error taxonomy — so the quarantine rate
+  // per (container, error_class) is itself a corpus-quality metric, the
+  // `Ingest.csvFlagQuarantine` pattern applied to binary columns.
+  // Map-side only: no new shuffles, no driver state, no change to the
+  // loud twins' plans.
+  // ------------------------------------------------------------------
+
+  /** [[extractFeatures]] row with decode status: `ok` rows carry the
+    * feature vector, quarantined rows carry the error class instead. The
+    * sniffed `container` is populated on every row — per-container counts
+    * of unsupported payloads (webp/avif/tiff) come for free. */
+  case class MediaDecodeStatus(media_id: Long, kind: String, n_bytes: Long,
+                               container: String, ok: Boolean,
+                               error_class: Option[String],
+                               feature: Option[Array[Double]])
+
+  /** Stable error taxonomy for the quarantine twins. Classes:
+    * `unsupported_container` (valid WebP/AVIF/TIFF magic, decode out of
+    * scope), `mismatched_container` (a container this engine CAN decode,
+    * under a kind that doesn't — e.g. GIF bytes in an "image" column),
+    * `unrecognized_container` (no known magic), `unknown_kind` (typo'd
+    * kind column), `malformed` (declared container, contract violation —
+    * bad CRC, bad header field), `truncated` (payload ends mid-structure:
+    * either the decoder says so in its refusal message, or the parse ran
+    * off the end of the byte array), `decode_error` (anything else
+    * non-fatal). Derived from the loud decoders' refusal contract: their
+    * `require` messages are the classifier's input, so the taxonomy is
+    * deterministic per payload (spec-pinned per fixture class). */
+  private[engine] def errorClassOf(t: Throwable): String = {
+    val msg = Option(t.getMessage).getOrElse("")
+    t match {
+      case _: IllegalArgumentException
+        if msg.startsWith("unsupported media container") =>
+        "unsupported_container"
+      case _: IllegalArgumentException
+        if msg.startsWith("mismatched media container") =>
+        "mismatched_container"
+      case _: IllegalArgumentException if msg.startsWith("unrecognized") =>
+        "unrecognized_container"
+      case _: IllegalArgumentException
+        if msg.startsWith("unknown media kind") => "unknown_kind"
+      case _: IllegalArgumentException if msg.contains("truncated") =>
+        "truncated"
+      case _: IllegalArgumentException => "malformed"
+      case _: IndexOutOfBoundsException => "truncated"
+      case _: NegativeArraySizeException => "truncated"
+      case _: java.io.EOFException => "truncated"
+      case _ => "decode_error"
+    }
+  }
+
+  /** Permissive twin of [[extractFeatures]]: decode → ok row | quarantine
+    * row, never a task failure. Same `mapPartitions` batch shape; the
+    * loud twin remains the default surface for trusted inputs. */
+  def extractFeaturesQuarantine(media: DataFrame,
+                                decode: Decoder = Decoders.media)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val container = Decoders.sniffContainer(r.payload)
+        try MediaDecodeStatus(r.media_id, r.kind, r.payload.length.toLong,
+          container, ok = true, None, Some(decode(r.kind, r.payload)))
+        catch { case scala.util.control.NonFatal(t) =>
+          MediaDecodeStatus(r.media_id, r.kind, r.payload.length.toLong,
+            container, ok = false, Some(errorClassOf(t)), None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** [[sampleFrames]] row with decode status (quarantined payloads emit
+    * ONE row with null frame fields). */
+  case class FrameDecodeStatus(media_id: Long, kind: String,
+                               container: String, ok: Boolean,
+                               error_class: Option[String],
+                               frame_ix: Option[Long], width: Option[Int],
+                               height: Option[Int], mean_r: Option[Double],
+                               mean_g: Option[Double],
+                               mean_b: Option[Double],
+                               mean_a: Option[Double])
+
+  /** Permissive twin of [[sampleFrames]]: a healthy payload emits exactly
+    * the loud twin's frame rows (shared kernel); a failing one emits one
+    * quarantine row instead of killing the task. */
+  def sampleFramesQuarantine(media: DataFrame, everyN: Int = 1)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    media.as[MediaRecord].flatMap { r =>
+      val container = Decoders.sniffContainer(r.payload)
+      try {
+        // same classified refusal as the media dispatcher: a WebP payload
+        // in the frame column counts as unsupported_container, not as a
+        // generic GIF parse failure
+        if (container != "gif") Decoders.refuseContainer("video", container)
+        gifFrameStats(r, everyN).map { case (id, kind, ix, w, h, mr, mg,
+                                             mb, ma) =>
+          FrameDecodeStatus(id, kind, container, ok = true, None, Some(ix),
+            Some(w), Some(h), Some(mr), Some(mg), Some(mb), ma)
+        }
+      }
+      catch { case scala.util.control.NonFatal(t) =>
+        Seq(FrameDecodeStatus(r.media_id, r.kind, container, ok = false,
+          Some(errorClassOf(t)), None, None, None, None, None, None, None))
+      }
+    }.toDF()
+  }
+
+  /** [[sampleAudioFrames]] row with decode status. */
+  case class AudioFrameStatus(media_id: Long, kind: String,
+                              container: String, ok: Boolean,
+                              error_class: Option[String],
+                              frame_ix: Option[Long],
+                              n_samples: Option[Long], abs_sum: Option[Long],
+                              sq_sum: Option[Long],
+                              zero_crossings: Option[Long])
+
+  /** Permissive twin of [[sampleAudioFrames]]. */
+  def sampleAudioFramesQuarantine(media: DataFrame, frameLen: Int,
+                                  everyN: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(frameLen >= 1, s"frameLen must be >= 1: $frameLen")
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    media.as[MediaRecord].flatMap { r =>
+      val container = Decoders.sniffContainer(r.payload)
+      try {
+        if (container != "wav") Decoders.refuseContainer("audio", container)
+        wavFrameStats(r, frameLen, everyN).map { case (id, kind, ix, n,
+                                                       a, sq, zc) =>
+          AudioFrameStatus(id, kind, container, ok = true, None, Some(ix),
+            Some(n), Some(a), Some(sq), Some(zc))
+        }
+      }
+      catch { case scala.util.control.NonFatal(t) =>
+        Seq(AudioFrameStatus(r.media_id, r.kind, container, ok = false,
+          Some(errorClassOf(t)), None, None, None, None, None))
+      }
+    }.toDF()
+  }
+
+  /** [[resizeImages]] output row with transform status: a failed resize
+    * keeps the ORIGINAL payload and flags it, so the caller can route the
+    * quarantined rows out and still chain the healthy ones. */
+  case class MediaResizeStatus(media_id: Long, kind: String,
+                               container: String, ok: Boolean,
+                               error_class: Option[String],
+                               payload: Array[Byte])
+
+  /** Permissive twin of [[resizeImages]]. Non-image kinds pass through
+    * untouched (ok, like the loud twin); image payloads that fail to
+    * decode-resize-reencode are flagged with their error class. */
+  def resizeImagesQuarantine(media: DataFrame, w: Int, h: Int,
+                             resize: (Array[Byte], Int, Int) => Array[Byte] =
+                               Decoders.resizeImage): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val container = Decoders.sniffContainer(r.payload)
+        if (r.kind != "image")
+          MediaResizeStatus(r.media_id, r.kind, container, ok = true, None,
+            r.payload)
+        else try MediaResizeStatus(r.media_id, r.kind, container, ok = true,
+          None, resize(r.payload, w, h))
+        catch { case scala.util.control.NonFatal(t) =>
+          MediaResizeStatus(r.media_id, r.kind, container, ok = false,
+            Some(errorClassOf(t)), r.payload)
+        }
+      }
+    }.toDF()
   }
 }

@@ -1293,4 +1293,184 @@ class MultimodalSpec extends SparkSpec {
     }
     reader.dispose()
   }
+
+  // -- container sniffing + quarantine twins (round 13) ---------------------
+
+  private def webpBytes: Array[Byte] =
+    "RIFF".getBytes ++ le32(20) ++ "WEBPVP8 ".getBytes ++ new Array[Byte](12)
+  private def avifBytes: Array[Byte] =
+    Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes ++ new Array[Byte](12)
+  private def tiffLeBytes: Array[Byte] =
+    Array[Byte](0x49, 0x49, 0x2a, 0, 8, 0, 0, 0) ++ new Array[Byte](8)
+  private def tiffBeBytes: Array[Byte] =
+    Array[Byte](0x4d, 0x4d, 0, 0x2a, 0, 0, 0, 8) ++ new Array[Byte](8)
+
+  test("sniffContainer: every supported magic plus the unsupported trio") {
+    val D = Multimodal.Decoders
+    D.sniffContainer(D.syntheticPng(7L)) shouldBe "png"
+    D.sniffContainer(graft.engine.Jpeg.syntheticJpeg(7L)) shouldBe "jpeg"
+    D.sniffContainer(D.syntheticGif87(7L)) shouldBe "gif"
+    D.sniffContainer(D.syntheticBmp(7L)) shouldBe "bmp"
+    D.sniffContainer(D.syntheticWav(7L)) shouldBe "wav"
+    D.sniffContainer(webpBytes) shouldBe "webp"
+    D.sniffContainer(avifBytes) shouldBe "avif"
+    D.sniffContainer(Array[Byte](0, 0, 0, 24) ++ "ftypavis".getBytes ++
+      new Array[Byte](12)) shouldBe "avif" // image-sequence brand
+    D.sniffContainer(tiffLeBytes) shouldBe "tiff"
+    D.sniffContainer(tiffBeBytes) shouldBe "tiff"
+    // near-misses stay unknown: RIFF with a foreign form type, a bare
+    // ftyp with a non-AVIF brand, short payloads, empty payloads
+    D.sniffContainer("RIFF1234JUNK".getBytes) shouldBe "unknown"
+    D.sniffContainer(Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes ++
+      new Array[Byte](12)) shouldBe "unknown"
+    D.sniffContainer("GIF9".getBytes) shouldBe "unknown"
+    D.sniffContainer(Array.empty[Byte]) shouldBe "unknown"
+  }
+
+  test("media dispatcher: NAMED refusal per container class, not one " +
+    "generic failure") {
+    val D = Multimodal.Decoders
+    intercept[IllegalArgumentException] {
+      D.media("image", webpBytes)
+    }.getMessage should include("unsupported media container 'webp'")
+    intercept[IllegalArgumentException] {
+      D.media("image", avifBytes)
+    }.getMessage should include("unsupported media container 'avif'")
+    intercept[IllegalArgumentException] {
+      D.media("image", tiffBeBytes)
+    }.getMessage should include("unsupported media container 'tiff'")
+    // a container the engine CAN decode, under the wrong kind
+    intercept[IllegalArgumentException] {
+      D.media("image", D.syntheticGif87(7L))
+    }.getMessage should include("mismatched media container 'gif'")
+    intercept[IllegalArgumentException] {
+      D.media("audio", D.syntheticBmp(7L))
+    }.getMessage should include("mismatched media container 'bmp'")
+    // no magic at all
+    intercept[IllegalArgumentException] {
+      D.media("image", "no magic here".getBytes)
+    }.getMessage should include("unrecognized image payload")
+    // the valid paths still decode through the sniffing dispatcher
+    D.media("image", D.syntheticBmp(7L)).length should be >= 6
+    D.media("audio", D.syntheticWav(7L)).length shouldBe 4
+  }
+
+  test("extractFeaturesQuarantine: ok rows carry the loud twin's features, " +
+    "bad rows carry (container, error_class), and the job finishes") {
+    val D = Multimodal.Decoders
+    val records = Seq(
+      Multimodal.MediaRecord(0L, "image", D.syntheticPng(0L, channels = 3)),
+      Multimodal.MediaRecord(1L, "image", webpBytes),
+      Multimodal.MediaRecord(2L, "image", avifBytes),
+      Multimodal.MediaRecord(3L, "image", tiffLeBytes),
+      Multimodal.MediaRecord(4L, "image", D.syntheticPng(4L).take(16)),
+      Multimodal.MediaRecord(5L, "image", {
+        val p = D.syntheticPng(5L)
+        p(p.length - 1) = (p(p.length - 1) ^ 0x5a).toByte; p
+      }),
+      Multimodal.MediaRecord(6L, "image", "garbage!".getBytes),
+      Multimodal.MediaRecord(7L, "audio", D.syntheticWav(7L)),
+      Multimodal.MediaRecord(8L, "audio", D.syntheticWav(8L).take(20)),
+      Multimodal.MediaRecord(9L, "image", D.syntheticGif87(9L)),
+      Multimodal.MediaRecord(10L, "weird", D.syntheticPng(10L)))
+    val media = records.toDF()
+    val out = Multimodal.extractFeaturesQuarantine(media)
+      .orderBy("media_id").collect()
+    out.length shouldBe 11
+    def at(i: Int) = (out(i).getString(3), out(i).getBoolean(4),
+      Option(out(i).getString(5)))
+    at(0) shouldBe (("png", true, None))
+    at(1) shouldBe (("webp", false, Some("unsupported_container")))
+    at(2) shouldBe (("avif", false, Some("unsupported_container")))
+    at(3) shouldBe (("tiff", false, Some("unsupported_container")))
+    at(4) shouldBe (("png", false, Some("truncated")))
+    at(5) shouldBe (("png", false, Some("malformed"))) // bad IEND CRC
+    at(6) shouldBe (("unknown", false, Some("unrecognized_container")))
+    at(7) shouldBe (("wav", true, None))
+    at(8) shouldBe (("wav", false, Some("malformed"))) // header cut short
+    at(9) shouldBe (("gif", false, Some("mismatched_container")))
+    at(10) shouldBe (("png", false, Some("unknown_kind")))
+    // ok rows: features EQUAL the loud twin's, element for element
+    out(0).getSeq[Double](6) shouldBe D.media("image", records(0).payload).toSeq
+    out(7).getSeq[Double](6) shouldBe D.media("audio", records(7).payload).toSeq
+    // quarantined rows carry no features, and n_bytes is always populated
+    out(1).isNullAt(6) shouldBe true
+    out.map(_.getLong(2)) shouldBe records.map(_.payload.length.toLong)
+    // the loud twin DOES kill the job on the same frame — the contrast
+    // this surface exists for
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(media, D.media).collect()
+    }
+  }
+
+  test("sampleFramesQuarantine: healthy payloads emit exactly the loud " +
+    "rows; a bad payload emits ONE quarantine row") {
+    val D = Multimodal.Decoders
+    val healthy = Seq(
+      Multimodal.MediaRecord(0L, "video", D.syntheticGif87(0L, nFrames = 4)),
+      Multimodal.MediaRecord(1L, "video", D.syntheticGif87(1L, nFrames = 4)))
+    val mixed = healthy ++ Seq(
+      Multimodal.MediaRecord(2L, "video", D.syntheticGif87(2L).take(24)),
+      Multimodal.MediaRecord(3L, "video", webpBytes))
+    val out = Multimodal.sampleFramesQuarantine(mixed.toDF(), everyN = 2)
+      .orderBy("media_id", "frame_ix").collect()
+    out.length shouldBe 6 // 2 healthy x 2 sampled frames + 2 quarantine
+    val loud = Multimodal.sampleFrames(healthy.toDF(), everyN = 2)
+      .orderBy("media_id", "frame_ix").collect()
+    out.take(4).map(r => (r.getLong(0), r.getLong(5), r.getInt(6),
+      r.getInt(7), r.getDouble(8), r.getDouble(9), r.getDouble(10))) shouldBe
+      loud.map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    out(4).getBoolean(3) shouldBe false
+    out(4).getString(4) shouldBe "truncated" // mid-color-table cut
+    out(4).getString(2) shouldBe "gif"
+    out(4).isNullAt(5) shouldBe true
+    out(5).getString(4) shouldBe "unsupported_container"
+    out(5).getString(2) shouldBe "webp"
+  }
+
+  test("sampleAudioFramesQuarantine: integer frame stats match the loud " +
+    "twin; truncated WAV quarantines") {
+    val D = Multimodal.Decoders
+    val healthy = Seq(
+      Multimodal.MediaRecord(0L, "audio", D.syntheticWav(0L)),
+      Multimodal.MediaRecord(1L, "audio", D.syntheticWav(1L, channels = 2)))
+    val mixed = healthy :+
+      Multimodal.MediaRecord(2L, "audio", D.syntheticWav(2L).take(20))
+    val out = Multimodal.sampleAudioFramesQuarantine(
+        mixed.toDF(), frameLen = 16)
+      .orderBy("media_id", "frame_ix").collect()
+    val loud = Multimodal.sampleAudioFrames(healthy.toDF(), frameLen = 16)
+      .orderBy("media_id", "frame_ix").collect()
+    out.length shouldBe loud.length + 1
+    out.take(loud.length).map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8), r.getLong(9))) shouldBe
+      loud.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val q = out.last
+    q.getLong(0) shouldBe 2L
+    q.getBoolean(3) shouldBe false
+    q.getString(4) shouldBe "malformed"
+    q.getString(2) shouldBe "wav"
+  }
+
+  test("resizeImagesQuarantine: ok images resize like the loud twin, a " +
+    "bad image keeps its ORIGINAL payload flagged, non-images pass") {
+    val D = Multimodal.Decoders
+    val mixed = Seq(
+      Multimodal.MediaRecord(0L, "image", D.syntheticPng(0L, channels = 3)),
+      Multimodal.MediaRecord(1L, "image", webpBytes),
+      Multimodal.MediaRecord(2L, "audio", D.syntheticWav(2L)))
+    val out = Multimodal.resizeImagesQuarantine(mixed.toDF(), 3, 3)
+      .orderBy("media_id").collect()
+    out(0).getBoolean(3) shouldBe true
+    val resized = out(0).getAs[Array[Byte]](5)
+    resized.toSeq shouldBe D.resizeImage(mixed(0).payload, 3, 3).toSeq
+    D.png(resized).take(2).toSeq shouldBe Seq(3.0, 3.0)
+    out(1).getBoolean(3) shouldBe false
+    out(1).getString(4) shouldBe "unsupported_container"
+    out(1).getAs[Array[Byte]](5).toSeq shouldBe webpBytes.toSeq // kept
+    out(2).getBoolean(3) shouldBe true // non-image passthrough
+    out(2).getAs[Array[Byte]](5).toSeq shouldBe mixed(2).payload.toSeq
+  }
 }

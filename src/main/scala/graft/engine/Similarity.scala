@@ -313,6 +313,90 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Incremental twin of [[lshCosinePairs]] for the daily-batch regime:
+    * only the INCOMING batch's banded signatures PROBE the union buckets —
+    * existing↔existing pairs never re-form, so a daily embedding-dedup run
+    * costs O(batch × bucket occupancy), not a full-corpus self-join
+    * re-formed every day (the
+    * [[graft.engine.NearDup.minhashLshPairsIncremental]] shape on the
+    * banded SRP join). Because the SRP signature, the Hamming prefilter,
+    * and the exact-cosine rerank are all pure per-row / per-pair
+    * functions, the result EQUALS the full [[lshCosinePairs]] run over
+    * (existing ∪ incoming) restricted to pairs touching the batch —
+    * SimilaritySpec asserts that law at both geometries, and the
+    * fixed-geometry oracle twin (`q_srp_incr_fixed`) replays it in SQL as
+    * the full-twin query plus a batch-membership predicate. Same loud
+    * fixed-geometry guard as the full run, fed by the UNION's estimated
+    * size; at real scale prefer [[lshCosinePairsIncrementalAuto]]. */
+  def lshCosinePairsIncremental(existing: DataFrame, incoming: DataFrame,
+                                id: Column, vec: Column, tau: Double,
+                                bits: Int = 256, bands: Int = 24,
+                                rowsPerBand: Int = 4, dim: Int = 64,
+                                maxRowsPerBucket: Int = 1024): DataFrame = {
+    val nEst = estimatedRows(existing, dim) + estimatedRows(incoming, dim)
+    require(nEst <= (1L << rowsPerBand) * maxRowsPerBucket,
+      s"lshCosinePairsIncremental: ~$nEst union rows over " +
+        s"${1 << rowsPerBand} buckets/band (rowsPerBand=$rowsPerBand) " +
+        s"exceeds $maxRowsPerBucket rows/bucket — a fixed geometry goes " +
+        "quadratic here (measured, SCALE.md). Use " +
+        "lshCosinePairsIncrementalAuto(corpusSize) to derive the " +
+        "geometry, or raise maxRowsPerBucket deliberately.")
+    lshCosinePairsIncrementalCore(existing, incoming, id, vec, tau, bits,
+      bands, rowsPerBand, dim)
+  }
+
+  /** [[lshCosinePairsIncremental]] with geometry DERIVED from the
+    * caller-known (existing + incoming) corpus size via [[srpGeometry]] —
+    * the default daily-batch entry point at scale. The geometry must come
+    * from the UNION size: a growing corpus eventually crosses a
+    * rows-per-band step, and when it does the existing side simply
+    * re-bands under the new chunk width (signatures themselves are
+    * geometry-independent up to `bits`, so nothing is invalidated). */
+  def lshCosinePairsIncrementalAuto(existing: DataFrame, incoming: DataFrame,
+                                    id: Column, vec: Column, tau: Double,
+                                    corpusSize: Long, dim: Int = 64,
+                                    targetRecall: Double = 0.92)
+      : DataFrame = {
+    val g = srpGeometry(corpusSize, tau, targetRecall)
+    lshCosinePairsIncrementalCore(existing, incoming, id, vec, tau, g.bits,
+      g.bands, g.rowsPerBand, dim)
+  }
+
+  private def lshCosinePairsIncrementalCore(existing: DataFrame,
+                                            incoming: DataFrame, id: Column,
+                                            vec: Column, tau: Double,
+                                            bits: Int, bands: Int,
+                                            rowsPerBand: Int,
+                                            dim: Int): DataFrame = {
+    val (exVecs, exBanded) = bandedSignatures(existing, id, vec, bits,
+      bands, rowsPerBand, dim)
+    val (inVecs, inBanded) = bandedSignatures(incoming, id, vec, bits,
+      bands, rowsPerBand, dim)
+    val maxHam = hammingCut(tau, prefilterBits(bits))
+    val probe = inBanded.select(col("band"), col("chunk"),
+      col("cid").as("in_id"), col("sig").as("in_sig"))
+    val all = exBanded.withColumn("_new", lit(false))
+      .unionByName(inBanded.withColumn("_new", lit(true)))
+    val vecs = exVecs.unionByName(inVecs)
+    // batch probes union buckets: new↔existing forms exactly once (the
+    // probe side is new-only), new↔new dedups by id order. Bucket keys
+    // stay few and duplicate-heavy, so the build side keeps the same
+    // shuffle_hash hint as the full run (an SMJ would buffer every
+    // many-to-many bucket group — measured there).
+    probe.join(all.hint("shuffle_hash"), Seq("band", "chunk"))
+      .filter(col("in_id") =!= col("cid") &&
+        (!col("_new") || col("in_id") < col("cid")) &&
+        hamming(col("in_sig"), col("sig")) <= maxHam)
+      .select(least(col("in_id"), col("cid")).as("id1"),
+        greatest(col("in_id"), col("cid")).as("id2"))
+      .dropDuplicates("id1", "id2")
+      .join(vecs.select(col("cid").as("id1"), col("cv").as("v1")), "id1")
+      .join(vecs.select(col("cid").as("id2"), col("cv").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Top-`nprobe` nearest centroid indices by dot product (== cosine when
     * the centroids are L2-normalized) — native codegen'd
     * [[graft.engine.expressions.NearestCentroids]], one fused nlist×dim loop

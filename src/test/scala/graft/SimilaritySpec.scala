@@ -684,4 +684,47 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.9
     (auto diff exact) shouldBe empty // exact rerank: no false positives
   }
+
+  test("incremental SRP pairs == full run restricted to batch-touching " +
+    "pairs, at both fixed and derived geometry") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    // fixed 64-bit geometry — the oracle twin's exact layout
+    val full64 = rows(Similarity.lshCosinePairs(emb, col("vec_id"),
+        col("embedding"), 0.4, bits = 64, bands = 8, rowsPerBand = 8))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val incr64 = rows(Similarity.lshCosinePairsIncremental(existing,
+      incoming, col("vec_id"), col("embedding"), 0.4,
+      bits = 64, bands = 8, rowsPerBand = 8))
+    incr64 shouldBe full64
+    full64 should not be empty // the law must not hold vacuously
+    // derived geometry — the at-scale daily-batch entry point
+    val n = emb.count()
+    val fullAuto = rows(Similarity.lshCosinePairsAuto(emb, col("vec_id"),
+        col("embedding"), 0.4, corpusSize = n))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val incrAuto = rows(Similarity.lshCosinePairsIncrementalAuto(existing,
+      incoming, col("vec_id"), col("embedding"), 0.4, corpusSize = n))
+    incrAuto shouldBe fullAuto
+    // an empty batch probes nothing and yields nothing
+    Similarity.lshCosinePairsIncrementalAuto(existing,
+      incoming.limit(0), col("vec_id"), col("embedding"), 0.4,
+      corpusSize = n).count() shouldBe 0L
+  }
+
+  test("incremental SRP fixed-geometry guard fails loudly and names the " +
+    "Auto escape hatch") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshCosinePairsIncremental(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"), 0.4, maxRowsPerBucket = 0)
+    }
+    e.getMessage should include("lshCosinePairsIncrementalAuto")
+  }
 }

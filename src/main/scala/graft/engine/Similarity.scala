@@ -220,23 +220,32 @@ object Similarity {
     require(bands * rowsPerBand <= bits, "bands*rowsPerBand must fit in bits")
     require(rowsPerBand >= 1 && rowsPerBand <= 62,
       s"rowsPerBand in [1, 62]: $rowsPerBand")
-    val mask = (1L << rowsPerBand) - 1
-    val pWords = (prefilterBits(bits) + 63) / 64
     val vecs = emb.select(id.as("cid"), asDouble(vec).as("cv"))
       .withColumn("sig", srpSignature(col("cv"), bits, dim))
-    val banded = vecs.select(col("cid"),
-      slice(col("sig"), 1, pWords).as("sig"), posexplode(array(
-      (0 until bands).map { j =>
-        val word = (j * rowsPerBand) / 64
-        val off = (j * rowsPerBand) % 64
-        val lo = shiftrightunsigned(element_at(col("sig"), word + 1), off)
-        val chunk =
-          if (off + rowsPerBand <= 64) lo
-          else lo.bitwiseOR(
-            shiftleft(element_at(col("sig"), word + 2), 64 - off))
-        chunk.bitwiseAND(mask)
-      }: _*)).as(Seq("band", "chunk")))
+    val banded = bandSignatureFrame(vecs, bits, bands, rowsPerBand)
     (vecs.drop("sig"), banded)
+  }
+
+  /** Banding as a VIEW over a signature column: (…, sig) → (…, sig-prefix,
+    * band, chunk) — the bit-slicing half of [[bandedSignatures]], shared
+    * with the presigned incremental path (a persisted signature table
+    * re-bands under any geometry whose bands×rowsPerBand fit its width —
+    * no recompute on a geometry step). Chunk extraction is the native
+    * [[graft.engine.expressions.BandChunks]] loop: the unrolled Column
+    * form generated O(bands) code in one method and blew Janino's 64 KB
+    * limit (silent interpreted fallback) at derived geometries past ~150
+    * bands — measured r13 at 401 bands / n=200k. */
+  private def bandSignatureFrame(sigs: DataFrame, bits: Int, bands: Int,
+                                 rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= bits, "bands*rowsPerBand must fit in bits")
+    require(rowsPerBand >= 1 && rowsPerBand <= 62,
+      s"rowsPerBand in [1, 62]: $rowsPerBand")
+    val pWords = (prefilterBits(bits) + 63) / 64
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val chunks = ColumnBridge.column(graft.engine.expressions.BandChunks(
+      ColumnBridge.expression(col("sig")), bands, rowsPerBand))
+    sigs.select(col("cid"), slice(col("sig"), 1, pWords).as("sig"),
+      posexplode(chunks).as(Seq("band", "chunk")))
   }
 
   /** Embedding-cosine near-dup pairs at scale — three stages, none quadratic
@@ -362,6 +371,40 @@ object Similarity {
       g.bands, g.rowsPerBand, dim)
   }
 
+  /** Map-side bucket pruning for the incremental probe join: condense the
+    * batch's (band, chunk) key set into a driver-held Bloom filter (three
+    * BATCH-sized jobs: emptiness, distinct-count calibration, build; the
+    * filter then rides the [[graft.engine.expressions.BloomMightContain]]
+    * expression into every task) and drop the corpus-side banded rows
+    * whose bucket no probe touches BEFORE they shuffle. No false
+    * negatives, and a false positive merely ships a row that fails the
+    * join-key match — results are bit-identical (covered by the
+    * incremental == restricted-full-run spec law). At toy scale the
+    * probe touches nearly every bucket (derived geometry keeps bucket
+    * count ≈ n/128, so any batch larger than that count covers them
+    * all); in the true daily-batch regime (batch ≪ corpus/128) this is
+    * the difference between shuffling corpus×bands banded rows and
+    * shuffling only the probed fraction — measured at the 100× step
+    * (SCALE.md). An empty batch prunes everything (and sidesteps
+    * `stat.bloomFilter`'s empty-input NPE). */
+  private def pruneToProbedBuckets(exBanded: DataFrame,
+                                   inBanded: DataFrame): DataFrame = {
+    val keys = inBanded.select(xxhash64(col("band"), col("chunk")).as("k"))
+    if (keys.isEmpty) exBanded.limit(0)
+    else {
+      val expected = math.max(keys.distinct().count(), 1L)
+      val bloom = keys.stat.bloomFilter("k", expected, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val bytes = bos.toByteArray
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      exBanded.filter(ColumnBridge.column(
+        graft.engine.expressions.BloomMightContain(
+          ColumnBridge.expression(xxhash64(col("band"), col("chunk"))),
+          bytes)))
+    }
+  }
+
   private def lshCosinePairsIncrementalCore(existing: DataFrame,
                                             incoming: DataFrame, id: Column,
                                             vec: Column, tau: Double,
@@ -375,15 +418,94 @@ object Similarity {
     val maxHam = hammingCut(tau, prefilterBits(bits))
     val probe = inBanded.select(col("band"), col("chunk"),
       col("cid").as("in_id"), col("sig").as("in_sig"))
-    val all = exBanded.withColumn("_new", lit(false))
+    val all = pruneToProbedBuckets(exBanded, inBanded)
+      .withColumn("_new", lit(false))
       .unionByName(inBanded.withColumn("_new", lit(true)))
     val vecs = exVecs.unionByName(inVecs)
     // batch probes union buckets: new↔existing forms exactly once (the
     // probe side is new-only), new↔new dedups by id order. Bucket keys
-    // stay few and duplicate-heavy, so the build side keeps the same
-    // shuffle_hash hint as the full run (an SMJ would buffer every
-    // many-to-many bucket group — measured there).
-    probe.join(all.hint("shuffle_hash"), Seq("band", "chunk"))
+    // stay few and duplicate-heavy, so this must be a hash join (an SMJ
+    // would buffer every many-to-many bucket group — measured in the full
+    // run) — but unlike the full run's symmetric self-join, the BUILD
+    // side here must be the BATCH-sized probe: building the corpus side's
+    // banded rows OOMs the per-partition hash map exactly when the
+    // incremental path matters (measured r13 at the 100× step).
+    probe.hint("shuffle_hash").join(all, Seq("band", "chunk"))
+      .filter(col("in_id") =!= col("cid") &&
+        (!col("_new") || col("in_id") < col("cid")) &&
+        hamming(col("in_sig"), col("sig")) <= maxHam)
+      .select(least(col("in_id"), col("cid")).as("id1"),
+        greatest(col("in_id"), col("cid")).as("id2"))
+      .dropDuplicates("id1", "id2")
+      .join(vecs.select(col("cid").as("id1"), col("cv").as("v1")), "id1")
+      .join(vecs.select(col("cid").as("id2"), col("cv").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** SRP signature table (cid, sig) — the PERSIST point of the daily-batch
+    * pattern. Signatures are pure per-row functions and prefix-stable
+    * across widths (bit j never changes when `bits` grows — hyperplanes
+    * are generated per bit index), so: compute once for the corpus at a
+    * width with headroom over the current geometry, store next to the
+    * embeddings, and append each day's batch. The measured motivation
+    * (SCALE.md): recomputing corpus signatures dominated the fixed-batch
+    * incremental run ~3.4 s of 4.9 s at the 10× step — persisting them
+    * makes the daily marginal batch-sized.
+    */
+  def srpSignatureTable(emb: DataFrame, id: Column, vec: Column,
+                        bits: Int = 832, dim: Int = 64): DataFrame =
+    emb.select(id.as("cid"), asDouble(vec).as("cv"))
+      .select(col("cid"), srpSignature(col("cv"), bits, dim).as("sig"))
+
+  /** [[lshCosinePairsIncrementalAuto]] against a PERSISTED corpus
+    * signature table ([[srpSignatureTable]]) — the production daily run:
+    * only the incoming batch is signed today; the existing side's
+    * signatures are read back and re-banded as a bit-slicing view (free
+    * on geometry steps while the derived geometry fits `sigBits`, the
+    * width the table was signed at — a too-narrow table fails loudly
+    * DRIVER-SIDE, naming the re-sign width; no job runs). `existing`
+    * supplies the vectors for the exact rerank (only candidate ids are
+    * ever joined back to it). Bit-identical to
+    * [[lshCosinePairsIncrementalAuto]] on the same inputs because
+    * signatures are prefix-stable across widths — spec-asserted. */
+  def lshCosinePairsIncrementalPresigned(existingSigs: DataFrame,
+                                         sigBits: Int, existing: DataFrame,
+                                         incoming: DataFrame, id: Column,
+                                         vec: Column, tau: Double,
+                                         corpusSize: Long, dim: Int = 64,
+                                         targetRecall: Double = 0.92)
+      : DataFrame = {
+    val g = srpGeometry(corpusSize, tau, targetRecall)
+    require(sigBits % 64 == 0 && sigBits > 0,
+      s"sigBits must be a positive multiple of 64: $sigBits")
+    // the banding reads word indices up to ceil(bands*rowsPerBand/64) and
+    // the Hamming prefilter up to ceil(min(g.bits, 512)/64); both are
+    // <= ceil(g.bits/64), so requiring the stored width to cover g.bits
+    // is the whole contract
+    require(g.bits <= sigBits,
+      s"persisted signature table too narrow: geometry for n=$corpusSize " +
+        s"needs ${g.bits} bits, table was signed at $sigBits — re-sign " +
+        s"with srpSignatureTable(bits >= ${g.bits}) (grow with headroom; " +
+        "prefix bits never change)")
+    // band the STORED prefix exactly as a freshly-signed g.bits-wide
+    // signature would band: pass g.bits (not sigBits) so the sliced
+    // Hamming-prefix width matches the incoming side's word for word
+    val exBanded = bandSignatureFrame(
+      existingSigs.select(col("cid"), col("sig")), g.bits,
+      g.bands, g.rowsPerBand)
+    val (inVecs, inBanded) = bandedSignatures(incoming, id, vec, g.bits,
+      g.bands, g.rowsPerBand, dim)
+    val exVecs = existing.select(id.as("cid"), asDouble(vec).as("cv"))
+    val maxHam = hammingCut(tau, prefilterBits(g.bits))
+    val probe = inBanded.select(col("band"), col("chunk"),
+      col("cid").as("in_id"), col("sig").as("in_sig"))
+    val all = pruneToProbedBuckets(exBanded, inBanded)
+      .withColumn("_new", lit(false))
+      .unionByName(inBanded.withColumn("_new", lit(true)))
+    val vecs = exVecs.unionByName(inVecs)
+    probe.hint("shuffle_hash").join(all, Seq("band", "chunk"))
       .filter(col("in_id") =!= col("cid") &&
         (!col("_new") || col("in_id") < col("cid")) &&
         hamming(col("in_sig"), col("sig")) <= maxHam)

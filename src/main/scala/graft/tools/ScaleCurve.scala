@@ -35,7 +35,14 @@ object ScaleCurve {
     // graph, and streaming tiers — the families whose 100 TB stories were
     // plan-shape arguments only
     "q_bloom_contamination", "q_repetition_filter", "q_pagerank",
-    "q_stream_hourly")
+    "q_stream_hourly",
+    // r13 (VERDICT r12 stretch #7 + missing #3): the media tier — per-row
+    // decode kernels whose exponent should be ~1 by construction
+    // (executor-width-bound map passes; payload count rides the
+    // synthesized documents table) — and the incremental SRP daily-batch
+    // path (batch probes union buckets; exponent reflects batch x
+    // occupancy growth, both 10x here)
+    "q_media_jpeg", "q_media_quarantine", "q_embed_dedup_incr")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  factor: Int): Unit = {
@@ -204,6 +211,25 @@ object ScaleCurve {
     println(f"[scale] q_embed_dedup_lsh at sf1 (n=$nSf1): fixed geometry " +
       f"(24x4/256) $fixed%.3f s vs derived (${g.bands}x${g.rowsPerBand}/" +
       f"${g.bits}) $derived%.3f s")
+    // the REALISTIC daily-batch regime: the batch stays base-sized while
+    // the corpus grows 10x — the q_embed_dedup_incr row above scales the
+    // batch WITH the corpus (both 10x), which conflates the two growth
+    // axes; this A/B isolates corpus growth at fixed batch, the claim the
+    // incremental path exists for
+    val incrFixedBatch = lshOnce(synthDir, emb =>
+      graft.engine.Similarity.lshCosinePairsIncrementalAuto(
+        emb.filter(col("vec_id") % (5L * factor) =!= 0),
+        emb.filter(col("vec_id") % (5L * factor) === 0),
+        col("vec_id"), col("embedding"), 0.4, corpusSize = nSf1))
+    val incrBaseBatch = lshOnce("/root/testdata/sf0.1", emb =>
+      graft.engine.Similarity.lshCosinePairsIncrementalAuto(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"), 0.4, corpusSize = nSf1 / factor))
+    println(f"[scale] incremental SRP, SAME-SIZED batch: sf0.1 corpus " +
+      f"$incrBaseBatch%.3f s vs 10x corpus $incrFixedBatch%.3f s " +
+      "(exponent of corpus growth at fixed batch: " +
+      f"${math.log(incrFixedBatch / incrBaseBatch) / math.log(factor.toDouble)}%.2f)")
     spark.stop()
   }
 }

@@ -716,6 +716,65 @@ class SimilaritySpec extends SparkSpec {
       corpusSize = n).count() shouldBe 0L
   }
 
+  test("presigned incremental SRP == direct incremental bit-identical " +
+    "(wider stored signatures; prefix stability), too-narrow table " +
+    "refuses driver-side") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    val n = emb.count()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val direct = rows(Similarity.lshCosinePairsIncrementalAuto(existing,
+      incoming, col("vec_id"), col("embedding"), 0.4, corpusSize = n))
+    // sign the corpus WIDER than the geometry needs — the headroom
+    // pattern; signatures are prefix-stable so results must not move
+    val sigs = Similarity.srpSignatureTable(existing, col("vec_id"),
+      col("embedding"), bits = 832)
+    val pres = rows(Similarity.lshCosinePairsIncrementalPresigned(sigs, 832,
+      existing, incoming, col("vec_id"), col("embedding"), 0.4,
+      corpusSize = n))
+    pres shouldBe direct
+    direct should not be empty
+    // a table signed too narrow for the (larger-corpus) geometry refuses
+    // before any job, naming the re-sign width
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshCosinePairsIncrementalPresigned(sigs, 64, existing,
+        incoming, col("vec_id"), col("embedding"), 0.4,
+        corpusSize = 1000000L)
+    }
+    e.getMessage should include("re-sign")
+  }
+
+  test("BandChunks native loop == unrolled bit extraction, including " +
+    "word-straddling chunks; too-narrow signature refuses loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sig = Array(0x123456789abcdef0L, 0x0fedcba987654321L,
+      0x5555aaaa3333ccccL)
+    val bands = 17
+    val r = 11 // 187 bits over 3 words — chunks straddle word boundaries
+    def unrolled(j: Int): Long = {
+      val bit = j * r
+      val word = bit / 64
+      val off = bit % 64
+      val lo = sig(word) >>> off
+      val v = if (off + r <= 64) lo
+              else lo | (sig(word + 1) << (64 - off))
+      v & ((1L << r) - 1)
+    }
+    val e = graft.engine.expressions.BandChunks(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), bands, r)
+    val got = e.compute(new GenericArrayData(sig))
+    got.numElements() shouldBe bands
+    (0 until bands).foreach { j =>
+      withClue(s"band $j: ") { got.getLong(j) shouldBe unrolled(j) }
+    }
+    intercept[IllegalArgumentException] {
+      e.compute(new GenericArrayData(sig.take(2)))
+    }.getMessage should include("signed too narrow")
+  }
+
   test("incremental SRP fixed-geometry guard fails loudly and names the " +
     "Auto escape hatch") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

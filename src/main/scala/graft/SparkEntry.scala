@@ -19,6 +19,13 @@ object SparkEntry {
   /** Memory-sink names must be unique per streaming run within a session. */
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Last checkpointed result per (tag, sfDir) stream rig — released on the
+    * next run of the same rig so repeated bench/verify invocations don't
+    * accumulate checkpoint blocks for the session lifetime (the block twin
+    * of the memory-sink leak runAvailableNow already guards against). */
+  private val streamLastResult =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
   /** IVF index (quantizer model + persisted list assignment), built ONCE per
     * dataset dir: the IVF contract is train-once/search-many, so repeated
     * executions of `q_ann_ivf_topk` must time steady-state SEARCH — the
@@ -313,12 +320,17 @@ object SparkEntry {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val outDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_out", tag + "_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-      .toString
-    project(s.table(qname)).write.mode("overwrite").parquet(outDir)
+    // result must outlive the dropped sink table: an EAGER localCheckpoint
+    // moves the rows into executor blocks in one job (r13 — the previous
+    // parquet spill + re-read paid a write job, a directory listing and a
+    // fresh scan per streaming query for the same few-KB result); the
+    // previous run's blocks are released so repeated runs don't leak
+    val result = project(s.table(qname)).localCheckpoint(true)
     s.catalog.dropTempView(qname)
-    s.read.parquet(outDir)
+    val key = tag + "_" + d
+    val prev = streamLastResult.put(key, result)
+    if (prev != null) graft.engine.NearDup.releaseCheckpoint(prev)
+    result
   }
 
   /** Two-run checkpointed streaming restart — the reference's actual

@@ -21,12 +21,17 @@ import org.apache.spark.storage.StorageLevel
   * nodes; beyond that, shrink R (the iteration is scale-free) — documented
   * in SCALE.md.
   *
-  * 100 TB shape: the edge list (the data-scale side) is joined with its
-  * out-degree once, hash-partitioned by `src`, and persisted — each of the
-  * `iters` rounds then reuses that partitioning for its rank join (the rank
-  * table is node-sized, orders of magnitude smaller than the edges) and pays
-  * one groupBy(dst) shuffle. Nothing collects to the driver; the returned
-  * frame is node-sized. For iteration counts beyond 3 the loop eagerly
+  * 100 TB shape: the edge list (the data-scale side) pays ONE hash(src)
+  * exchange, is joined with its out-degree (build-small shuffled-hash, no
+  * sort) and materialized as an eager localCheckpoint — a LogicalRDD that
+  * REPORTS its hash(src) partitioning, so each of the `iters` rounds
+  * reuses it for its rank join (the rank table is node-sized, orders of
+  * magnitude smaller than the edges) with no exchange and no sort, and
+  * pays only its one unavoidable groupBy(dst) shuffle. (r13 measured: the
+  * former repartition+persist idiom cached through InMemoryRelation, which
+  * under AQE reports unknown partitioning — every round re-exchanged and
+  * re-sorted the cached edges.) Nothing collects to the driver; the
+  * returned frame is node-sized. For iteration counts beyond 3 the loop eagerly
   * `localCheckpoint`s the rank frame every `checkpointEvery` rounds and
   * releases the superseded blocks (the `NearDup.dedupClusters` pattern),
   * so lineage depth and optimizer time stay bounded at any `iters`; at the
@@ -37,6 +42,12 @@ object Graph {
 
   /** Unit rank mass: 1e9 ppb. */
   val RankUnit: Long = 1000000000L
+
+  /** See [[NearDup.checkpointPartitioned]] — eager localCheckpoint whose
+    * LogicalRDD reports its real hash partitioning (AQE-off
+    * materialization), so the iterative loops reuse it exchange-free. */
+  private def checkpointPartitioned(df: DataFrame): DataFrame =
+    NearDup.checkpointPartitioned(df)
 
   /** Fixed-iteration damped PageRank. Default is the sink-leak variant:
     * mass flowing into dangling nodes is not redistributed — the standard
@@ -87,29 +98,56 @@ object Graph {
                dampPct: Int = 85, redistributeDangling: Boolean = false,
                checkpointEvery: Int = 3,
                deltaL1Out: scala.collection.mutable.Buffer[Long] = null,
-               maxNodes: Long = Long.MaxValue / (100L * RankUnit))
+               maxNodes: Long = Long.MaxValue / (100L * RankUnit),
+               planOut: scala.collection.mutable.Buffer[(String, String)] = null)
       : DataFrame = {
+    def capture(tag: String, df: DataFrame): Unit =
+      if (planOut != null) planOut += tag ->
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(checkpointEvery >= 1, s"checkpointEvery >= 1, got $checkpointEvery")
     require(maxNodes >= 1, s"maxNodes >= 1, got $maxNodes")
-    val e = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
-      .na.drop().distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // The data-scale invariant of the loop: partition the (edge, outdeg)
-    // table by src ONCE; every iteration's rank join reuses it.
-    val eo = e.join(outdeg, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // dangling = appears only as dst (node-sized; persisted only when used)
+    // The data-scale invariant of the loop: ONE full-edge exchange
+    // (repartition by src), shared via ReuseExchange by the dedup, the
+    // out-degree aggregate AND the join (hash(src) satisfies the
+    // (src,dst)-distinct's clustering requirement, so neither aggregate
+    // adds an exchange, and the join is co-partitioned). The join builds
+    // its hash map from the node-sized out-degree side (shuffle_hash
+    // hint), so nothing sorts. The result materializes as an EAGER
+    // localCheckpoint: a LogicalRDD REPORTS hash(src) partitioning, which
+    // every iteration's rank join then reuses with no exchange and no
+    // sort. (The previous repartition+persist form cached through
+    // InMemoryRelation, which under AQE reports unknown partitioning —
+    // measured r13 on the sf0.1 graph: every round re-exchanged AND
+    // re-sorted the cached edges, every join planned sort-merge, and the
+    // whole edge build planned twice more to cache `nodes` — 98 plan
+    // operators for iters=3 vs 30 after this change.)
+    // Trade-off, documented: repartitioning the RAW edge rows first means
+    // the one exchange carries pre-dedup rows with no map-side combine; a
+    // distinct-first shape combines map-side but pays a SECOND full
+    // exchange of the deduped set. One shuffle wins unless the duplicate
+    // factor exceeds ~2; for multigraph-heavy corpora flip the order.
+    val eP = edges
+      .select(src.cast("string").as("src"), dst.cast("string").as("dst"))
+      .na.drop().repartition(col("src")).distinct()
+    val outdeg = eP.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eoPre = eP.join(outdeg.hint("shuffle_hash"), "src")
+    val eo = checkpointPartitioned(eoPre)
+    // node set derives from the MATERIALIZED edge table (not the lazy edge
+    // plan — that re-ran the whole scan+join+dedup a second time), and is
+    // itself eagerly checkpointed so its hash(node) partitioning survives
+    // into every round's damped join.
+    val nodes = checkpointPartitioned(eo.select(col("src").as("node"))
+      .union(eo.select(col("dst").as("node"))).distinct())
+    // dangling = appears only as dst (node-sized; materialized only when
+    // used; the right side reads the checkpointed edge blocks)
     val danglingNodes =
       if (redistributeDangling)
-        Some(nodes.join(outdeg.select(col("src").as("node")),
-            Seq("node"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK))
+        Some(checkpointPartitioned(
+          nodes.join(eo.select(col("src").as("node")),
+            Seq("node"), "left_anti")))
       else None
     try {
       // model-sized driver scalars, only when redistributing (two counts;
@@ -130,8 +168,17 @@ object Graph {
             "Shrink the rank unit (the iteration is scale-free) or raise " +
             "maxNodes deliberately after checking the bound (SCALE.md).")
       val nDangling = danglingNodes.map(_.count()).getOrElse(0L)
+      capture("edge_prep_eo", eoPre)
 
-      def damped(contribs: DataFrame, prevRanks: Option[DataFrame]): DataFrame =
+      // contribs is node-sized and arrives hash(node)-partitioned from its
+      // aggregate, co-partitioned with the checkpointed `nodes` — the
+      // shuffle_hash hint on it makes the damped join a build-small hash
+      // join instead of a sort-merge (no exchange either way, but SMJ
+      // re-sorted BOTH node-sized sides every round). Build side = the
+      // per-partition slice of a node-sized table: sized like the rank
+      // state itself, which the whole loop already holds per partition.
+      def damped(contribs0: DataFrame, prevRanks: Option[DataFrame]): DataFrame = {
+        val contribs = contribs0.hint("shuffle_hash")
         danglingNodes match {
           case None =>
             nodes.join(contribs, Seq("node"), "left")
@@ -149,7 +196,8 @@ object Graph {
               case Some(pr) =>
                 nodes.join(contribs, Seq("node"), "left")
                   .crossJoin(broadcast(
-                    pr.join(dang, Seq("node"), "left_semi")
+                    pr.join(dang.hint("shuffle_hash"), Seq("node"),
+                        "left_semi")
                       .agg(coalesce(sum(col("rank_ppb")), lit(0L)).as("_dm"))))
             }
             withShare.select(col("node"),
@@ -157,16 +205,16 @@ object Graph {
                 s"(coalesce(contrib, 0L) + (_dm div ${nNodes}L))) div 100)")
                 .as("rank_ppb"))
         }
+      }
 
       // round 1 needs no rank join: every rank is the constant R, so the
       // contribution is R div outdeg straight off the edge table — one
-      // node-sized join stage fewer. Measured NEUTRAL on sf0.1 wall time
-      // (the loop is dominated by edge-table preparation: distinct +
-      // outdeg join + repartition + persist), kept for the smaller plan
+      // node-sized join stage fewer.
       var ranks = damped(eo
         .select(col("dst").as("node"),
           expr(s"$RankUnit div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("contrib")), None)
+      val round1Pre = ranks
       var lastCkpt: DataFrame = null
       def ckptAndDiag(it: Int, prev: Option[DataFrame]): Unit = {
         // under redistribution every following round reads this round's
@@ -178,7 +226,7 @@ object Graph {
         val wantCkpt = deltaL1Out != null ||
           (redistributeDangling && it < iters) ||
           (iters > 3 && it < iters && it % checkpointEvery == 0)
-        if (wantCkpt) ranks = ranks.localCheckpoint(true)
+        if (wantCkpt) ranks = checkpointPartitioned(ranks)
         if (deltaL1Out != null) {
           val delta = prev match {
             case None => ranks
@@ -197,14 +245,22 @@ object Graph {
         }
       }
       ckptAndDiag(1, None)
+      capture("round1_ranks", round1Pre)
       for (it <- 2 to iters) {
         val prev = ranks
+        // rank side hinted shuffle_hash: ranks are node-sized and arrive
+        // hash(node→src)-partitioned, co-partitioned with the checkpointed
+        // eo — a build-small hash join with no exchange and no sort (SMJ
+        // here re-sorted the full edge table EVERY round; the round's one
+        // unavoidable edge-sized shuffle stays the groupBy(dst) below)
         val contribs = eo
-          .join(prev.withColumnRenamed("node", "src"), "src")
+          .join(prev.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
           .select(col("dst").as("node"),
             expr("rank_ppb div outdeg").as("c"))
           .groupBy("node").agg(sum("c").as("contrib"))
         ranks = damped(contribs, Some(prev))
+        if (it == iters) capture(s"round${it}_ranks", ranks)
         ckptAndDiag(it, Some(prev))
       }
       // Materialize before releasing the loop invariants (the session-hygiene
@@ -214,9 +270,9 @@ object Graph {
         NearDup.releaseCheckpoint(lastCkpt)
       out
     } finally {
-      eo.unpersist(false)
-      nodes.unpersist(false)
-      danglingNodes.foreach(_.unpersist(false))
+      NearDup.releaseCheckpoint(eo)
+      NearDup.releaseCheckpoint(nodes)
+      danglingNodes.foreach(NearDup.releaseCheckpoint)
     }
   }
 
@@ -246,35 +302,52 @@ object Graph {
     * persisted edges); documented in SCALE.md.
     *
     * 100 TB shape: the edge list is the only data-scale table. It is
-    * deduplicated once and persisted twice — hash-partitioned by `src`
-    * (reused by every auth-round rank join) and by `dst` (reused by every
-    * hub round) — so each round pays exactly its one unavoidable
-    * groupBy shuffle; the score tables are node-sized. Nothing collects
-    * to the driver. Returns `(node, auth_ppb, hub_ppb)` for every node,
-    * zeros where a direction has no edges.
+    * deduplicated behind one hash(dst) exchange and materialized as an
+    * eager localCheckpoint (LogicalRDD — its partitioning is visible to
+    * the planner, which an AQE-era InMemoryRelation's is not; measured
+    * r13) — reused by every hub round with no exchange and no sort; a
+    * second src-partitioned copy materializes only when auth rounds reuse
+    * it (iters > 2). Each round pays exactly its one unavoidable groupBy
+    * shuffle; the score tables are node-sized and join build-small
+    * (shuffle_hash). Nothing collects to the driver. Returns
+    * `(node, auth_ppb, hub_ppb)` for every node, zeros where a direction
+    * has no edges.
     */
   def hits(edges: DataFrame, src: org.apache.spark.sql.Column,
            dst: org.apache.spark.sql.Column, iters: Int = 2,
-           maxDegree: Long = Long.MaxValue / (4L * RankUnit)): DataFrame = {
+           maxDegree: Long = Long.MaxValue / (4L * RankUnit),
+           planOut: scala.collection.mutable.Buffer[(String, String)] = null)
+      : DataFrame = {
+    def capture(tag: String, df: DataFrame): Unit =
+      if (planOut != null) planOut += tag ->
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(maxDegree >= 1, s"maxDegree >= 1, got $maxDegree")
-    val e0 = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
-      .na.drop().distinct()
-    // eByDst is the ONE always-persisted copy (it serves every hub round);
-    // everything else — nodes, and the src partitioning — derives from it,
-    // so the raw edge build + distinct runs exactly once. The src
-    // partitioning only earns its own persisted copy when reused (auth
+    // eByDst is the ONE always-materialized copy (it serves every hub
+    // round); everything else — nodes, and the src partitioning — derives
+    // from it, so the raw edge build + dedup runs exactly once, behind a
+    // single full-edge exchange (hash(dst) satisfies the (src,dst)-dedup's
+    // clustering requirement — the pageRank edge-prep shape and trade-off,
+    // see there). Materialization is an EAGER localCheckpoint, not
+    // persist: the LogicalRDD reports hash(dst) partitioning, so every
+    // hub round's join reuses it with no exchange (under AQE an
+    // InMemoryRelation reports unknown partitioning — measured r13: each
+    // half-step re-exchanged and re-sorted the cached edges). The src
+    // partitioning only earns its own materialized copy when reused (auth
     // rounds 2..iters, i.e. iters > 2); at iters <= 2 the single auth join
-    // just reshuffles the cached blocks.
-    val eByDst = e0.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // just reshuffles the checkpointed blocks.
+    val eByDst = checkpointPartitioned(edges
+      .select(src.cast("string").as("src"), dst.cast("string").as("dst"))
+      .na.drop().repartition(col("dst")).distinct())
     val reuseSrc = iters > 2
     val eBySrc =
       if (reuseSrc)
-        eByDst.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        checkpointPartitioned(eByDst.repartition(col("src")))
       else eByDst
-    val nodes = eByDst.select(col("src").as("node"))
-      .union(eByDst.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = checkpointPartitioned(
+      eByDst.select(col("src").as("node"))
+        .union(eByDst.select(col("dst").as("node"))).distinct())
     // every half-step's raw frame is eagerly checkpointed BEFORE the
     // rescale reads it twice (once for the one-row max, once under the
     // broadcast cross join): without the materialization the two readers
@@ -303,7 +376,8 @@ object Graph {
           "the graph, or raise maxDegree deliberately after checking the " +
           "bound (SCALE.md).")
       def rescale(raw0: DataFrame): DataFrame = {
-        val raw = raw0.localCheckpoint(true)
+        val raw = checkpointPartitioned(raw0)
+        capture(s"halfstep${halfSteps.length + 1}_raw", raw0)
         halfSteps += raw
         // rescale so the argmax lands at ~R: raw div (max div R), floor at
         // every step (both engines; all values non-negative)
@@ -314,18 +388,24 @@ object Graph {
 
       // round 1's auth needs no join: hub is the constant R, so
       // auth_raw(v) = R * indeg(v) straight off the dst-partitioned edges
+      // score sides hinted shuffle_hash: auth/hub are node-sized,
+      // checkpointed hash(node) and co-partitioned with the edge table, so
+      // each half-step join is a build-small hash join with no exchange
+      // and no sort (SMJ re-sorted the full edge table per half-step)
       var auth = rescale(eByDst.groupBy(col("dst").as("node"))
         .agg((count(lit(1)) * RankUnit).as("raw")))
       var hub: DataFrame = null
       def hubRound(): Unit = {
         hub = rescale(eByDst
-          .join(auth.withColumnRenamed("node", "dst"), "dst")
+          .join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            "dst")
           .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
       }
       hubRound()
       for (it <- 2 to iters) {
         auth = rescale(eBySrc
-          .join(hub.withColumnRenamed("node", "src"), "src")
+          .join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
           .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw")))
         hubRound()
         // lineage stays shallow by construction: each half-step reads only
@@ -338,8 +418,10 @@ object Graph {
         }
       }
       val out = nodes
-        .join(auth.withColumnRenamed("score", "auth_ppb"), Seq("node"), "left")
-        .join(hub.withColumnRenamed("score", "hub_ppb"), Seq("node"), "left")
+        .join(auth.withColumnRenamed("score", "auth_ppb")
+          .hint("shuffle_hash"), Seq("node"), "left")
+        .join(hub.withColumnRenamed("score", "hub_ppb")
+          .hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("auth_ppb"), lit(0L)).as("auth_ppb"),
           coalesce(col("hub_ppb"), lit(0L)).as("hub_ppb"))
@@ -349,9 +431,9 @@ object Graph {
       out
     } finally {
       halfSteps.foreach(NearDup.releaseCheckpoint)
-      if (reuseSrc) eBySrc.unpersist(false)
-      eByDst.unpersist(false)
-      nodes.unpersist(false)
+      if (reuseSrc) NearDup.releaseCheckpoint(eBySrc)
+      NearDup.releaseCheckpoint(eByDst)
+      NearDup.releaseCheckpoint(nodes)
     }
   }
 

@@ -590,12 +590,14 @@ object NearDup {
     * component, not per pair — pairs alone under-dedup transitive chains
     * (a~b, b~c ⇒ {a,b,c} is one cluster even if a≁c directly).
     *
-    * Each iteration runs EXACTLY ONE job: the propagation plan carries a
-    * `_changed` flag, is marked for (lazy) checkpoint, and the changed-label
-    * count is aggregated on top — the one action both materializes the
-    * checkpoint blocks and returns the convergence signal (round 1 ran a
-    * separate join+isEmpty probe per round, doubling job count). Lineage is
-    * truncated by the checkpoint so the plan doesn't grow unboundedly.
+    * Each iteration runs one propagation job plus one cheap convergence
+    * count over the just-materialized checkpoint blocks: the propagation
+    * plan carries a `_changed` flag and is eagerly checkpointed
+    * partition-preservingly (r13 — the former lazy checkpoint saved one
+    * job per round but recorded UnknownPartitioning, so the next round
+    * re-shuffled the corpus-sized label table; at scale the label
+    * exchange dwarfs a block-read count job). Lineage is truncated by
+    * the checkpoint so the plan doesn't grow unboundedly.
     * Converges in O(component diameter) rounds — near-dup clusters are
     * shallow (dups of a common source), so maxIters=20 is generous. The
     * driver-side loop is a fixpoint controller, not a data path: per round it
@@ -619,30 +621,54 @@ object NearDup {
   def dedupClusters(pairs: DataFrame, allDocs: DataFrame, id: Column,
                     maxIters: Int = 20,
                     reliableCheckpoint: Boolean = false,
-                    strict: Boolean = true): DataFrame = {
+                    strict: Boolean = true,
+                    planOut: scala.collection.mutable.Buffer[(String, String)] = null)
+      : DataFrame = {
+    // debug-only plan capture; call AFTER the frame was materialized by
+    // checkpointPartitioned (forcing queryExecution earlier would pin an
+    // adaptive plan and defeat the partition-preserving checkpoint)
+    def capture(tag: String, df: DataFrame): Unit =
+      if (planOut != null) planOut += tag ->
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
     def ckptEager(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    def ckptLazy(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(false) else df.localCheckpoint(false)
+      if (reliableCheckpoint) df.checkpoint(true) else checkpointPartitioned(df)
     // materialize the edge list ONCE — its lineage is typically a whole
     // near-dup pipeline (minhash etc.) that would otherwise recompute on
-    // every propagation round
-    val edges = ckptEager(pairs.select(col("id1"), col("id2"))
-      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    // every propagation round. Partitioned by the PROBE key (id2) and
+    // checkpointed partition-preservingly (r13): every round's label join
+    // then reuses it with no exchange and no sort — the former plain
+    // checkpoint reported UnknownPartitioning, so each round re-shuffled
+    // the full edge list.
+    val edgesPre = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .repartition(col("id2"))
+    val edges = ckptEager(edgesPre)
+    capture("edges_prep", edgesPre)
+    // labels partitioned by doc_id: co-partitioned with each round's
+    // neighbor-min aggregate, so the left join below never re-shuffles the
+    // corpus-sized label table
     var labels = ckptEager(allDocs.select(id.as("doc_id"))
-      .withColumn("label", col("doc_id")))
+      .withColumn("label", col("doc_id")).repartition(col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels,
+      // labels side hinted shuffle_hash: builds the per-partition slice of
+      // the label table (corpus/N rows — the state each partition already
+      // holds; size N with the corpus, SCALE.md) instead of sort-merging,
+      // which re-sorted the edge list every round
+      val neighborMin = edges.join(labels.hint("shuffle_hash"),
           edges("id2") === labels("doc_id"))
         .groupBy(col("id1").as("doc_id"))
         .agg(min(col("label")).as("_nl"))
-      val updated = ckptLazy(labels.join(neighborMin, Seq("doc_id"), "left")
+      val updatedPre =
+        labels.join(neighborMin.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
-          coalesce(col("_nl") < col("label"), lit(false)).as("_changed")))
-      // single action: materializes the checkpoint AND counts changed labels
+          coalesce(col("_nl") < col("label"), lit(false)).as("_changed"))
+      val updated = ckptEager(updatedPre)
+      if (iter == 0) capture("round1_propagation", updatedPre)
+      // the count action reads the just-materialized checkpoint blocks
       val nChanged = updated
         .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
@@ -701,20 +727,45 @@ object NearDup {
   def dedupClustersStar(pairs: DataFrame, allDocs: DataFrame, id: Column,
                         maxIters: Int = 40,
                         reliableCheckpoint: Boolean = false,
-                        strict: Boolean = true): DataFrame = {
+                        strict: Boolean = true,
+                        planOut: scala.collection.mutable.Buffer[(String, String)] = null)
+      : DataFrame = {
+    def capture(tag: String, df: DataFrame): Unit =
+      if (planOut != null) planOut += tag ->
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+    // plain (AQE-on) eager checkpoints here, NOT checkpointPartitioned:
+    // the star rounds re-key on a different column each step (sym by n,
+    // then by hi), so a recorded partitioning never survives to the next
+    // consumer — and losing AQE's partition coalescing made every tiny
+    // round stage run at full partition width (measured r13: ~2× slower
+    // at sf0.1). The label-propagation loop below is the opposite case:
+    // its edge/label partitioning IS the loop invariant.
     def ckptEager(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    // Round shape (r13): each star step shares ONE exchange between its
+    // min-aggregate and its join (explicit repartition on the group key —
+    // hash(key) satisfies both requirements; ReuseExchange computes it
+    // once), and the join builds its hash map from the node-sized min side
+    // (shuffle_hash — SMJ re-sorted the full adjacency per step). Each
+    // step's output keeps the plain distinct(): its partial (map-side)
+    // dedup matters exactly here, because the join output is
+    // duplicate-heavy mid-convergence (one (nb,m) copy per shared hub) —
+    // a repartition-then-distinct variant that skipped the partial agg
+    // shipped every duplicate through the exchange and measured SLOWER.
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("hi").as("n"), col("lo").as("nb"))
         .unionByName(edges.select(col("lo").as("n"), col("hi").as("nb")))
+        .repartition(col("n"))
       val mins = sym.groupBy(col("n"))
         .agg(least(min(col("nb")), col("n")).as("m"))
-      sym.join(mins, "n").filter(col("nb") > col("n"))
+      sym.join(mins.hint("shuffle_hash"), "n").filter(col("nb") > col("n"))
         .select(col("nb").as("hi"), col("m").as("lo")).distinct()
     }
     def smallStar(edges: DataFrame): DataFrame = {
-      val mins = edges.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val withMin = edges.join(mins, "hi")
+      val eP = edges.repartition(col("hi"))
+      val mins = eP.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withMin = eP.join(mins.hint("shuffle_hash"), "hi")
       withMin.select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(mins.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
@@ -728,11 +779,15 @@ object NearDup {
     var converged = edges.isEmpty // an edgeless corpus is all singletons
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = ckptEager(smallStar(largeStar(edges)))
+      val nextPre = smallStar(largeStar(edges))
+      val next = ckptEager(nextPre)
+      if (iter == 0) capture("round1_star", nextPre)
       // exact set-equality convergence: same cardinality and nothing new
-      // (anti-join one way suffices given distinct edge sets + count match)
+      // (anti-join one way suffices given distinct edge sets + count match;
+      // the tiny per-round frames coalesce under AQE — build-small hint)
       converged = next.count() == edges.count() &&
-        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+        next.join(edges.hint("shuffle_hash"), Seq("hi", "lo"), "left_anti")
+          .isEmpty
       releaseCheckpoint(edges)
       edges = next
       iter += 1
@@ -760,7 +815,7 @@ object NearDup {
       else edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
         .withColumnRenamed("hi", "doc_id")
     val labels = allDocs.select(id.as("doc_id"))
-      .join(roots, Seq("doc_id"), "left")
+      .join(roots.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
     val out = ckptEager(labels)
@@ -782,6 +837,29 @@ object NearDup {
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Eager localCheckpoint that PRESERVES the frame's output partitioning.
+    *
+    * Under AQE (default on) `Dataset.localCheckpoint` records
+    * `UnknownPartitioning` in the resulting LogicalRDD — the adaptive plan
+    * wrapper hides the final partitioning — so every downstream consumer
+    * re-adds an Exchange over the checkpointed blocks (measured r13: each
+    * PageRank round re-shuffled the supposedly src-partitioned edge table,
+    * and each label-propagation round re-shuffled the checkpointed edge
+    * list). Materializing the checkpoint with AQE off for just this one
+    * execution makes the LogicalRDD report its real hash partitioning,
+    * which iterative loops then reuse with no exchange. The conf flip
+    * scopes to THIS materialization; plans built after it is restored
+    * still get AQE. Callers must not have forced `df.queryExecution`
+    * earlier (a forced adaptive plan is immutable — capture/explain on the
+    * SAME Dataset instance before this call would defeat it). */
+  private[engine] def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try df.localCheckpoint(true) finally s.conf.set(key, prev)
+  }
 
   /** Keep the canonical member (min id) of every duplicate cluster. */
   def canonicalByCluster(clusters: DataFrame): DataFrame =

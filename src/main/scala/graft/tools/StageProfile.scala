@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   */
 object StageProfile {
   final case class StageRow(jobId: Int, stageId: Int, name: String,
-                            wallMs: Long, taskMs: Long, tasks: Int,
+                            wallMs: Long, taskMs: Long, gcMs: Long, tasks: Int,
                             shufReadMB: Double, shufWriteMB: Double,
                             inputMB: Double)
 
@@ -49,7 +49,7 @@ object StageProfile {
         val m = si.taskMetrics
         rows.add(StageRow(stageJob.getOrDefault(si.stageId, -1), si.stageId,
           si.name.takeWhile(_ != '\n').take(90), wall,
-          m.executorRunTime, si.numTasks,
+          m.executorRunTime, m.jvmGCTime, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6))
@@ -67,10 +67,10 @@ object StageProfile {
       f"${all.map(_.wallMs).sum / 1e3}%.3f s summed stage wall, " +
       f"${all.size} stages / ${all.map(_.jobId).distinct.size} jobs")
     println(f"${"job"}%4s ${"stage"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
-      f"${"tasks"}%5s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"in_MB"}%7s  name")
+      f"${"gc_ms"}%6s ${"tasks"}%5s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"in_MB"}%7s  name")
     all.foreach { r =>
       println(f"${r.jobId}%4d ${r.stageId}%5d ${r.wallMs}%8d ${r.taskMs}%8d " +
-        f"${r.tasks}%5d ${r.shufReadMB}%7.2f ${r.shufWriteMB}%7.2f " +
+        f"${r.gcMs}%6d ${r.tasks}%5d ${r.shufReadMB}%7.2f ${r.shufWriteMB}%7.2f " +
         f"${r.inputMB}%7.2f  ${r.name}")
     }
     spark.stop()

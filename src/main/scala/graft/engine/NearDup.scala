@@ -49,15 +49,32 @@ object NearDup {
     // per-row split/hash work is CPU-bound — spread a small scan across
     // cores (no-op at real corpus scale; see TextOps.spreadForCpu)
     val d = TextOps.spreadForCpu(docs).select(id.as("doc_id"), text.as("_t"))
+    // The document-frequency decision is a WINDOWED count-distinct, not a
+    // groupBy + anti-join: ONE split+md5 pass behind one hash(h) exchange
+    // (before, r13 measured: the pass planned TWICE at ~13 s task time
+    // each — the two consumers prune different columns, so no shared
+    // exchange ever forms). Distinct-doc counting without a distinct:
+    // mark the first (h, doc_id) instance with a row_number window, sum
+    // the markers over the h window — the second window chains on the
+    // first's (h, doc_id, idx) sort with no extra exchange or sort.
+    // filter(_df < minDf) IS the old anti-join (keep instances of
+    // non-frequent lines). Trade, documented: line TEXT rides the hash(h)
+    // exchange (the reassembly needs it downstream) where the old shape
+    // shuffled text only at the reassembly — at sf0.1 the saved pass
+    // dwarfs the extra text shuffle; for fat-text corpora on thin
+    // networks the recompute shape can win it back.
     val lines = d.select(col("doc_id"),
         posexplode(split(col("_t"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("idx", "line")))
       .withColumn("h", md5(col("line")))
-    val frequent = lines.select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("h"))
-    val kept = lines.join(frequent, Seq("h"), "left_anti")
+    val wHD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("doc_id")).orderBy(col("idx"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val kept = lines
+      .withColumn("_first",
+        when(row_number().over(wHD) === 1, 1L).otherwise(0L))
+      .withColumn("_df", sum(col("_first")).over(wH))
+      .filter(col("_df") < minDf)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, transform(
@@ -98,15 +115,23 @@ object NearDup {
     val starts = when(size(col("_toks")) >= n,
       sequence(lit(0), size(col("_toks")) - n))
       .otherwise(array().cast("array<int>"))
+    // The hot-window decision is a WINDOWED count, not a groupBy + join:
+    // ONE pass over the (doc_id, p, h) rows — 24 bytes/row, the
+    // lightweight proxy, never window text — behind one hash(h) exchange
+    // and a local 8-byte-key sort. Before (r13 measured, StageProfile at
+    // sf0.1): the groupBy/join shape planned the slice+concat+xxhash64
+    // window pass TWICE (~12 s task time per pass — the two consumers
+    // prune different columns below any shared repartition, so
+    // ReuseExchange never fires on it); the windowed count keeps the one
+    // expensive pass and pays a cheap sort of hashed keys instead.
+    // Same count semantics (count over partition h == the old hot-join).
     val grams = d.select(col("doc_id"),
       posexplode(transform(starts,
         i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))))
         .as(Seq("p", "h")))
-    val hot = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-      .select(col("h"))
-    val covered = grams.join(hot, "h")
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val covered = grams.withColumn("_c", count(lit(1)).over(wH))
+      .filter(col("_c") >= minCount)
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("p"))
       .distinct()
@@ -137,6 +162,26 @@ object NearDup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = d.select(id.as("doc_id"),
       size(TextOps.shingleArray(text, n)).as("n_sh"))
+    (sh, sizes)
+  }
+
+  /** [[hashedShinglesAndSizes]] for the verify paths, whose EVERY consumer
+    * wants hash(doc_id): the postings ride ONE doc-keyed exchange shared
+    * by both id-joins (identical subtrees — ReuseExchange, so the shingle
+    * pass runs once, r13: it used to run three times — twice for the two
+    * id-joins plus once for sizes), and sizes FOLD from that same exchange
+    * (per-doc shingles are pre-distinct, so the row count IS the distinct
+    * count). Docs with zero shingles get no sizes row — they cannot share
+    * a shingle, so they never appear in a candidate pair and the
+    * difference is join-invisible (every consumer is a pair-side join).
+    * Not used by [[jaccardPairs]]: its posting aggregate needs
+    * hash(shingle), a doc-keyed exchange would just add a full re-shuffle. */
+  private def hashedShinglesByDoc(docs: DataFrame, id: Column, text: Column,
+                                  n: Int): (DataFrame, DataFrame) = {
+    val sh = TextOps.shingles(TextOps.spreadForCpu(docs), id, text, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .repartition(col("doc_id"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     (sh, sizes)
   }
 
@@ -464,7 +509,13 @@ object NearDup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
       .distinct()
-    // exact verification of candidates only (hashed shingles, as above)
+    // exact verification of candidates only (hashed shingles, as above).
+    // Deliberately NOT hashedShinglesByDoc (r13 measured): here the verify
+    // set is the WHOLE corpus, and one doc-keyed exchange of every shingle
+    // row costs more than recomputing the spread-out shingle pass per
+    // consumer (q_minhash_pairs 1.10 -> 1.60 s isolated A/B); the ByDoc
+    // shape pays only where the verify set is collision-sized (the
+    // incremental path).
     val (sh, sizes) = hashedShinglesAndSizes(docs, id, text, n)
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "id1")
@@ -554,11 +605,20 @@ object NearDup {
                                       n: Int): DataFrame = {
     val exB = bander(existing).withColumn("_new", lit(false))
     val inB = bander(incoming).withColumn("_new", lit(true))
-    val probe = inB.select(col("band"), col("band_hash"),
-      col("doc_id").as("in_id"))
     val all = exB.unionByName(inB)
       .repartition(col("band"), col("band_hash"))
-    val candidates = probe.join(all, Seq("band", "band_hash"))
+    // the probe is the batch's slice OF THE SAME EXCHANGE (filter on the
+    // rider flag) — before (r13), probe derived from inB directly, so the
+    // batch's whole banding pass (md5 on the fixed-family twin) planned
+    // and ran a second time; now ReuseExchange computes the union banding
+    // once and both join sides arrive co-partitioned. Build side = the
+    // batch-sized probe (shuffle_hash — the asymmetric-join rule: never
+    // build the corpus side), which also keeps the few-key duplicate-heavy
+    // bucket join out of SMJ's many-to-many buffering.
+    val probe = all.filter(col("_new")).select(col("band"), col("band_hash"),
+      col("doc_id").as("in_id"))
+    val candidates = probe.hint("shuffle_hash").join(all,
+        Seq("band", "band_hash"))
       .filter(col("doc_id") =!= col("in_id") &&
         (!col("_new") || col("in_id") < col("doc_id")))
       .select(least(col("in_id"), col("doc_id")).as("id1"),
@@ -568,11 +628,18 @@ object NearDup {
     // docs (at corpus scale this is collision-sized, not corpus-sized)
     val union = existing.select(id.as("_vid"), text.as("_vt"))
       .unionByName(incoming.select(id.as("_vid"), text.as("_vt")))
-    val cids = candidates.select(col("id1").as("_cid"))
-      .unionByName(candidates.select(col("id2").as("_cid"))).distinct()
-    val docsToVerify = union.join(cids, col("_vid") === col("_cid"),
-      "left_semi")
-    val (sh, sizes) = hashedShinglesAndSizes(docsToVerify, col("_vid"),
+    // one explode, ONE reference to the candidate subtree (a union of two
+    // selects planned the whole LSH probe join twice; with the semi-join
+    // and the two sh joins downstream the replication compounded — r13
+    // counted the candidate subtree 7x in the static plan, 4x after)
+    val cids = candidates
+      .select(explode(array(col("id1"), col("id2"))).as("_cid")).distinct()
+    // collision-sized build side (shuffle_hash): the static planner has no
+    // stats for the LSH-join-derived cids and planned a sort-merge semi —
+    // sorting the corpus-sized union to prune it by a small id set
+    val docsToVerify = union.join(cids.hint("shuffle_hash"),
+      col("_vid") === col("_cid"), "left_semi")
+    val (sh, sizes) = hashedShinglesByDoc(docsToVerify, col("_vid"),
       col("_vt"), n)
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "id1")

@@ -416,11 +416,19 @@ object Similarity {
     val (inVecs, inBanded) = bandedSignatures(incoming, id, vec, bits,
       bands, rowsPerBand, dim)
     val maxHam = hammingCut(tau, prefilterBits(bits))
-    val probe = inBanded.select(col("band"), col("chunk"),
-      col("cid").as("in_id"), col("sig").as("in_sig"))
     val all = pruneToProbedBuckets(exBanded, inBanded)
       .withColumn("_new", lit(false))
       .unionByName(inBanded.withColumn("_new", lit(true)))
+      .repartition(col("band"), col("chunk"))
+    // the probe is the batch's slice OF THE SAME EXCHANGE (filter on the
+    // rider flag) — deriving it from inBanded directly planned and ran
+    // the batch's signing/banding pass a second time inside the join
+    // (r13); ReuseExchange now computes the union banding once and both
+    // join sides arrive co-partitioned (the bloom-pruning jobs still
+    // sign the batch separately — that gate must run before the union
+    // exists). Build side stays the batch-sized probe (hint below).
+    val probe = all.filter(col("_new")).select(col("band"), col("chunk"),
+      col("cid").as("in_id"), col("sig").as("in_sig"))
     val vecs = exVecs.unionByName(inVecs)
     // batch probes union buckets: new↔existing forms exactly once (the
     // probe side is new-only), new↔new dedups by id order. Bucket keys
@@ -499,11 +507,19 @@ object Similarity {
       g.bands, g.rowsPerBand, dim)
     val exVecs = existing.select(id.as("cid"), asDouble(vec).as("cv"))
     val maxHam = hammingCut(tau, prefilterBits(g.bits))
-    val probe = inBanded.select(col("band"), col("chunk"),
-      col("cid").as("in_id"), col("sig").as("in_sig"))
     val all = pruneToProbedBuckets(exBanded, inBanded)
       .withColumn("_new", lit(false))
       .unionByName(inBanded.withColumn("_new", lit(true)))
+      .repartition(col("band"), col("chunk"))
+    // the probe is the batch's slice OF THE SAME EXCHANGE (filter on the
+    // rider flag) — deriving it from inBanded directly planned and ran
+    // the batch's signing/banding pass a second time inside the join
+    // (r13); ReuseExchange now computes the union banding once and both
+    // join sides arrive co-partitioned (the bloom-pruning jobs still
+    // sign the batch separately — that gate must run before the union
+    // exists). Build side stays the batch-sized probe (hint below).
+    val probe = all.filter(col("_new")).select(col("band"), col("chunk"),
+      col("cid").as("in_id"), col("sig").as("in_sig"))
     val vecs = exVecs.unionByName(inVecs)
     probe.hint("shuffle_hash").join(all, Seq("band", "chunk"))
       .filter(col("in_id") =!= col("cid") &&

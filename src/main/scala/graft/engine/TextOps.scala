@@ -676,9 +676,17 @@ object TextOps {
     val pairs = base.select(col("doc_id"),
       explode(ngramArray(col("_x"), 2)).as("bg"))
     val bgCounts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val histCounts = pairs
+    // history counts FOLD FROM the bigram counts instead of re-exploding
+    // the corpus: every bigram occurrence contributes exactly 1 to its
+    // first token's history count, so c1(w1) = Σ c2(bg) over bg starting
+    // with w1 — bit-identical (exact integer counts; tokens cannot
+    // contain the split delimiter). r13: the former direct groupBy ran a
+    // second full ngram pass over the corpus and shuffled corpus-token-
+    // sized rows; this aggregates the vocabulary²-sized count table
+    // (guide §2.3 — aggregate before you shuffle).
+    val histCounts = bgCounts
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
+      .agg(sum(col("c2")).as("c1"))
     val vocabSize = base.select(explode(tokens(col("_x"))).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
     val nll = bgCounts

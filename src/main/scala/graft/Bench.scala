@@ -387,6 +387,18 @@ object Bench {
       // steady-state for the corpus-clean flow. Same advice applies to any
       // long-lived cluster session hosting many pipelines.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE coalescing FLOOR, not a width tune: with the default 1m floor,
+      // parallelism-first coalescing collapses the suite's small shuffles
+      // (~2 MB at sf0.1) to 1-2 partitions and serializes the reduce side
+      // of most of the analytics tail on one core (r13 FunnelScan; A/B:
+      // q_anomalies 1.05→0.58 s, q_impute_all 1.56→1.01 s, iterative
+      // cluster loops ~par-to-−11%, big shuffles unaffected). Scale-safe
+      // by construction — the floor only binds where AQE would otherwise
+      // emit sub-64k partitions, which at production shuffle sizes never
+      // happens (partitions land at parallelism/advisory size); override
+      // via SPARK_GRAFT_AQE_MIN_PARTITION for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // attach only now — Spark's log4j2 defaults are loaded and the root

@@ -1917,7 +1917,10 @@ object SparkEntry {
     // scalar rows for the gate comparator (oracled)
     "q_quantize_int8" -> ((s, d) => {
       val (codes, scale) = Similarity.quantizeInt8(col("embedding"))
-      embeddings(s, d)
+      // spread: the per-element quantize + posexplode is the whole query
+      // and a single-file scan otherwise runs it as one task (r13
+      // FunnelScan: 1.29 s in 1 task); no-op at corpus scale
+      TextOps.spreadForCpu(embeddings(s, d))
         .select(col("vec_id"), codes.as("q"), round(scale, 6).as("scale"))
         .select(col("vec_id"), col("scale"),
           posexplode(col("q")).as(Seq("pos", "code")))

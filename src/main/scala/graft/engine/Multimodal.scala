@@ -62,6 +62,16 @@ object Multimodal {
                       decode: Decoder = decodeStub _): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // Deliberately NO spreadForCpu at these kernel boundaries (r13
+    // measured): a small media table scans as one split and the decode
+    // pass serializes on one core, but spreading shuffles the PAYLOAD
+    // bytes — and that costs more than the lost parallelism is worth for
+    // every decoder except full-res JPEG (family A/B: q_media_resize
+    // 0.20 → 0.68 s with the spread, q_media_png_resize 0.34 → 0.76 via
+    // the chained double shuffle; only q_media_jpeg won, 0.80 → 0.63).
+    // The guide §8 rule in reverse: don't move heavy opaque payloads to
+    // parallelize light work. At real corpus scale the scan has many
+    // splits and the question disappears.
     media.as[MediaRecord].mapPartitions { it =>
       // real pipelines: per-task decoder/session init goes here, once
       it.map { r =>

@@ -617,6 +617,16 @@ object NearDup {
     // bucket join out of SMJ's many-to-many buffering.
     val probe = all.filter(col("_new")).select(col("band"), col("band_hash"),
       col("doc_id").as("in_id"))
+    // MATERIALIZED (eager localCheckpoint): candidates are collision-sized
+    // (pairs of ids), and the verify tail references this subtree from four
+    // branches — un-materialized, the analyzer/optimizer/Janino re-process
+    // the whole LSH probe-join subtree per branch (409 static ops; measured
+    // r13: a 15.7 s cold rep and ~7.4 s in-suite vs 3.3 s steady — the
+    // suite evicts the generated classes between warm-up and measured pass,
+    // so the giant plan pays re-compilation every time). Checkpointing cuts
+    // the static plan roughly in half and the runtime graph reads the tiny
+    // block set. Release in long-lived sessions via [[releaseCheckpoint]]
+    // on the returned frame (the LogicalRDD is a leaf of it).
     val candidates = probe.hint("shuffle_hash").join(all,
         Seq("band", "band_hash"))
       .filter(col("doc_id") =!= col("in_id") &&
@@ -624,6 +634,7 @@ object NearDup {
       .select(least(col("in_id"), col("doc_id")).as("id1"),
         greatest(col("in_id"), col("doc_id")).as("id2"))
       .distinct()
+      .localCheckpoint(true)
     // exact verification over the candidate ids ONLY: shingle just those
     // docs (at corpus scale this is collision-sized, not corpus-sized)
     val union = existing.select(id.as("_vid"), text.as("_vt"))
@@ -952,6 +963,11 @@ object NearDup {
     * aggregation over exploded tokens — no UDF, no driver loop.
     * Output: (doc_id, simhash: long). */
   def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // deliberately NO spreadForCpu: the token explode + bit-sum partial
+    // aggregate looked single-task-bound (r13 FunnelScan) but the spread
+    // measured par-to-worse isolated (1.20 → 1.27 s q_simhash_fixed,
+    // 1.28 → 1.45 s q_simhash_pairs) — the text shuffle it adds costs
+    // what the width returns at this work-per-byte ratio
     val toks = docs.select(id.as("doc_id"),
       explode(TextOps.tokens(text)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

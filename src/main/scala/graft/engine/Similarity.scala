@@ -83,7 +83,12 @@ object Similarity {
     * join on the inequality), so use only when one side fits in memory. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
                   tau: Double): DataFrame = {
-    val a = emb.select(id.as("id1"), asDouble(vec).as("v1"))
+    // spread the probe side: a small single-file scan otherwise feeds the
+    // nested-loop join as ONE partition and the whole n²/2 cosine pass
+    // runs on one core (r13 StageProfile: 2.4 s wall = one 2.4 s task) —
+    // no-op at real corpus scale (spreadForCpu's stats cutoff)
+    val a = TextOps.spreadForCpu(emb.select(id.as("id1"),
+      asDouble(vec).as("v1")))
     val b = emb.select(id.as("id2"), asDouble(vec).as("v2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -102,6 +107,9 @@ object Similarity {
   def crossCosinePairs(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                        bench: DataFrame, benchId: Column, benchVec: Column,
                        tau: Double): DataFrame = {
+    // deliberately NOT spread (r13 measured 0.24 → 0.38 s with it): unlike
+    // [[cosinePairs]], the per-row work here is one cosine against a SMALL
+    // broadcast bench set — cheaper than the shuffle a spread adds
     val c = corpus.select(corpusId.as("corpus_id"),
       asDouble(corpusVec).as("cv"))
     val b = bench.select(benchId.as("bench_id"), asDouble(benchVec).as("bv"))

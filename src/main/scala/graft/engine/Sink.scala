@@ -40,10 +40,17 @@ object Sink {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // repartition by the partition column first: one task per date →
-    // one file per partition dir, not (tasks × dates) small files
+    // repartition by the partition column first, at EXPLICIT shuffle width:
+    // each date lands wholly in one task → one file per partition dir, not
+    // (tasks × dates) small files. The width must be explicit — a bare
+    // repartition(col) lets AQE coalesce the (locally tiny) shuffle to ONE
+    // partition and the whole parquet encode serializes on one core (r13
+    // FunnelScan: 97% of q_sink_partition_overwrite's stage wall in 1-task
+    // stages). At scale date volumes exceed the advisory size and the
+    // explicit width equals what AQE would pick anyway.
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     try df.withColumn("p_date", to_date(ts))
-      .repartition(col("p_date"))
+      .repartition(width, col("p_date"))
       .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -88,8 +95,11 @@ object Sink {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
+        // explicit width for the same AQE-collapse reason as
+        // [[overwriteDatePartitions]]
         survivors
-          .repartition(col("p_date"))
+          .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("p_date"))
           .write.partitionBy("p_date").mode(SaveMode.Overwrite).parquet(path)
         // Dynamic overwrite only replaces partitions PRESENT in the written
         // frame — a partition whose every row was deleted would silently

@@ -328,6 +328,36 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
 
+  /** Committed calib_1t anchor from BENCH_MEDIANS.json's `calib` node, or
+    * -1 when absent/unreadable (a missing anchor must read as "not
+    * checked", never as "in spec"). calib_1t is the right anchor for ANY
+    * core count — the 1-thread splitmix64 loop is cpu-count independent,
+    * so it gates the driver's low-core scaling run too. */
+  def loadCalibAnchor(path: String = "BENCH_MEDIANS.json"): Double =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val c = if (root == null) null else root.get("calib")
+      val v = if (c == null) null else c.get("calib_1t")
+      if (v != null && v.isNumber && v.asDouble() > 0) v.asDouble() else -1.0
+    } catch { case _: Exception => -1.0 }
+
+  /** Calibration gate (VERDICT r13 #8): the r13 8-core scaling run executed
+    * on a machine reading calib_1t 1.256 vs the 0.916 anchor (~37%
+    * degraded) and silently produced 27 contaminated samples that read as
+    * serialization cliffs. The fixed splitmix64 loop never changes, so
+    * calib/anchor IS the machine drift; beyond `tol` the whole block is
+    * suspect and the artifact must say so rather than let a reader grade
+    * per-query ratios from it. Returns (ratio, suspect); ratio -1 / suspect
+    * false when no anchor is committed. Pure. */
+  def calibGate(calib1t: Double, anchor: Double,
+                tol: Double = 0.10): (Double, Boolean) =
+    if (anchor <= 0 || calib1t <= 0) (-1.0, false)
+    else {
+      val r = calib1t / anchor
+      (r, math.abs(r - 1.0) > tol)
+    }
+
   /** log4j2 appender counting interpreted-fallback warnings as they
     * happen. Spark logs "Expr codegen error and falling back to
     * interpreter mode" at WARN through the root logger — attaching here
@@ -375,31 +405,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // A session running a wide mix of distinct plans needs the generated-
-      // class cache sized to that working set: the default (100 entries)
-      // thrashes across this suite's ~57 queries, so composite plans pay
-      // full Janino recompilation on every run — measured 19.3 s vs 3.2 s
-      // steady-state for the corpus-clean flow. Same advice applies to any
-      // long-lived cluster session hosting many pipelines.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // AQE coalescing FLOOR, not a width tune: with the default 1m floor,
-      // parallelism-first coalescing collapses the suite's small shuffles
-      // (~2 MB at sf0.1) to 1-2 partitions and serializes the reduce side
-      // of most of the analytics tail on one core (r13 FunnelScan; A/B:
-      // q_anomalies 1.05→0.58 s, q_impute_all 1.56→1.01 s, iterative
-      // cluster loops ~par-to-−11%, big shuffles unaffected). Scale-safe
-      // by construction — the floor only binds where AQE would otherwise
-      // emit sub-64k partitions, which at production shuffle sizes never
-      // happens (partitions land at parallelism/advisory size); override
-      // via SPARK_GRAFT_AQE_MIN_PARTITION for cluster profiles.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      .getOrCreate()
+    // engine session configs live in SessionProfile, shared with Verify and
+    // the measurement tools (VERDICT r13 #1: a config only Bench carries is
+    // a bench-only win; these are engine settings, not bench tuning)
+    val spark = SessionProfile.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // attach only now — Spark's log4j2 defaults are loaded and the root
     // level is WARN, so fallback events reach the appender (see the
@@ -416,6 +425,16 @@ object Bench {
     // sums become normalizable by the calib ratio (VERDICT r11 wrong #1)
     val calib1t = calibrate(1)
     val calibWide = calibrate(cpus.toInt)
+    // calibration gate: compare this machine-now against the committed
+    // anchor BEFORE running the suite, and carry the verdict in-artifact —
+    // a degraded machine (the r13 c8 run: 1.256 vs 0.916 anchor) must mark
+    // its own scaling block suspect instead of reading as serialization
+    val (calibRatio, calibSuspect) = calibGate(calib1t, loadCalibAnchor())
+    if (calibSuspect)
+      System.err.println(
+        f"[bench] WARNING: calib_1t $calib1t%.3f is ${(calibRatio - 1) * 100}%.0f%% " +
+        f"off the committed anchor — machine degraded/changed; per-query " +
+        f"numbers from this run are suspect (calib_suspect=true in artifact).")
     // Warm-up pass: run every query once unmeasured so Janino codegen
     // compilation and JIT warm-up (observed 3-25× on the heavy near-dup
     // plans) don't bill the measured pass. Steady-state throughput is the
@@ -498,7 +517,7 @@ object Bench {
         e.getMessage)
     }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"calib_vs_anchor":$calibRatio%.3f,"calib_suspect":$calibSuspect,"interp_fallbacks":$nFallbacks,"sf":"$sfDir"}"""
     // The driver captures only a ~2.2 KB tail of stdout, so a single line
     // carrying all ~99 per-query timings truncates mid-object and parses as
     // null (r4/r5 BENCH artifacts). Print the full detail line FIRST (tail
@@ -516,7 +535,7 @@ object Bench {
     // array lives in the detail line and the SPARK_GRAFT_BENCH_OUT file.
     val headOutliers = outlierJson(
       outlierRows.sortBy(r => -(r.got / r.envelopeMax)).take(3))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":{"$maxName":$maxT%.3f},"n_outliers":${outlierRows.size},"outliers":$headOutliers,"load_start":$loadStart%.2f,"load_sample":$loadSample%.2f,"cpu_external":$cpuExternal%.3f,"calib_1t":$calib1t%.3f,"calib_${cpus}%st":$calibWide%.3f,"calib_vs_anchor":$calibRatio%.3f,"calib_suspect":$calibSuspect,"interp_fallbacks":$nFallbacks,"detail":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}""")
     // belt-and-braces for the driver's parser: also drop the JSON in a known
     // file, immune to any logger prefixes on stdout. Overridable so
     // back-to-back runs over different SF dirs don't clobber each other.

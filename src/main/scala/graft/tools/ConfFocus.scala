@@ -13,11 +13,8 @@ object ConfFocus {
       .split(",").filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
-    val b = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
+    // baseline = the shared engine profile; SPARK_GRAFT_CONF overrides on top
+    val b = graft.SessionProfile.local(graft.SessionProfile.toolCpus)
     confs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,11 +20,9 @@ object FunnelScan {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prefix = if (args.length > 1) args(1) else ""
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // shared engine profile: funnel detection must see the bench's plans
+    val spark = graft.SessionProfile.local(graft.SessionProfile.toolCpus)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     final case class St(wall: Long, tasks: Int)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()

@@ -184,6 +184,23 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.loadEnvelopeMax("/nonexistent/of_course.json") shouldBe empty
   }
 
+  test("calibration gate (VERDICT r13 #8): committed anchor loads, drift " +
+    "beyond 10% flags the run suspect, missing anchor reads as unchecked") {
+    val anchor = Bench.loadCalibAnchor()
+    anchor should be > 0.0 // committed BENCH_MEDIANS.json carries calib_1t
+    Bench.loadCalibAnchor("/nonexistent/of_course.json") shouldBe -1.0
+    // the r13 incident numbers: c8 run's calib_1t 1.256 vs anchor 0.916
+    val (r1, s1) = Bench.calibGate(1.256, 0.916)
+    s1 shouldBe true
+    r1 shouldBe (1.256 / 0.916) +- 1e-9
+    // in-spec drift (the r13 32-core run: 0.916 vs 0.851 anchor = +7.6%)
+    Bench.calibGate(0.916, 0.851)._2 shouldBe false
+    // symmetric: a machine reading FASTER than anchor is equally suspect
+    Bench.calibGate(0.70, 0.916)._2 shouldBe true
+    // no anchor → ratio -1, never suspect (unchecked must not read as bad)
+    Bench.calibGate(1.0, -1.0) shouldBe ((-1.0, false))
+  }
+
   test("sidecar merge + in-flight-round exclusion (VERDICT r11 #5 + " +
     "ADVICE): a NON-top-3 query's streak builds from BENCH_OUTLIERS_r*, " +
     "and the current round's own artifacts never count as priors") {

@@ -231,9 +231,15 @@ object NearDup {
         sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
           .as("n_dropped_shingles"))
       .filter(size(col("ids")) <= maxDf)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      // native pair emission (r14; parity with the HOF transform/slice
+      // formulation pinned in NearDupSpec — HOFs evaluate interpreted and
+      // this reduce stage was the query's hottest at 22.6 s task time);
+      // the empty same-typed second arg keeps the kernel id-type-generic
+      .select(explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        expressions.PairEmit(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ids")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            slice(col("ids"), lit(1), lit(0)))))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -287,14 +293,16 @@ object NearDup {
         sum(when(size(col("nids")) + size(col("oids")) > maxDf, 1L)
           .otherwise(0L)).as("n_dropped_shingles"))
       .filter(size(col("nids")) + size(col("oids")) <= maxDf)
-    val inter = post.select(explode(concat(
-        flatten(transform(col("nids"), (x, i) =>
-          transform(slice(col("nids"), i + lit(2), size(col("nids"))),
-            y => struct(x.as("id1"), y.as("id2"))))),
-        flatten(transform(col("nids"), x =>
-          transform(col("oids"), y =>
-            struct(least(x, y).as("id1"), greatest(x, y).as("id2")))))
-      )).as("p"))
+    // native pair emission (r14): new-choose-2 then new×existing in one
+    // kernel call — same values and order as the HOF concat-of-transforms
+    // it replaces (parity pinned in NearDupSpec)
+    val inter = post.select(explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          expressions.PairEmit(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col("nids")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col("oids"))))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -540,27 +548,31 @@ object NearDup {
         }: _*)).as(Seq("band", "band_hash")))
 
   /** Fixed-md5-family banded signatures for [[minhashLshPairsMd5]]:
-    * (doc_id, band, band_hash: string). The expensive shingle array is
-    * aliased ONCE (`_sh`) and referenced by all h per-seed mins — the
-    * multi-use non-cheap alias stays bound (the Janino-CSE rule), so the
-    * native ShingleStrings kernel runs once per row while each seed's
-    * md5 pass folds over the bound array. */
+    * (doc_id, band, band_hash: string). The signing pass is the native
+    * [[expressions.Md5MinHashSignature]] kernel (r14; parity with the
+    * per-seed `array_min(transform(...))` columns pinned in NearDupSpec):
+    * the declarative form paid h=32 INTERPRETED higher-order `transform`
+    * passes per row (HOFs are CodegenFallback), each allocating a full
+    * md5-hex array to take its min. The signature alias (`_sig`) is
+    * multi-use (one element_at per band entry) so it stays bound — the
+    * same shape as the production [[bandedMinhash]]. */
   private def bandedMinhashMd5(docs: DataFrame, id: Column, text: Column,
                                bands: Int, rowsPerBand: Int,
                                n: Int): DataFrame = {
     val h = bands * rowsPerBand
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // short docs drop on the cheap token-count predicate BEFORE the spread
     // (the minhashSignatures rule: a pushed-down null-check on the computed
     // signature would serialize the whole computation onto the scan side)
-    val base = TextOps.spreadForCpu(docs.filter(size(TextOps.tokens(text)) >= n))
-      .select(id.as("doc_id"), TextOps.shingleArray(text, n).as("_sh"))
-    val sigs = base.select(col("doc_id") +:
-      (0 until h).map(i => array_min(transform(col("_sh"),
-        s => md5(concat(s, lit(":" + i))))).as(s"_m$i")): _*)
+    val sigs = TextOps.spreadForCpu(docs.filter(size(TextOps.tokens(text)) >= n))
+      .select(id.as("doc_id"),
+        ColumnBridge.column(expressions.Md5MinHashSignature(
+          ColumnBridge.expression(TextOps.shingleArray(text, n)), h))
+          .as("_sig"))
     sigs.select(col("doc_id"), posexplode(array(
       (0 until bands).map { j =>
         md5(concat_ws("|", (j * rowsPerBand until (j + 1) * rowsPerBand)
-          .map(i => col(s"_m$i")): _*))
+          .map(i => element_at(col("_sig"), i + 1)): _*))
       }: _*)).as(Seq("band", "band_hash")))
   }
 
@@ -963,23 +975,20 @@ object NearDup {
     * aggregation over exploded tokens — no UDF, no driver loop.
     * Output: (doc_id, simhash: long). */
   def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    // deliberately NO spreadForCpu: the token explode + bit-sum partial
-    // aggregate looked single-task-bound (r13 FunnelScan) but the spread
-    // measured par-to-worse isolated (1.20 → 1.27 s q_simhash_fixed,
-    // 1.28 → 1.45 s q_simhash_pairs) — the text shuffle it adds costs
-    // what the width returns at this work-per-byte ratio
-    val toks = docs.select(id.as("doc_id"),
-      explode(TextOps.tokens(text)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // bit b contributes +1 if set else -1; per-doc sum per bit, then sign
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b"))
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
-        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Native per-row kernel (r14; bit-parity with the previous explode +
+    // 64-column aggregate pinned in NearDupSpec): the signature is a pure
+    // function of the token array, so signing needs no explode and no
+    // aggregate at all — and the banded self-join downstream no longer
+    // re-optimizes two copies of a 64-aggregate plan (r14 StageProfile:
+    // q_simhash_pairs spent 0.76 s of 1.31 s wall in driver planning).
+    // Still deliberately NO spreadForCpu (the r13 measured non-change):
+    // the text shuffle costs more than the lost width at this
+    // work-per-byte ratio.
+    docs.select(id.as("doc_id"),
+      ColumnBridge.column(expressions.SimhashSignature(
+        ColumnBridge.expression(TextOps.tokens(text)), md5Family = false))
+        .as("simhash"))
   }
 
   /** SimHash over a FIXED md5 bit family — the cross-engine ORACLE twin of
@@ -991,18 +1000,14 @@ object NearDup {
     * SQL. xxhash64's 64-bit signature stays the scale path. */
   def simhashSignaturesMd5(docs: DataFrame, id: Column,
                            text: Column): DataFrame = {
-    val toks = docs.select(id.as("doc_id"),
-      explode(TextOps.tokens(text)).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
-        .cast("long"))
-    val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b"))
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32).map(b =>
-        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // same native kernel as [[simhashSignatures]], md5-32 family (the
+    // first 4 digest bytes == conv(substring(md5(tok),1,8),16,10));
+    // parity with the aggregate formulation pinned in NearDupSpec
+    docs.select(id.as("doc_id"),
+      ColumnBridge.column(expressions.SimhashSignature(
+        ColumnBridge.expression(TextOps.tokens(text)), md5Family = true))
+        .as("simhash"))
   }
 
   /** Banded-candidate Hamming pairs over the fixed 32-bit md5 signature
@@ -1042,18 +1047,19 @@ object NearDup {
   def winnowFingerprintsMd5(docs: DataFrame, id: Column, text: Column,
                             k: Int = 24, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnow params: k=$k w=$w")
-    val d = TextOps.spreadForCpu(docs.filter(length(text) >= k + w - 1))
-      .select(id.as("doc_id"), text.as("_t"))
-    val pos = d.select(col("doc_id"), col("_t"),
-      explode(sequence(lit(1), length(col("_t")) - lit(k - 1))).as("p"))
-    val grams = pos.select(col("doc_id"), col("p"),
-      md5(col("_t").substr(col("p"), lit(k))).as("g"),
-      (length(col("_t")) - lit(k + w - 2)).as("_pmax"))
-    val ww = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, w - 1)
-    grams.withColumn("fp", min(col("g")).over(ww))
-      .filter(col("p") <= col("_pmax"))
-      .select(col("doc_id"), col("fp")).distinct()
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Native one-pass kernel (r14; bit-parity with the previous SQL-window
+    // formulation pinned in NearDupSpec): the declarative form exploded one
+    // row per char position and shuffled (doc_id, p, md5-hex, pmax) rows
+    // into a per-doc window sort plus a distinct exchange — corpus-character
+    //-sized I/O for a fingerprint-sized result. The fingerprint set is a
+    // pure per-row function of the text, so it computes map-side with zero
+    // shuffles; the kernel emits the per-doc DISTINCT set (docs are unique
+    // by id in every caller, so the old global distinct added nothing).
+    TextOps.spreadForCpu(docs.filter(length(text) >= k + w - 1))
+      .select(id.as("doc_id"),
+        explode(ColumnBridge.column(expressions.WinnowMd5Fingerprints(
+          ColumnBridge.expression(text), k, w))).as("fp"))
   }
 
   /** Fingerprint-sharing pairs over [[winnowFingerprintsMd5]] — the
@@ -1062,7 +1068,11 @@ object NearDup {
     * two are separate detectors with the same guarantee, not bit twins). */
   def winnowPairsMd5(docs: DataFrame, id: Column, text: Column,
                      minShared: Int = 5, k: Int = 24, w: Int = 8): DataFrame = {
+    // pre-partition on the join key so both self-join sides are the SAME
+    // exchange (ReuseExchange — the fingerprint kernel runs once, and the
+    // join adds no further shuffle; the lshVerifiedPairs pattern)
     val fps = winnowFingerprintsMd5(docs, id, text, k, w)
+      .repartition(col("fp"))
     val a = fps.as("a")
     val b = fps.as("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -222,6 +222,13 @@ object TextOps {
                          k: Int = 8, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // MEASURED NON-CHANGE (r14): spreading the flatMap across cores +
+    // sharing one fp-keyed exchange regressed q_winnow_pairs 1.33→1.42 s
+    // (BenchFocus steady) — the rolling-hash kernel is cheap per char, so
+    // the text shuffle and per-task deserialization the spread adds cost
+    // more than the ~0.3 s single-task funnel it removes (FunnelScan r14:
+    // 0.29 s/1t, 34% of stage wall). Same class as the r13 simhash spread
+    // counter-example; revisit only if the kernel's per-row cost grows.
     docs.select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
       .as[(Long, String)]
       .flatMap { case (docId, t) =>

@@ -509,6 +509,132 @@ class NearDupSpec extends SparkSpec {
     pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
   }
 
+  test("WinnowMd5Fingerprints kernel == the SQL-window formulation " +
+    "bit-for-bit (r14 native replacement; one-window and multi-byte docs)") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 24; val w = 8
+    val passage = "abcdefghijklmnopqrstuvwxyz01234"
+    val wdocs = Seq(
+      (1L, s"prefix one $passage suffix xxxxxxxxxx"),
+      (2L, s"another start here $passage other tail yyyy"),
+      (3L, s"prefix one $passage suffix xxxxxxxxxx"),
+      (4L, "entirely unrelated content with no common passage at all zzzz"),
+      (5L, "short doc"), // < k + w - 1: emits nothing
+      (6L, "exactly thirty-one characters!!"), // == k + w - 1: one window
+      (7L, "répétition über naïve — multi-byte chars pad this doc out " +
+        "to a comfortable length")
+    ).toDF("doc_id", "text")
+    // the SQL-window reference the kernel replaced (evaluation cost only —
+    // outputs must stay identical)
+    def reference(docs: org.apache.spark.sql.DataFrame) = {
+      val d = docs.filter(org.apache.spark.sql.functions.length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), col("text").as("_t"))
+      val pos = d.select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1),
+        org.apache.spark.sql.functions.length(col("_t")) - lit(k - 1))).as("p"))
+      val grams = pos.select(col("doc_id"), col("p"),
+        md5(col("_t").substr(col("p"), lit(k))).as("g"),
+        (org.apache.spark.sql.functions.length(col("_t")) - lit(k + w - 2)).as("_pmax"))
+      val ww = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(0, w - 1)
+      grams.withColumn("fp", min(col("g")).over(ww))
+        .filter(col("p") <= col("_pmax"))
+        .select(col("doc_id"), col("fp")).distinct()
+    }
+    val ref = reference(wdocs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = NearDup.winnowFingerprintsMd5(wdocs, col("doc_id"),
+        col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    got shouldBe ref
+    ref.map(_._1) should contain(6L) // the single-window doc emitted
+    ref.map(_._1) should contain(7L) // the multi-byte doc emitted
+  }
+
+  test("Md5MinHashSignature kernel == the per-seed array_min(transform) " +
+    "formulation bit-for-bit (r14 native replacement)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val h = 32
+    val base = docs.filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), TextOps.shingleArray(col("text"), 3).as("_sh"))
+    val ref = base.select(col("doc_id") +:
+      (0 until h).map(i => array_min(transform(col("_sh"),
+        s => md5(concat(s, lit(":" + i))))).as(s"_m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to h).map(r.getString)).toMap
+    val got = base.select(col("doc_id"),
+      ColumnBridge.column(graft.engine.expressions.Md5MinHashSignature(
+        ColumnBridge.expression(col("_sh")), h)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got.keySet shouldBe ref.keySet
+    got.foreach { case (d, sig) => sig shouldBe ref(d) }
+  }
+
+  test("SimhashSignature kernel == the explode + bit-sum aggregate " +
+    "formulation bit-for-bit (r14 native replacement; both hash families)") {
+    val real = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(docs, real); md5fam <- Seq(false, true)) {
+      val bits = if (md5fam) 32 else 64
+      // the aggregate reference the kernel replaced (evaluation cost only)
+      val toks = df.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h",
+          if (md5fam) conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast("long")
+          else xxhash64(col("tok")))
+      val bitSums = (0 until bits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$b"))
+      val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sig = (0 until bits).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y))
+      val ref = agg.select(col("doc_id"), sig.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDf =
+        if (md5fam) NearDup.simhashSignaturesMd5(df, col("doc_id"),
+          col("text"))
+        else NearDup.simhashSignatures(df, col("doc_id"), col("text"))
+      val got = gotDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"md5fam=$md5fam: ") { got shouldBe ref }
+    }
+  }
+
+  test("PairEmit kernel == the HOF concat-of-transforms emission " +
+    "bit-for-bit (r14 native replacement; self, cross, empty, string ids)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def native = ColumnBridge.column(graft.engine.expressions.PairEmit(
+      ColumnBridge.expression(col("nids")),
+      ColumnBridge.expression(col("oids"))))
+    def hof = concat(
+      flatten(transform(col("nids"), (x, i) =>
+        transform(slice(col("nids"), i + lit(2),
+            org.apache.spark.sql.functions.size(col("nids"))),
+          y => struct(x.as("id1"), y.as("id2"))))),
+      flatten(transform(col("nids"), x =>
+        transform(col("oids"), y =>
+          struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
+    val longs = Seq(
+      (Seq(1L, 5L, 9L), Seq(2L, 7L)),
+      (Seq(3L), Seq(4L, 8L, 11L)),
+      (Seq(1L, 2L, 3L, 4L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq(6L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("nids", "oids")
+    val strs = Seq((Seq("a", "c", "x"), Seq("b", "z")))
+      .toDF("nids", "oids")
+    for (df <- Seq(longs, strs)) {
+      df.select(native.as("a"), hof.as("b"))
+        .filter(!(col("a") <=> col("b"))).count() shouldBe 0L
+    }
+    // order and values spot-check on the mixed row
+    val first = longs.limit(1).select(native.as("p")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    first shouldBe Seq((1L, 5L), (1L, 9L), (5L, 9L), // self i<j
+      (1L, 2L), (1L, 7L), (2L, 5L), (5L, 7L), (2L, 9L), (7L, 9L))
+  }
+
   test("canonicalByQuality: best-scoring member wins, min-id on ties, " +
     "singleton keeps itself") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))

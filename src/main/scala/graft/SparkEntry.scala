@@ -302,15 +302,24 @@ object SparkEntry {
                               d: String,
                               project: DataFrame => DataFrame,
                               mode: org.apache.spark.sql.streaming.OutputMode =
-                                graft.streaming.Streams.hourlySumMode): DataFrame = {
+                                graft.streaming.Streams.hourlySumMode,
+                              statePartitions: Int = 4): DataFrame = {
     val qname = s"graft_stream_${tag}_${streamRunCounter.incrementAndGet()}"
     // state-store partitioning is fixed at stream START from the session's
     // shuffle partitions; 32 stores for these streams' few-KB state means
     // 32× the per-batch commit/snapshot file churn. Size state partitions
-    // to stream volume (a per-stream knob on a real cluster) and restore
-    // the session default for the batch queries that follow.
+    // to STREAM STATE VOLUME (a per-stream knob on a real cluster) and
+    // restore the session default for the batch queries that follow.
+    // Default 4 fits every rig here — MEASURED r14: widening the
+    // stream-stream JOIN rigs to 16 (their eviction batches burn ~1-2.4 s
+    // of addBatch with 32 cores idle, so parallelism looked attractive)
+    // regressed 2.7x (q_stream_interval_join 4.5->10.3 s steady) — the
+    // HDFS-backed store pays per-store-per-batch snapshot/commit fsyncs
+    // that swamp the gained parallelism at local-disk latencies. The knob
+    // stays for cluster profiles where state volume, not commit latency,
+    // binds.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // restore only after termination: the stream thread reads the conf
     // when it plans batch 0, which happens after start() returns
     try {

@@ -694,7 +694,23 @@ object TextOps {
     val histCounts = bgCounts
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val vocabSize = base.select(explode(tokens(col("_x"))).as("tok"))
+    // vocabulary ALSO folds from the bigram table (r14; VERDICT r13 #10):
+    // every token of a doc with >= 2 tokens is the first or last token of
+    // some bigram (tokens cannot contain the split delimiter), so
+    // distinct(w1) ∪ distinct(w2) over the count table covers all of them;
+    // only docs with < 2 tokens can contribute tokens outside it — counted
+    // from the filtered short-doc sliver (tokenize+size per doc, explode
+    // only on survivors; none exist in this corpus but exactness must not
+    // depend on that). Bit-identical vocabulary for ANY input; the last
+    // corpus-token-sized explode+distinct pass is gone (guide §2.3), the
+    // distinct now aggregates vocabulary²-sized rows.
+    val bgToks = bgCounts
+      .select(substring_index(col("bg"), " ", 1).as("tok"))
+      .unionByName(bgCounts
+        .select(substring_index(col("bg"), " ", -1).as("tok")))
+    val shortToks = base.filter(size(tokens(col("_x"))) < 2)
+      .select(explode(tokens(col("_x"))).as("tok"))
+    val vocabSize = bgToks.unionByName(shortToks)
       .agg(countDistinct(col("tok")).as("vsz"))
     val nll = bgCounts
       .join(histCounts, substring_index(col("bg"), " ", 1) === col("w1"))

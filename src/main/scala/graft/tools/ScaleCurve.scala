@@ -42,7 +42,13 @@ object ScaleCurve {
     // synthesized documents table) — and the incremental SRP daily-batch
     // path (batch probes union buckets; exponent reflects batch x
     // occupancy growth, both 10x here)
-    "q_media_jpeg", "q_media_quarantine", "q_embed_dedup_incr")
+    "q_media_jpeg", "q_media_quarantine", "q_embed_dedup_incr",
+    // r14 (VERDICT r13 stretch #9 + #10): the end-to-end corpus-release
+    // composition (its per-job checkpoint-barrier overhead is claimed to
+    // amortize at scale — this row measures it) and the bigram LM after
+    // the vocab fold (both remaining passes are corpus-sized; exponent
+    // should be ~1)
+    "q_corpus_release", "q_bigram_lm")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  factor: Int): Unit = {
@@ -133,12 +139,8 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+    // shared engine profile, like the other measurement tools
+    val spark = graft.SessionProfile.local(graft.SessionProfile.toolCpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val synthDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),

@@ -302,6 +302,27 @@ class TextPrepSpec extends SparkSpec {
     out(1L)._2 should be < out(2L)._2
   }
 
+  test("bigramLmScore: a 1-token doc has no bigrams (drops) but its token " +
+    "STILL counts in the vocabulary (the r14 fold's exactness guard)") {
+    // "z" appears in no bigram — the folded vocab must include it via the
+    // short-doc sliver, or V silently reads 4 instead of 5
+    val docs = Seq((1L, "a b a b"), (2L, "a b x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out.contains(3L) shouldBe false // no bigrams → drops, as declared
+    def nll(c2: Long, c1: Long): Long =
+      math.round(-math.log((c2 + 1.0) / (c1 + 1.0 * 5)) * 1e6) // V = 5
+    val ab = nll(3, 3); val ba = nll(1, 2); val bx = nll(1, 2)
+    val xy = nll(1, 1)
+    def m2(xs: Seq[Long]): Double =
+      BigDecimal(xs.sum.toDouble / xs.size)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe ((3L, m2(Seq(ab, ba, ab))))
+    out(2L) shouldBe ((3L, m2(Seq(ab, bx, xy))))
+  }
+
   test("cdcChunks: exact coverage, size bounds, determinism, and " +
     "boundary re-sync after an insertion (the CDC dedup property)") {
     // deterministic pseudo-random text (LCG), no RNG objects
